@@ -1,0 +1,109 @@
+"""Mention (entity-annotation) operators: explode -> threshold filter ->
+deterministic mention URI -> NIF/ITS triple family (reference
+_create_mention, claimskg/generator/__init__.py:520-565).
+
+The mention URI key embeds Python's ``str(round(score, 2))`` (reference
+:532-535), produced by the Arrow-batched ``round2_str`` UDF; everything
+else is JVM-side.
+"""
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from claimskg_generator_spark.constants.namespaces import NS
+from claimskg_generator_spark.functions.udfs import round2_str
+from claimskg_generator_spark.functions.uuid5 import uuid5_url_col
+from claimskg_generator_spark.operators.triples import (
+    OKIND_LANG_EN,
+    OKIND_URI,
+    emit,
+)
+
+
+def explode_mentions(claims: DataFrame, mention_col: str, attach_col: str,
+                     threshold: float, extra_cols=()) -> DataFrame:
+    """One row per above-threshold mention with its minted URI.
+
+    Output columns: attach_uri, m_uri, dbr_uri, text, begin, end, conf,
+    cats (split category list) + any ``extra_cols`` carried through.
+    """
+    base = claims.filter(F.size(mention_col) > 0).select(
+        F.col(attach_col).alias("attach_uri"),
+        "fragments_joined",
+        *extra_cols,
+        F.explode(mention_col).alias("m"),
+    )
+    rho = F.col("m.score").try_cast("double")
+    # strict > threshold (reference :520-522)
+    df = base.filter(rho > F.lit(threshold))
+    entity_u = F.replace(F.col("m.entity"), F.lit(" "), F.lit("_"))
+    conf = round2_str(rho)
+    key = F.concat(
+        F.col("m.begin").cast("string"), F.col("m.end").cast("string"),
+        F.col("m.text"), entity_u, conf, F.col("fragments_joined"),
+    )
+    cats = F.when(
+        F.size("m.categories") > 0,
+        F.split(F.element_at("m.categories", 1), ","),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.select(
+        "attach_uri",
+        *extra_cols,
+        F.col("m.begin").alias("begin"),
+        F.col("m.end").alias("end"),
+        F.col("m.text").alias("text"),
+        entity_u.alias("entity_u"),
+        conf.alias("conf"),
+        cats.alias("cats"),
+        uuid5_url_col(key).alias("m_uuid"),
+    )
+
+
+def mention_family_triples(mentions: DataFrame, model_uri: str,
+                           attach_pred: str = NS.SCHEMA_MENTIONS) -> DataFrame:
+    """The 7-triple NIF/ITS family + attachment edge + per-category
+    dct:about triples for pre-exploded mention rows."""
+    m_uri = F.concat(F.lit(model_uri + "mention/"), F.col("m_uuid"))
+    dbr = F.concat(F.lit(NS.DBR), F.col("entity_u"))
+    base = emit(
+        mentions.withColumn("m_uri", m_uri).withColumn("dbr_uri", dbr),
+        [
+            (None, F.col("m_uri"), NS.RDF_TYPE, NS.NIF_CONTEXT, OKIND_URI),
+            (None, F.col("m_uri"), NS.RDF_TYPE, NS.NIF_RFC5147_STRING, OKIND_URI),
+            (None, F.col("m_uri"), NS.NIF_IS_STRING, F.col("text"), OKIND_LANG_EN),
+            (None, F.col("m_uri"), NS.NIF_BEGIN_INDEX,
+             F.col("begin").cast("string"), NS.XSD_INTEGER),
+            (None, F.col("m_uri"), NS.NIF_END_INDEX,
+             F.col("end").cast("string"), NS.XSD_INTEGER),
+            # Literal(float(str(round(v,2)))) == str(round(v,2)) (reference
+            # :544-546,567-571)
+            (None, F.col("m_uri"), NS.ITS_TA_CONFIDENCE, F.col("conf"), NS.XSD_FLOAT),
+            (None, F.col("m_uri"), NS.ITS_TA_IDENT_REF, F.col("dbr_uri"), OKIND_URI),
+            (None, F.col("attach_uri"), attach_pred, F.col("m_uri"), OKIND_URI),
+        ],
+    )
+    cat_triples = (
+        mentions.withColumn("m_uri", m_uri)
+        .filter(F.size("cats") > 0)
+        .select("m_uri", F.explode("cats").alias("cat"))
+        .select(
+            F.col("m_uri").alias("subj"),
+            F.lit(NS.DCT_ABOUT).alias("pred"),
+            F.concat(F.lit(NS.DBC),
+                     F.replace(F.col("cat"), F.lit(" "), F.lit("_"))).alias("obj"),
+            F.lit(OKIND_URI).alias("okind"),
+        )
+    )
+    return base.unionByName(cat_triples)
+
+
+def review_and_body_mention_triples(claims: DataFrame, model_uri: str,
+                                    threshold: float) -> DataFrame:
+    """Claim-text mentions attach to the *creative work*; body mentions to
+    the *claim review* — the reference's deliberate cross-attachment
+    (:711-727)."""
+    review = explode_mentions(claims, "m_review", "cw_uri", threshold)
+    body = explode_mentions(claims, "m_body", "cr_uri", threshold)
+    return mention_family_triples(review, model_uri).unionByName(
+        mention_family_triples(body, model_uri)
+    )

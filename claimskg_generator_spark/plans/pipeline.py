@@ -1,0 +1,171 @@
+"""End-to-end KG-construction plan.
+
+One lazy DataFrame DAG per run (SURVEY.md EP1 re-expressed):
+
+    scan (repo,path,commit,lang,content)
+      -> parse/clean/mint (codegen'd column expressions + 5 pandas UDFs)
+      -> broadcast rating-normalization join (J1)
+      -> triple families (core / mentions / keywords / citations / static)
+      -> unionByName -> dropDuplicates (A3, the canonicalization shuffle)
+      -> partitioned Parquet triple table or N-Triples text sink
+
+Scale posture: the only shuffles are (a) the final distinct, (b) the slim
+per-keyword winner aggregate, (c) the optional duplicate-title self-join.
+Everything else is map-side (broadcast dims, within-row array ops).
+"""
+
+import time
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from claimskg_generator_spark.constants.namespaces import DEFAULT_MODEL_URI
+from claimskg_generator_spark.constants.static_triples import (
+    DEFAULT_GENERATED_AT,
+    static_triples,
+)
+from claimskg_generator_spark.functions.udfs import clean_citations
+from claimskg_generator_spark.operators.keywords import keyword_triples
+from claimskg_generator_spark.operators.mentions import (
+    review_and_body_mention_triples,
+)
+from claimskg_generator_spark.operators.ratings_join import with_normalized_rating
+from claimskg_generator_spark.operators.triples import (
+    align_duplicated_triples,
+    author_mention_triples,
+    citation_triples,
+    core_claim_triples,
+)
+from claimskg_generator_spark.plans.checkpoints import CheckpointManager
+from claimskg_generator_spark.sources import synth
+from claimskg_generator_spark.sources.claims import parse_claims
+from claimskg_generator_spark.sources.thesaurus import (
+    build_matchers,
+    thesaurus_triples,
+)
+
+TRIPLE_DDL = "subj string, pred string, obj string, okind string"
+
+
+@dataclass
+class PipelineConfig:
+    model_uri: str = DEFAULT_MODEL_URI
+    threshold: float = 0.3
+    include_body: bool = False
+    align_duplicated: bool = False
+    generated_at: str = DEFAULT_GENERATED_AT
+    order_col: str = "path"
+    thesaurus_entries: Sequence[Dict] = field(
+        default_factory=lambda: synth.THESAURUS_ENTRIES
+    )
+    checkpoint_dir: Optional[str] = None
+
+
+class ClaimsKGPipeline:
+    def __init__(self, spark: SparkSession, config: Optional[PipelineConfig] = None):
+        self.spark = spark
+        self.config = config or PipelineConfig()
+        self.matchers = build_matchers(self.config.thesaurus_entries)
+        self.checkpoints = CheckpointManager(spark, self.config.checkpoint_dir)
+        self.stage_timings: List[Dict] = []
+
+    # -- stages ------------------------------------------------------------
+    def claims(self, input_df: DataFrame) -> DataFrame:
+        """Stage 1: parse + clean + mint + normalize (wide claims DF)."""
+        cfg = self.config
+        df = parse_claims(input_df, cfg.model_uri, cfg.order_col)
+        df = with_normalized_rating(df, self.spark, cfg.model_uri)
+        df = df.withColumn(
+            "citations", clean_citations(F.col("links"), F.col("source"))
+        )
+        return self.checkpoints.materialize("claims", df)
+
+    def triples(self, input_df: DataFrame) -> DataFrame:
+        """Stage 2: all triple families, deduplicated (graph set semantics)."""
+        cfg = self.config
+        claims = self.claims(input_df)
+
+        fixed = self.spark.createDataFrame(
+            static_triples(cfg.model_uri, cfg.generated_at)
+            + thesaurus_triples(cfg.thesaurus_entries),
+            TRIPLE_DDL,
+        )
+        parts = [
+            core_claim_triples(claims, cfg.model_uri, cfg.include_body),
+            review_and_body_mention_triples(claims, cfg.model_uri, cfg.threshold),
+            author_mention_triples(claims),
+            citation_triples(claims),
+            keyword_triples(claims, cfg.model_uri, self.matchers, cfg.threshold),
+            fixed,
+        ]
+        if cfg.align_duplicated:
+            parts.append(align_duplicated_triples(claims))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        deduped = out.dropDuplicates(["subj", "pred", "obj", "okind"])
+        return self.checkpoints.materialize("triples", deduped)
+
+    # -- sinks ---------------------------------------------------------------
+    def write_triples(self, triples: DataFrame, path: str,
+                      partitions: Optional[int] = None) -> None:
+        """Partitioned Parquet triple table; repartitionByRange on subj for
+        stable, pruning-friendly layout across cluster sizes."""
+        df = triples
+        if partitions:
+            df = df.repartitionByRange(partitions, "subj")
+        df.write.mode("overwrite").parquet(path)
+
+    def write_ntriples(self, triples: DataFrame, path: str) -> None:
+        nt = triples.select(
+            F.concat(
+                F.lit("<"), F.col("subj"), F.lit("> <"), F.col("pred"), F.lit("> "),
+                F.when(F.col("okind") == "uri",
+                       F.concat(F.lit("<"), F.col("obj"), F.lit(">")))
+                .when(F.col("okind") == "",
+                      F.concat(F.lit('"'), _nt_escape(F.col("obj")), F.lit('"')))
+                .when(F.col("okind").startswith("@"),
+                      F.concat(F.lit('"'), _nt_escape(F.col("obj")), F.lit('"'),
+                               F.col("okind")))
+                .otherwise(F.concat(F.lit('"'), _nt_escape(F.col("obj")),
+                                    F.lit('"^^<'), F.col("okind"), F.lit(">"))),
+                F.lit(" ."),
+            ).alias("value")
+        ).orderBy("value")
+        nt.write.mode("overwrite").text(path)
+
+    def lineage(self, input_df: DataFrame) -> DataFrame:
+        """Per-partition lineage rows (north_rule): input split id, row
+        count, combined content sha256, min/max order key."""
+        return (
+            input_df.select(
+                F.spark_partition_id().alias("input_split"),
+                F.sha2(F.col("content"), 256).alias("h"),
+                F.col(self.config.order_col).alias("o"),
+            )
+            .groupBy("input_split")
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sha2(F.concat_ws("", F.sort_array(F.collect_list("h"))), 256)
+                .alias("content_sha256"),
+                F.min("o").alias("min_ord"),
+                F.max("o").alias("max_ord"),
+            )
+        )
+
+    def run(self, input_df: DataFrame) -> DataFrame:
+        t0 = time.time()
+        out = self.triples(input_df)
+        self.stage_timings.append({"stage": "triples", "wall_s": time.time() - t0})
+        self.checkpoints.write_manifest()
+        return out
+
+
+def _nt_escape(col):
+    out = F.replace(col, F.lit("\\"), F.lit("\\\\"))
+    out = F.replace(out, F.lit('"'), F.lit('\\"'))
+    out = F.replace(out, F.lit("\n"), F.lit("\\n"))
+    out = F.replace(out, F.lit("\r"), F.lit("\\r"))
+    return F.replace(out, F.lit("\t"), F.lit("\\t"))

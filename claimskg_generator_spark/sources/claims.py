@@ -1,0 +1,201 @@
+"""Scan + parse stage: input table -> wide claims DataFrame.
+
+Input is the Iceberg-style table ``(repo, path, commit, lang, content)``
+(BASELINE.json input_hint); ``content`` holds one claim-review record as
+JSON with the field set the reference reads from its CSV (FIXTURES.md §2).
+
+Everything here is built-in column expressions (whole-stage codegen):
+from_json for the record and the four mention-annotation arrays (with the
+reference's JSON repair regexes applied first, reference
+claimskg/generator/__init__.py:735-749), null->'' coercion, text-fragment
+normalization, and JVM-side uuid5 URI minting.
+
+``ord`` is the canonical processing-order key (the reference processes CSV
+rows top-to-bottom; our synthetic corpus encodes that order in ``path``).
+It drives the two order-dependent behaviors: the keyword first-writer-wins
+memo and duplicate-alignment pair orientation.  Using an orderable column
+instead of a global row_number keeps the plan free of single-partition
+windows at 100 TB scale.
+"""
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from claimskg_generator_spark.constants.namespaces import DEFAULT_MODEL_URI
+from claimskg_generator_spark.constants.sources import SOURCE_URI_DICT
+from claimskg_generator_spark.functions.uuid5 import uuid5_url_col
+
+CLAIM_FIELDS = [
+    "claimReview_author_name",
+    "claimReview_author_url",
+    "claimReview_datePublished",
+    "claimReview_url",
+    "claimReview_claimReviewed",
+    "creativeWork_author_name",
+    "creativeWork_author_sameAs",
+    "creativeWork_datePublished",
+    "rating_alternateName",
+    "rating_ratingValue",
+    "extra_title",
+    "extra_body",
+    "extra_tags",
+    "extra_refered_links",
+    "extra_entities_claimReview_claimReviewed",
+    "extra_entities_body",
+    "extra_entities_keywords",
+    "extra_entities_author",
+]
+
+RECORD_SCHEMA = T.StructType(
+    [T.StructField(f, T.StringType()) for f in CLAIM_FIELDS]
+)
+
+MENTION_SCHEMA = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("begin", T.LongType()),
+            T.StructField("end", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("entity", T.StringType()),
+            T.StructField("score", T.StringType()),
+            T.StructField("categories", T.ArrayType(T.StringType())),
+        ]
+    )
+)
+
+
+def read_input(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def _sv(col: Column) -> Column:
+    """Null -> '' (reference _row_string_value, :49-53)."""
+    return F.coalesce(col, F.lit(""))
+
+
+def _normalize_fragment(col: Column) -> Column:
+    """'""' -> '"' then '"' -> "'" (reference :140-141)."""
+    return F.regexp_replace(F.regexp_replace(col, '""', '"'), '"', "'")
+
+
+def repaired_mentions(col: Column) -> Column:
+    """JSON repair regexes then parse; malformed -> null array
+    (reference _process_json, :735-749).  The '[[][]]' sentinel also parses
+    to null, which is indistinguishable from [] downstream."""
+    repaired = F.regexp_replace(col, '","{2}', ',"')
+    repaired = F.regexp_replace(repaired, '"\n\t"', "")
+    repaired = F.regexp_replace(repaired, r"\}\]\[\]", "}]")
+    return F.from_json(repaired, MENTION_SCHEMA)
+
+
+def _strip(col: Column) -> Column:
+    """Python str.strip() equivalent (all whitespace, not just spaces)."""
+    return F.regexp_replace(col, r"^\s+|\s+$", "")
+
+
+def mint_uri(model_uri: str, kind: str, key: Column) -> Column:
+    return F.concat(F.lit(model_uri + kind + "/"), uuid5_url_col(key))
+
+
+def original_rating_slug_col(author: Column, alt_name: Column, value: Column) -> Column:
+    """Sanitized slug chain (reference :121-127), replicated operation by
+    operation: lower, ' '/'\\n' -> '_', drop []'\\, strip, drop /<>."""
+    joined = F.lower(F.concat_ws("_", author, alt_name, value))
+    step = F.translate(joined, " \n", "__")
+    step = F.translate(step, "[]'\\", "")
+    step = _strip(step)
+    return F.translate(step, "/<>", "")
+
+
+def source_homepage_col(author: Column) -> Column:
+    """source -> homepage lookup (reference :34-46).  Inlined as a literal
+    CASE over the 11-entry dict — cheaper than any join."""
+    expr = F.lit(None).cast("string")
+    mapping = F.create_map(
+        *[F.lit(x) for kv in SOURCE_URI_DICT.items() for x in kv]
+    )
+    del expr
+    return mapping[author]
+
+
+def parse_claims(input_df: DataFrame, model_uri: str = DEFAULT_MODEL_URI,
+                 order_col: str = "path") -> DataFrame:
+    """content JSON -> wide claims DataFrame with cleaned fields, minted
+    URIs, parsed mention arrays, and the canonical order key."""
+    rec = F.from_json(F.col("content"), RECORD_SCHEMA)
+    df = input_df.select(
+        F.col(order_col).alias("ord"),
+        F.sha2(F.col("content"), 256).alias("content_sha256"),
+        rec.alias("r"),
+    )
+
+    r = lambda f: F.col("r." + f)  # noqa: E731
+    sv = lambda f: _sv(r(f))  # noqa: E731
+
+    fragments = F.filter(
+        F.array(sv("extra_title"), _normalize_fragment(sv("extra_body"))),
+        lambda x: F.length(x) > 0,
+    )
+
+    cr_key = F.concat(
+        sv("claimReview_author_name"), sv("claimReview_author_url"),
+        sv("claimReview_datePublished"), sv("claimReview_url"),
+    )
+    cw_key = F.concat(
+        sv("creativeWork_author_name"), sv("creativeWork_author_sameAs"),
+        sv("creativeWork_datePublished"), sv("claimReview_claimReviewed"),
+    )
+    cwa_key = F.concat(
+        sv("creativeWork_author_name"), sv("creativeWork_author_sameAs")
+    )
+
+    return df.select(
+        "ord",
+        "content_sha256",
+        sv("claimReview_author_name").alias("source"),
+        F.lower(sv("claimReview_author_name")).alias("source_lower"),
+        r("claimReview_author_name").alias("raw_author_name"),
+        r("claimReview_url").alias("raw_claim_review_url"),
+        sv("claimReview_url").alias("claim_review_url"),
+        r("claimReview_datePublished").alias("review_date"),
+        r("creativeWork_datePublished").alias("claim_date"),
+        sv("extra_title").alias("headline"),
+        sv("extra_body").alias("body"),
+        _normalize_fragment(sv("claimReview_claimReviewed")).alias("claim_text"),
+        sv("creativeWork_author_name").alias("cw_author"),
+        r("rating_alternateName").alias("raw_rating_alt"),
+        sv("rating_alternateName").alias("rating_alt"),
+        F.lower(sv("rating_alternateName")).alias("rating_alt_lower"),
+        sv("rating_ratingValue").alias("rating_value_raw"),
+        # strip [ ] ' , then trim (reference :489-496); cast to float at use
+        _strip(F.translate(sv("rating_ratingValue"), "[]',", "")).alias(
+            "rating_value_clean"
+        ),
+        r("extra_tags").alias("tags"),
+        r("extra_refered_links").alias("links"),
+        fragments.alias("fragments"),
+        F.array_join(fragments, ",").alias("fragments_joined"),
+        mint_uri(model_uri, "claim_review", cr_key).alias("cr_uri"),
+        F.concat(
+            F.lit(model_uri + "organization/"),
+            F.replace(F.lower(sv("claimReview_author_name")), F.lit(" "), F.lit("_")),
+        ).alias("org_uri"),
+        mint_uri(model_uri, "creative_work", cw_key).alias("cw_uri"),
+        F.when(
+            F.length(sv("creativeWork_author_name")) > 0,
+            mint_uri(model_uri, "creative_work_author", cwa_key),
+        ).alias("cwa_uri"),
+        F.concat(
+            F.lit(model_uri + "rating/original/"),
+            original_rating_slug_col(
+                sv("claimReview_author_name"), sv("rating_alternateName"),
+                sv("rating_ratingValue"),
+            ),
+        ).alias("original_rating_uri"),
+        source_homepage_col(sv("claimReview_author_name")).alias("source_homepage"),
+        repaired_mentions(r("extra_entities_claimReview_claimReviewed")).alias("m_review"),
+        repaired_mentions(r("extra_entities_body")).alias("m_body"),
+        repaired_mentions(r("extra_entities_keywords")).alias("m_keywords"),
+        repaired_mentions(r("extra_entities_author")).alias("m_author"),
+    )
