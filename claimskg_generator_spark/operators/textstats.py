@@ -1,0 +1,80 @@
+"""Text-analysis operators for large-scale corpus work (training-data
+pipeline ops): token counting, quality scoring, language-ID heuristic,
+document fingerprinting.  All pure column expressions (codegen, no Python),
+designed so an equivalent ANSI-SQL oracle exists for the driver's DuckDB
+check."""
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Small fixed stopword probe set for the language heuristic — chosen to be
+# expressible identically in DuckDB SQL.
+LANGID_PROBES = ["the", "a", "of", "and", "to", "in", "is", "it"]
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization of non-empty text."""
+    return F.split(F.trim(col), r"\s+")
+
+
+def with_token_stats(documents: DataFrame) -> DataFrame:
+    """token count, char count, mean token length, punctuation ratio."""
+    toks = tokens(F.col("text"))
+    n_tokens = F.when(F.length(F.trim("text")) == 0, F.lit(0)).otherwise(F.size(toks))
+    n_punct = F.length("text") - F.length(F.regexp_replace("text", r"[^\w\s]", ""))
+    return documents.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.length("text").alias("n_chars_calc"),
+        F.round(
+            F.when(n_tokens > 0,
+                   (F.length(F.regexp_replace("text", r"\s+", "")))
+                   / n_tokens.cast("double")).otherwise(F.lit(0.0)),
+            4,
+        ).alias("mean_token_len"),
+        F.round(n_punct / F.greatest(F.length("text"), F.lit(1)).cast("double"), 4)
+        .alias("punct_ratio"),
+    )
+
+
+def with_quality_score(documents: DataFrame) -> DataFrame:
+    """Length/stopword-ratio quality score in [0,1] — the standard cheap
+    pre-training quality gate shape."""
+    toks = tokens(F.col("text"))
+    n_tokens = F.size(toks)
+    stop_hits = F.size(
+        F.filter(toks, lambda t: F.lower(t).isin(LANGID_PROBES))
+    )
+    stop_ratio = stop_hits / F.greatest(n_tokens, F.lit(1)).cast("double")
+    len_score = F.least(n_tokens / F.lit(64.0), F.lit(1.0))
+    return documents.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.round(stop_ratio, 4).alias("stop_ratio"),
+        F.round((len_score + F.least(stop_ratio * 4, F.lit(1.0))) / 2, 4)
+        .alias("quality"),
+    )
+
+
+def with_langid(documents: DataFrame) -> DataFrame:
+    """n-gram/stopword heuristic language ID: 'en' if >=2 distinct English
+    probe words appear as tokens, else 'unknown'."""
+    toks = tokens(F.lower(F.col("text")))
+    hits = F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in LANGID_PROBES])))
+    return documents.select(
+        "doc_id",
+        "lang",
+        hits.alias("probe_hits"),
+        F.when(hits >= 2, F.lit("en")).otherwise(F.lit("unknown")).alias("lang_pred"),
+    )
+
+
+def with_fingerprint(documents: DataFrame) -> DataFrame:
+    """Document fingerprint: md5 over whitespace-normalized lowercase text
+    (exact-dup key); plus a 64-bit rolling-style prefix hash."""
+    norm = F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")
+    return documents.select(
+        "doc_id",
+        F.md5(norm).alias("fingerprint"),
+        F.xxhash64(norm).alias("fingerprint64"),
+    )
