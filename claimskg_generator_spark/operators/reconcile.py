@@ -1,0 +1,220 @@
+"""Claim reconciliation: blocked similarity self-join (SURVEY.md J7/J8/J9;
+reference claimskg/reconciler/__init__.py + claimskg/similarity/__init__.py).
+
+Reference semantics reproduced:
+
+- Candidate pairs are (i, j) with i<j in processing order over the claim
+  list; the O(n^2) loop becomes an *equi-self-join on the blocking key*.
+  The reference prunes any pair whose creative-work authors differ
+  (author_score != 1, reconciler/__init__.py:168) — i.e. author equality is
+  really a join key, so only same-author pairs are ever scored.
+- Further pruning (:149-175): unequal claim dates (both present); review
+  dates more than 1 day apart (signed a-b > 1 day, pair-ordered); exactly
+  one side with entities; both sides with entities but soft-overlap
+  <= 1e-5.
+- Scoring (:201-242): "jaccard" = soft-overlap / (|A|+|B|) where the
+  overlap adds normalized-Levenshtein similarity for every unequal pair
+  even when soft=False (similarity/__init__.py:13-27 — the else catches
+  both branches); entity/category blending quirk preserved verbatim
+  (ent*0.7 + cat + 0.3 when both present, cat*0.3 when only categories);
+  weighted geometric mean with floor 1e-5 and fixed length 4
+  (similarity/__init__.py:56-64).  Text similarity is None without
+  embeddings (we don't load embedding files), matching the reference's
+  default path.
+- Pair dedup by concatenated creative-work URIs (:189-194): dropDuplicates.
+- Optional seeded sampling (J9): df.sample — same distribution family; the
+  exact pair subset differs from the reference's numpy stream (documented
+  acceptable in SURVEY.md J9).
+
+Scale posture: the only shuffle is the self-join on the author block key.
+Head authors ("Viral image", "Facebook posts") are the classic skew case —
+AQE skew-join splitting handles the reduce side; the expensive Levenshtein
+scoring runs only on pairs that survive the cheap pushed-down predicates.
+"""
+
+from typing import Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from claimskg_generator_spark.constants.namespaces import NS
+
+
+def levenshtein_similarity(a: str, b: str) -> float:
+    """Normalized Levenshtein similarity: 1 - dist/max(len) (the public
+    definition used by the reference's textacy.similarity.levenshtein)."""
+    if a == b:
+        return 1.0
+    la, lb = len(a), len(b)
+    if la == 0 or lb == 0:
+        return 0.0
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        ca = a[i - 1]
+        for j in range(1, lb + 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                         prev[j - 1] + (ca != b[j - 1]))
+        prev = cur
+    return 1.0 - prev[lb] / max(la, lb)
+
+
+def soft_overlap(xs, ys) -> float:
+    """compute_overlap with the reference's always-soft else branch
+    (similarity/__init__.py:13-27): +1 for equal, +lev_sim for unequal."""
+    total = 0.0
+    for x in xs:
+        for y in ys:
+            total += 1.0 if x == y else levenshtein_similarity(x, y)
+    return total
+
+
+def soft_jaccard(xs, ys) -> float:
+    denom = len(xs) + len(ys)
+    if denom == 0:
+        return 0.0
+    return soft_overlap(xs, ys) / denom
+
+
+def claim_pair_score(keywords_a, keywords_b, links_a, links_b,
+                     entities_a, entities_b, cats_a, cats_b,
+                     entity_weight=1.0, keyword_weight=1.0,
+                     link_weight=1.0, text_weight=1.0) -> float:
+    """_claim_similarity (reference reconciler/__init__.py:201-242),
+    embeddings-off path (text term absent from the product, but the
+    geometric-mean length stays 4)."""
+    import math
+
+    keyword_sim = (
+        None if len(keywords_a) == 0 and len(keywords_b) == 0
+        else soft_jaccard(keywords_a, keywords_b)
+    )
+    link_sim = soft_jaccard(links_a, links_b)
+    entity_sim = (
+        None if len(entities_a) == 0 and len(entities_b) == 0
+        else soft_jaccard(entities_a, entities_b)
+    )
+    category_sim = (
+        None if len(cats_a) == 0 and len(cats_b) == 0
+        else soft_jaccard(cats_a, cats_b)
+    )
+    if not entity_sim and category_sim:
+        entity_sim = category_sim * 0.3
+    elif entity_sim and category_sim:
+        entity_sim = entity_sim * 0.7 + category_sim + 0.3  # verbatim quirk
+
+    product = 1.0
+    for v, w in [(entity_sim, entity_weight), (keyword_sim, keyword_weight),
+                 (link_sim, link_weight), (None, text_weight)]:
+        if v is not None:
+            product *= math.pow(max(v, 0.00001), w)
+    return math.pow(product, 1.0 / 4.0)
+
+
+_PAIR_SCORE_TYPE = T.DoubleType()
+
+
+@F.pandas_udf(_PAIR_SCORE_TYPE)
+def _pair_score_udf(kw_a: pd.Series, kw_b: pd.Series, ln_a: pd.Series,
+                    ln_b: pd.Series, en_a: pd.Series, en_b: pd.Series,
+                    ca: pd.Series, cb: pd.Series) -> pd.Series:
+    out = []
+    for i in range(len(kw_a)):
+        out.append(
+            claim_pair_score(
+                list(kw_a[i]), list(kw_b[i]), list(ln_a[i]), list(ln_b[i]),
+                list(en_a[i]), list(en_b[i]), list(ca[i]), list(cb[i]),
+            )
+        )
+    return pd.Series(out)
+
+
+@F.pandas_udf(T.DoubleType())
+def _entity_overlap_udf(en_a: pd.Series, en_b: pd.Series) -> pd.Series:
+    return pd.Series(
+        [soft_overlap(list(en_a[i]), list(en_b[i])) for i in range(len(en_a))]
+    )
+
+
+def reconcile_pairs(views: DataFrame, theta: float,
+                    sample_fraction: Optional[float] = None,
+                    seed: Optional[int] = None) -> DataFrame:
+    """views columns: ord, cw_uri, creative_work_author, claim_date (date),
+    review_date (date), keywords (arr), links (arr), entities (arr),
+    categories (arr).
+
+    Returns (cw_a, cw_b, score) for pairs with score > theta.
+    """
+    cols = ["ord", "cw_uri", "creative_work_author", "claim_date",
+            "review_date", "keywords", "links", "entities", "categories"]
+    v = views.select(*cols)
+    a = v.select([F.col(c).alias(c + "_a") for c in cols])
+    b = v.select([F.col(c).alias(c + "_b") for c in cols])
+
+    # blocking equi-join + cheap pushed-down prune predicates
+    cond = (
+        (F.col("creative_work_author_a") == F.col("creative_work_author_b"))
+        & (F.col("ord_a") < F.col("ord_b"))
+        # unequal claim dates (both present) -> prune
+        & ~(F.col("claim_date_a").isNotNull() & F.col("claim_date_b").isNotNull()
+            & (F.col("claim_date_a") != F.col("claim_date_b")))
+        # review dates: a - b > 1 day -> prune (signed, reference :165-167)
+        & ~(F.col("review_date_a").isNotNull() & F.col("review_date_b").isNotNull()
+            & (F.datediff("review_date_a", "review_date_b") > 1))
+        # exactly one side with entities -> prune
+        & ~((F.size("entities_a") == 0) & (F.size("entities_b") > 0))
+        & ~((F.size("entities_a") > 0) & (F.size("entities_b") == 0))
+    )
+    pairs = a.join(b, cond)
+    if sample_fraction is not None:
+        pairs = pairs.sample(fraction=sample_fraction, seed=seed or 0)
+
+    # entity-overlap prune (both non-empty, soft overlap <= 1e-5)
+    pairs = pairs.withColumn(
+        "entity_overlap",
+        F.when(
+            (F.size("entities_a") > 0) & (F.size("entities_b") > 0),
+            _entity_overlap_udf("entities_a", "entities_b"),
+        ).otherwise(F.lit(None)),
+    ).filter(
+        F.col("entity_overlap").isNull() | (F.col("entity_overlap") > 0.00001)
+    )
+
+    # pair dedup on concatenated creative-work URIs (:189-194): the
+    # reference scores the FIRST non-pruned pair per key in (i, j)
+    # enumeration order and skips the rest — a window row_number, applied
+    # after pruning because pruned pairs never enter the processed set.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cw_uri_a", "cw_uri_b").orderBy("ord_a", "ord_b")
+    pairs = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+    scored = pairs.withColumn(
+        "score",
+        _pair_score_udf(
+            "keywords_a", "keywords_b", "links_a", "links_b",
+            "entities_a", "entities_b", "categories_a", "categories_b",
+        ),
+    )
+    return scored.filter(F.col("score") > theta).select(
+        F.col("cw_uri_a").alias("cw_a"), F.col("cw_uri_b").alias("cw_b"),
+        "score",
+    )
+
+
+def reconcile_triples(views: DataFrame, theta: float,
+                      sample_fraction: Optional[float] = None,
+                      seed: Optional[int] = None) -> DataFrame:
+    """owl:sameAs edges for reconciled pairs (reference generator :770-774)."""
+    return reconcile_pairs(views, theta, sample_fraction, seed).select(
+        F.col("cw_a").alias("subj"),
+        F.lit(NS.OWL_SAME_AS).alias("pred"),
+        F.col("cw_b").alias("obj"),
+        F.lit("uri").alias("okind"),
+    )

@@ -85,6 +85,79 @@ def _sv(row, key) -> str:
     return row_string_value(row.get(key))
 
 
+def _stats_vector(claims):
+    """One statistics vector over a claim list, mirroring
+    compute_stats_for_review + output_stats (reference statistics.py:45-131,
+    keyed by the reference's display names)."""
+    n = len(claims)
+    c = {
+        "ClaimReview": n,
+        "CreativeWork": n,
+        "Claims reviews without author": sum(
+            1 for x in claims if not x.creative_work_author
+        ),
+        "Entities per review": sum(len(x.review_entities) for x in claims),
+        "Entities per claim": sum(len(x.claim_entities) for x in claims),
+        "Total Number of Entities": sum(
+            len(x.claim_entities) + len(x.review_entities) for x in claims
+        ),
+        "Keywords": sum(len(x.keywords) for x in claims),
+        "Keywords reconciled with TheSoz": sum(len(x.keywords_thesoz) for x in claims),
+        "Keywords reconciled with Unesco": sum(len(x.keywords_unesco) for x in claims),
+        "Keywords reconciled with DBPedia": sum(len(x.keywords_dbpedia) for x in claims),
+        "Keywords reconciled with both TheSoz and DBPedia": sum(
+            len(x.keywords_thesoz_dbpedia) for x in claims
+        ),
+        "Keywords reconciled with both UNESCO and DBPedia": sum(
+            len(x.keywords_unesco_dbpedia) for x in claims
+        ),
+        "Keywords per review": sum(len(x.keywords) for x in claims),
+        "Citations per CreativeWork": sum(len(x.links) for x in claims),
+        "Claims with text": sum(1 for x in claims if x.has_body_text),
+        "Claims with author": sum(1 for x in claims if len(x.creative_work_author) > 0),
+        "Claims with date published": sum(1 for x in claims if x.claim_date),
+        "Claims with at least one citations": sum(1 for x in claims if x.links),
+        "Claims with at least one entity mention": sum(
+            1 for x in claims if x.claim_entities
+        ),
+        "Reviews with a headline": sum(1 for x in claims if x.has_headline),
+        "Reviews with at least one keyword": sum(1 for x in claims if x.keywords),
+        "Reviews with at least one entity mention": sum(
+            1 for x in claims if x.review_entities
+        ),
+        "Claims rated as TRUE under our normalized scale": sum(
+            1 for x in claims if "TRUE" in x.normalized_rating
+        ),
+        "Claims rated as FALSE under our normalized scale": sum(
+            1 for x in claims
+            if "TRUE" not in x.normalized_rating and "FALSE" in x.normalized_rating
+        ),
+        "Claims rated as MIXTURE under our normalized scale": sum(
+            1 for x in claims
+            if "TRUE" not in x.normalized_rating and "FALSE" not in x.normalized_rating
+            and "MIXTURE" in x.normalized_rating
+        ),
+        "Claims rated as OTHER under our normalized scale": sum(
+            1 for x in claims
+            if x.normalized_rating == "OTHER"
+        ),
+    }
+    # output_stats ratio transform (statistics.py:100-129)
+    for k in ("Entities per review", "Keywords per review"):
+        c[k] = c[k] / float(n) if n else 0.0
+    for k in ("Entities per claim", "Citations per CreativeWork"):
+        c[k] = c[k] / float(n) if n else 0.0
+    for k in (
+        "Claims with text", "Claims with author", "Claims with date published",
+        "Claims with at least one citations",
+        "Claims with at least one entity mention",
+        "Reviews with a headline", "Reviews with at least one keyword",
+        "Reviews with at least one entity mention",
+    ):
+        c[k] = (c[k] / float(n) * 100.0) if n else 0.0
+    return c
+
+
 class ReferenceOracle:
     def __init__(self, thesaurus_entries: Sequence[Dict], model_uri: str = DEFAULT_MODEL_URI,
                  threshold: float = 0.3, include_body: bool = False,
@@ -331,6 +404,70 @@ class ReferenceOracle:
                     self._add(cr, NS.SCHEMA_MENTIONS, m, OKIND_URI)
 
             self.claims.append(claim)
+
+    def reconcile(self, theta: float):
+        """Full-pairs reconciliation (reference FactReconciler
+        generate_mappings / _evaluate_mapping / _pruning_criterion,
+        reconciler/__init__.py:85-199): returns [(cw_a, cw_b, score)] and
+        adds the owl:sameAs edges (generator :770-774)."""
+        import datetime as _dt
+
+        from claimskg_generator_spark.operators.reconcile import (
+            claim_pair_score,
+            soft_overlap,
+        )
+
+        def prune(a: LogicalClaim, b: LogicalClaim) -> bool:
+            ents_a = a.claim_entities + a.review_entities
+            ents_b = b.claim_entities + b.review_entities
+            if (a.claim_date is not None and b.claim_date is not None
+                    and a.claim_date != b.claim_date):
+                return True
+            if (a.review_date is not None and b.review_date is not None
+                    and a.review_date - b.review_date > _dt.timedelta(days=1)):
+                return True
+            if a.creative_work_author != b.creative_work_author:
+                return True
+            if (ents_a and ents_b
+                    and soft_overlap(ents_a, ents_b) <= 0.00001):
+                return True
+            if (len(ents_a) == 0) != (len(ents_b) == 0):
+                return True
+            return False
+
+        processed = set()
+        mappings = []
+        n = len(self.claims)
+        for i in range(n):
+            for j in range(i + 1, n):
+                a, b = self.claims[i], self.claims[j]
+                key = a.creative_work_uri + b.creative_work_uri
+                if key in processed or a is b or prune(a, b):
+                    continue
+                processed.add(key)
+                score = claim_pair_score(
+                    list(a.keywords), list(b.keywords), a.links, b.links,
+                    a.claim_entities + a.review_entities,
+                    b.claim_entities + b.review_entities,
+                    a.review_entity_categories + a.claim_entity_categories,
+                    b.review_entity_categories + b.claim_entity_categories,
+                )
+                if score > theta:
+                    mappings.append((a.creative_work_uri, b.creative_work_uri, score))
+                    self._add(a.creative_work_uri, NS.OWL_SAME_AS,
+                              b.creative_work_uri, OKIND_URI)
+        return mappings
+
+    def final_stats(self):
+        """Global + per-source statistics after the reference's ratio
+        transform (reference statistics.py:35-131).  Returns
+        {source_or_'__global__': {stat_name: value}}."""
+        out = {"__global__": _stats_vector(self.claims)}
+        sources = {c.claimreview_author for c in self.claims}
+        for s in sources:
+            out[s] = _stats_vector([c for c in self.claims
+                                    if c.claimreview_author == s])
+        return out
 
     def align_duplicated(self) -> None:
         """owl:sameAs between creative works with equal normalized titles

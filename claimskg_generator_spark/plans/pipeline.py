@@ -40,7 +40,7 @@ from claimskg_generator_spark.operators.triples import (
 )
 from claimskg_generator_spark.plans.checkpoints import CheckpointManager
 from claimskg_generator_spark.sources import synth
-from claimskg_generator_spark.sources.claims import parse_claims
+from claimskg_generator_spark.sources.claims import derive_claims, parse_records
 from claimskg_generator_spark.sources.thesaurus import (
     build_matchers,
     thesaurus_triples,
@@ -61,6 +61,7 @@ class PipelineConfig:
         default_factory=lambda: synth.THESAURUS_ENTRIES
     )
     checkpoint_dir: Optional[str] = None
+    materialize_parsed: bool = True
 
 
 class ClaimsKGPipeline:
@@ -72,15 +73,28 @@ class ClaimsKGPipeline:
         self.stage_timings: List[Dict] = []
 
     # -- stages ------------------------------------------------------------
+    def parsed(self, input_df: DataFrame) -> DataFrame:
+        """Stage 0: single-pass JSON parse -> flat columns, MATERIALIZED
+        (Parquet checkpoint, else cached).  Confining from_json to one
+        materialized projection keeps every downstream family a cheap
+        column-pruned scan and stops Catalyst from re-parsing the record
+        across UDF/join operator boundaries."""
+        df = parse_records(input_df, self.config.order_col)
+        if self.config.checkpoint_dir:
+            return self.checkpoints.materialize("parsed", df)
+        if self.config.materialize_parsed:
+            df = df.cache()
+        return df
+
     def claims(self, input_df: DataFrame) -> DataFrame:
-        """Stage 1: parse + clean + mint + normalize (wide claims DF)."""
+        """Stage 1 (lazy view): clean + mint + normalize over flat columns.
+        Each triple family prunes this projection down to what it reads."""
         cfg = self.config
-        df = parse_claims(input_df, cfg.model_uri, cfg.order_col)
+        df = derive_claims(self.parsed(input_df), cfg.model_uri)
         df = with_normalized_rating(df, self.spark, cfg.model_uri)
-        df = df.withColumn(
+        return df.withColumn(
             "citations", clean_citations(F.col("links"), F.col("source"))
         )
-        return self.checkpoints.materialize("claims", df)
 
     def triples(self, input_df: DataFrame) -> DataFrame:
         """Stage 2: all triple families, deduplicated (graph set semantics)."""

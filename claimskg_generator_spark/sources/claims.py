@@ -1,21 +1,30 @@
-"""Scan + parse stage: input table -> wide claims DataFrame.
+"""Scan + parse stage: input table -> flat parsed records -> wide claims.
 
 Input is the Iceberg-style table ``(repo, path, commit, lang, content)``
 (BASELINE.json input_hint); ``content`` holds one claim-review record as
 JSON with the field set the reference reads from its CSV (FIXTURES.md §2).
 
-Everything here is built-in column expressions (whole-stage codegen):
-from_json for the record and the four mention-annotation arrays (with the
-reference's JSON repair regexes applied first, reference
-claimskg/generator/__init__.py:735-749), null->'' coercion, text-fragment
-normalization, and JVM-side uuid5 URI minting.
+Two-layer design, deliberate for scale:
+
+1. ``parse_records``: ONE projection that runs from_json(content) once per
+   row (whole-stage codegen + common-subexpression elimination inside a
+   single Project) and lands *flat* string fields + the four parsed
+   mention-annotation arrays.  The pipeline materializes this stage
+   (Parquet checkpoint or cache) — at 100 TB you parse the corpus once,
+   columnar, and every downstream family scans only the fields it needs
+   (column pruning).  Keeping from_json confined to a single materialized
+   projection also avoids Catalyst duplicating the expensive parse across
+   operator boundaries (UDF/join nodes), which we measured at ~6x cost.
+
+2. ``derive_claims``: cheap column derivations (null->'' coercion, text
+   normalization, JVM-side uuid5 URI minting) over the flat columns —
+   lazy, recomputed per triple family, pruned to what each family reads.
 
 ``ord`` is the canonical processing-order key (the reference processes CSV
-rows top-to-bottom; our synthetic corpus encodes that order in ``path``).
-It drives the two order-dependent behaviors: the keyword first-writer-wins
-memo and duplicate-alignment pair orientation.  Using an orderable column
-instead of a global row_number keeps the plan free of single-partition
-windows at 100 TB scale.
+rows top-to-bottom; the synthetic corpus encodes that order in ``path``).
+It drives the two order-dependent behaviors — the keyword first-writer-wins
+memo and duplicate-alignment pair orientation — without any global
+row_number/single-partition window.
 """
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -109,29 +118,40 @@ def original_rating_slug_col(author: Column, alt_name: Column, value: Column) ->
 
 
 def source_homepage_col(author: Column) -> Column:
-    """source -> homepage lookup (reference :34-46).  Inlined as a literal
-    CASE over the 11-entry dict — cheaper than any join."""
-    expr = F.lit(None).cast("string")
+    """source -> homepage lookup (reference :34-46) as an inline literal map
+    — cheaper than any join for an 11-entry dict."""
     mapping = F.create_map(
         *[F.lit(x) for kv in SOURCE_URI_DICT.items() for x in kv]
     )
-    del expr
     return mapping[author]
 
 
-def parse_claims(input_df: DataFrame, model_uri: str = DEFAULT_MODEL_URI,
-                 order_col: str = "path") -> DataFrame:
-    """content JSON -> wide claims DataFrame with cleaned fields, minted
-    URIs, parsed mention arrays, and the canonical order key."""
-    rec = F.from_json(F.col("content"), RECORD_SCHEMA)
-    df = input_df.select(
+def parse_records(input_df: DataFrame, order_col: str = "path") -> DataFrame:
+    """Stage 0: one from_json pass -> flat fields + parsed mention arrays.
+
+    This is the projection the pipeline materializes; everything downstream
+    reads flat columns only."""
+    rec = F.from_json(F.col("content"), RECORD_SCHEMA).alias("r")
+    base = input_df.select(
         F.col(order_col).alias("ord"),
         F.sha2(F.col("content"), 256).alias("content_sha256"),
-        rec.alias("r"),
+        rec,
     )
+    cols = [F.col("ord"), F.col("content_sha256")]
+    cols += [F.col("r." + f).alias(f) for f in CLAIM_FIELDS]
+    cols += [
+        repaired_mentions(F.col("r.extra_entities_claimReview_claimReviewed")).alias("m_review"),
+        repaired_mentions(F.col("r.extra_entities_body")).alias("m_body"),
+        repaired_mentions(F.col("r.extra_entities_keywords")).alias("m_keywords"),
+        repaired_mentions(F.col("r.extra_entities_author")).alias("m_author"),
+    ]
+    return base.select(*cols)
 
-    r = lambda f: F.col("r." + f)  # noqa: E731
-    sv = lambda f: _sv(r(f))  # noqa: E731
+
+def derive_claims(parsed: DataFrame, model_uri: str = DEFAULT_MODEL_URI) -> DataFrame:
+    """Stage 1 (lazy): cleaned fields + minted URIs from flat columns."""
+    c = F.col
+    sv = lambda f: _sv(c(f))  # noqa: E731
 
     fragments = F.filter(
         F.array(sv("extra_title"), _normalize_fragment(sv("extra_body"))),
@@ -150,21 +170,21 @@ def parse_claims(input_df: DataFrame, model_uri: str = DEFAULT_MODEL_URI,
         sv("creativeWork_author_name"), sv("creativeWork_author_sameAs")
     )
 
-    return df.select(
+    return parsed.select(
         "ord",
         "content_sha256",
         sv("claimReview_author_name").alias("source"),
         F.lower(sv("claimReview_author_name")).alias("source_lower"),
-        r("claimReview_author_name").alias("raw_author_name"),
-        r("claimReview_url").alias("raw_claim_review_url"),
+        c("claimReview_author_name").alias("raw_author_name"),
+        c("claimReview_url").alias("raw_claim_review_url"),
         sv("claimReview_url").alias("claim_review_url"),
-        r("claimReview_datePublished").alias("review_date"),
-        r("creativeWork_datePublished").alias("claim_date"),
+        c("claimReview_datePublished").alias("review_date"),
+        c("creativeWork_datePublished").alias("claim_date"),
         sv("extra_title").alias("headline"),
         sv("extra_body").alias("body"),
         _normalize_fragment(sv("claimReview_claimReviewed")).alias("claim_text"),
         sv("creativeWork_author_name").alias("cw_author"),
-        r("rating_alternateName").alias("raw_rating_alt"),
+        c("rating_alternateName").alias("raw_rating_alt"),
         sv("rating_alternateName").alias("rating_alt"),
         F.lower(sv("rating_alternateName")).alias("rating_alt_lower"),
         sv("rating_ratingValue").alias("rating_value_raw"),
@@ -172,8 +192,8 @@ def parse_claims(input_df: DataFrame, model_uri: str = DEFAULT_MODEL_URI,
         _strip(F.translate(sv("rating_ratingValue"), "[]',", "")).alias(
             "rating_value_clean"
         ),
-        r("extra_tags").alias("tags"),
-        r("extra_refered_links").alias("links"),
+        c("extra_tags").alias("tags"),
+        c("extra_refered_links").alias("links"),
         fragments.alias("fragments"),
         F.array_join(fragments, ",").alias("fragments_joined"),
         mint_uri(model_uri, "claim_review", cr_key).alias("cr_uri"),
@@ -194,8 +214,14 @@ def parse_claims(input_df: DataFrame, model_uri: str = DEFAULT_MODEL_URI,
             ),
         ).alias("original_rating_uri"),
         source_homepage_col(sv("claimReview_author_name")).alias("source_homepage"),
-        repaired_mentions(r("extra_entities_claimReview_claimReviewed")).alias("m_review"),
-        repaired_mentions(r("extra_entities_body")).alias("m_body"),
-        repaired_mentions(r("extra_entities_keywords")).alias("m_keywords"),
-        repaired_mentions(r("extra_entities_author")).alias("m_author"),
+        "m_review",
+        "m_body",
+        "m_keywords",
+        "m_author",
     )
+
+
+def parse_claims(input_df: DataFrame, model_uri: str = DEFAULT_MODEL_URI,
+                 order_col: str = "path") -> DataFrame:
+    """Convenience: parse + derive in one lazy plan (tests / small inputs)."""
+    return derive_claims(parse_records(input_df, order_col), model_uri)

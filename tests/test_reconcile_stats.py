@@ -1,0 +1,114 @@
+"""J7/J8 reconciliation and A1 statistics vs the oracle's row-at-a-time
+re-execution of the reference semantics."""
+
+import pytest
+
+from claimskg_generator_spark.operators.reconcile import (
+    claim_pair_score,
+    levenshtein_similarity,
+    reconcile_pairs,
+    soft_jaccard,
+)
+from claimskg_generator_spark.operators.stats import statistics_table
+from claimskg_generator_spark.operators.views import logical_views
+from claimskg_generator_spark.oracle import ReferenceOracle
+from claimskg_generator_spark.plans.pipeline import ClaimsKGPipeline
+from claimskg_generator_spark.sources.synth import (
+    THESAURUS_ENTRIES,
+    gen_records,
+    gen_rows,
+)
+
+N = 220
+THETA = 0.25
+
+
+@pytest.fixture(scope="module")
+def oracle():
+    o = ReferenceOracle(THESAURUS_ENTRIES)
+    o.generate(gen_records(N))
+    return o
+
+
+@pytest.fixture(scope="module")
+def claims_df(spark):
+    pipe = ClaimsKGPipeline(spark)
+    return pipe.claims(spark.createDataFrame(gen_rows(N))).cache()
+
+
+def test_levenshtein_similarity():
+    assert levenshtein_similarity("abc", "abc") == 1.0
+    assert levenshtein_similarity("abc", "abd") == pytest.approx(2 / 3)
+    assert levenshtein_similarity("", "abc") == 0.0
+    assert levenshtein_similarity("kitten", "sitting") == pytest.approx(1 - 3 / 7)
+
+
+def test_soft_jaccard_quirk():
+    # unequal items contribute levenshtein similarity even in 'hard' mode
+    # (reference similarity/__init__.py:13-27)
+    xs, ys = ["abc"], ["abd"]
+    assert soft_jaccard(xs, ys) == pytest.approx((2 / 3) / 2)
+    assert soft_jaccard([], []) == 0.0
+
+
+def test_geometric_blend_quirks():
+    # only categories -> entity_sim = cat*0.3; both -> ent*0.7+cat+0.3
+    s_only_cats = claim_pair_score([], [], [], [], [], [], ["X"], ["X"])
+    assert s_only_cats > 0
+    s_both = claim_pair_score([], [], [], [], ["E"], ["E"], ["X"], ["X"])
+    assert s_both > s_only_cats
+
+
+def test_reconcile_matches_oracle(spark, claims_df, oracle):
+    want = {(a, b, round(s, 9)) for a, b, s in oracle.reconcile(THETA)}
+    views = logical_views(claims_df, "http://data.gesis.org/claimskg/", 0.3)
+    got_rows = reconcile_pairs(views, THETA).collect()
+    got = {(r["cw_a"], r["cw_b"], round(r["score"], 9)) for r in got_rows}
+    assert want, "oracle reconciliation produced no mappings — corpus too weak"
+    assert got == want, (
+        f"extra={sorted(got - want)[:5]} missing={sorted(want - got)[:5]}"
+    )
+
+
+STAT_COLMAP = {
+    "claim_reviews": "ClaimReview",
+    "claims_without_author": "Claims reviews without author",
+    "entities_per_review": "Entities per review",
+    "entities_per_claim": "Entities per claim",
+    "total_entities": "Total Number of Entities",
+    "keywords": "Keywords",
+    "kw_thesoz": "Keywords reconciled with TheSoz",
+    "kw_unesco": "Keywords reconciled with Unesco",
+    "kw_dbpedia": "Keywords reconciled with DBPedia",
+    "kw_thesoz_dbpedia": "Keywords reconciled with both TheSoz and DBPedia",
+    "kw_unesco_dbpedia": "Keywords reconciled with both UNESCO and DBPedia",
+    "keywords_per_review": "Keywords per review",
+    "citations_per_creative_work": "Citations per CreativeWork",
+    "pct_with_text": "Claims with text",
+    "pct_with_author": "Claims with author",
+    "pct_with_date": "Claims with date published",
+    "pct_with_citations": "Claims with at least one citations",
+    "pct_with_entities": "Claims with at least one entity mention",
+    "pct_with_headline": "Reviews with a headline",
+    "pct_with_keywords": "Reviews with at least one keyword",
+    "pct_reviews_with_entities": "Reviews with at least one entity mention",
+    "true_claims": "Claims rated as TRUE under our normalized scale",
+    "false_claims": "Claims rated as FALSE under our normalized scale",
+    "mixture_claims": "Claims rated as MIXTURE under our normalized scale",
+    "other_claims": "Claims rated as OTHER under our normalized scale",
+}
+
+
+def test_statistics_match_oracle(spark, claims_df, oracle):
+    pipe = ClaimsKGPipeline(spark)
+    table = statistics_table(
+        claims_df, "http://data.gesis.org/claimskg/", pipe.matchers, 0.3
+    ).collect()
+    want = oracle.final_stats()
+    got = {r["source_grp"]: r.asDict() for r in table}
+    assert set(got) == set(want)
+    for grp, stats in want.items():
+        for col, key in STAT_COLMAP.items():
+            assert round(float(got[grp][col]), 4) == round(float(stats[key]), 4), (
+                grp, col, got[grp][col], stats[key]
+            )
