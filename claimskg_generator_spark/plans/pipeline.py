@@ -62,6 +62,11 @@ class PipelineConfig:
     )
     checkpoint_dir: Optional[str] = None
     materialize_parsed: bool = True
+    # reconciliation (J7/J8): owl:sameAs edges for pairs scoring > theta;
+    # disabled when <= 0, like the reference's --reconcile flag
+    reconcile_theta: float = -1.0
+    reconcile_sample: Optional[float] = None
+    reconcile_seed: Optional[int] = None
 
 
 class ClaimsKGPipeline:
@@ -116,6 +121,17 @@ class ClaimsKGPipeline:
         ]
         if cfg.align_duplicated:
             parts.append(align_duplicated_triples(claims))
+        if cfg.reconcile_theta > 0:
+            from claimskg_generator_spark.operators.reconcile import (
+                reconcile_triples,
+            )
+            from claimskg_generator_spark.operators.views import logical_views
+
+            views = logical_views(claims, cfg.model_uri, cfg.threshold)
+            parts.append(
+                reconcile_triples(views, cfg.reconcile_theta,
+                                  cfg.reconcile_sample, cfg.reconcile_seed)
+            )
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)

@@ -58,6 +58,17 @@ def test_triple_set_with_align_duplicated(spark, corpus):
     assert any("sameAs" in p and "/creative_work/" in s for s, p, _, _ in want)
 
 
+def test_triple_set_with_reconcile(spark, corpus):
+    pipe = ClaimsKGPipeline(spark, PipelineConfig(reconcile_theta=0.25))
+    got = {tuple(r) for r in pipe.run(corpus).collect()}
+    o = ReferenceOracle(THESAURUS_ENTRIES)
+    o.generate(gen_records(N))
+    mappings = o.reconcile(0.25)
+    assert mappings, "reconciliation produced no sameAs edges on this corpus"
+    precision, recall = _pr(got, o.triples)
+    assert (precision, recall) == (1.0, 1.0), (precision, recall)
+
+
 def test_partitioning_invariance(spark, corpus):
     """Same triple set regardless of input partitioning — the distributed
     plan must not depend on row co-location (scaling-correctness prereq)."""
