@@ -31,8 +31,9 @@ from claimskg_generator_spark.functions.textmatch import PhraseMatcher
 from claimskg_generator_spark.functions.udfs import make_keyword_match_udf
 from claimskg_generator_spark.functions.uuid5 import uuid5_url_col
 from claimskg_generator_spark.operators.mentions import (
-    explode_mentions,
+    explode_raw_mentions,
     mention_family_triples,
+    mint_mentions,
 )
 from claimskg_generator_spark.operators.triples import (
     OKIND_LANG_EN,
@@ -72,9 +73,14 @@ def exploded_keywords(claims: DataFrame, model_uri: str) -> DataFrame:
     )
 
 
-def keyword_triples(claims: DataFrame, model_uri: str,
-                    matchers: Dict[str, PhraseMatcher],
-                    threshold: float) -> DataFrame:
+def keyword_triples_and_raw_mentions(claims: DataFrame, model_uri: str,
+                                     matchers: Dict[str, PhraseMatcher],
+                                     threshold: float):
+    """Returns (non-mention keyword triples, raw winner mention rows).
+
+    The raw mention rows (attach = keyword URI) are returned unminted so
+    the pipeline can union them with the review/body mention rows and run
+    ONE confidence-format + uuid5 pass over all mentions."""
     ex = exploded_keywords(claims, model_uri)
 
     # (cw, schema:keywords, kw) for every occurrence (:410)
@@ -128,17 +134,14 @@ def keyword_triples(claims: DataFrame, model_uri: str,
         .select("kw_uri", "fragments_joined", "matched")
     )
 
-    win_mentions = explode_mentions(
-        win_rows, "matched", "kw_uri", threshold, extra_cols=(),
-    )
-    kw_mention_triples = mention_family_triples(win_mentions, model_uri)
+    win_raw = explode_raw_mentions(win_rows, "matched", "kw_uri", threshold)
 
     # J5: owl:sameAs(dbr_entity, concept) when the mention span equals the
     # thesaurus annotation span (:350-361) — broadcast join on kw_uri.
     span_match = (
-        win_mentions.join(
+        win_raw.join(
             F.broadcast(distinct_kw.select(F.col("kw_uri").alias("k2"), "cm")),
-            win_mentions["attach_uri"] == F.col("k2"),
+            win_raw["attach_uri"] == F.col("k2"),
         )
         .select(
             F.concat(F.lit(NS.DBR), F.col("entity_u")).alias("dbr"),
@@ -154,9 +157,22 @@ def keyword_triples(claims: DataFrame, model_uri: str,
         )
     )
 
-    return (
+    non_mention = (
         edges.unionByName(node_triples)
         .unionByName(about_triples)
-        .unionByName(kw_mention_triples)
         .unionByName(span_match)
+    )
+    return non_mention, win_raw
+
+
+def keyword_triples(claims: DataFrame, model_uri: str,
+                    matchers: Dict[str, PhraseMatcher],
+                    threshold: float) -> DataFrame:
+    """Standalone variant: keyword triples including the winner-mention
+    family (used outside the unified pipeline pass)."""
+    non_mention, win_raw = keyword_triples_and_raw_mentions(
+        claims, model_uri, matchers, threshold
+    )
+    return non_mention.unionByName(
+        mention_family_triples(mint_mentions(win_raw), model_uri)
     )

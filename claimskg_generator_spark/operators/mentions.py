@@ -20,42 +20,57 @@ from claimskg_generator_spark.operators.triples import (
 )
 
 
-def explode_mentions(claims: DataFrame, mention_col: str, attach_col: str,
-                     threshold: float, extra_cols=()) -> DataFrame:
-    """One row per above-threshold mention with its minted URI.
-
-    Output columns: attach_uri, m_uri, dbr_uri, text, begin, end, conf,
-    cats (split category list) + any ``extra_cols`` carried through.
-    """
+def explode_raw_mentions(claims: DataFrame, mention_col: str, attach_col: str,
+                         threshold: float) -> DataFrame:
+    """One row per above-threshold mention, BEFORE confidence formatting /
+    URI minting — so several mention sources can be unioned and minted in a
+    single pass (one Arrow UDF stage for the whole corpus)."""
     base = claims.filter(F.size(mention_col) > 0).select(
         F.col(attach_col).alias("attach_uri"),
         "fragments_joined",
-        *extra_cols,
         F.explode(mention_col).alias("m"),
     )
     rho = F.col("m.score").try_cast("double")
     # strict > threshold (reference :520-522)
     df = base.filter(rho > F.lit(threshold))
     entity_u = F.replace(F.col("m.entity"), F.lit(" "), F.lit("_"))
-    conf = round2_str(rho)
-    key = F.concat(
-        F.col("m.begin").cast("string"), F.col("m.end").cast("string"),
-        F.col("m.text"), entity_u, conf, F.col("fragments_joined"),
-    )
     cats = F.when(
         F.size("m.categories") > 0,
         F.split(F.element_at("m.categories", 1), ","),
     ).otherwise(F.array().cast("array<string>"))
     return df.select(
         "attach_uri",
-        *extra_cols,
+        "fragments_joined",
         F.col("m.begin").alias("begin"),
         F.col("m.end").alias("end"),
         F.col("m.text").alias("text"),
         entity_u.alias("entity_u"),
-        conf.alias("conf"),
+        rho.alias("rho"),
         cats.alias("cats"),
-        uuid5_url_col(key).alias("m_uuid"),
+    )
+
+
+def mint_mentions(raw: DataFrame) -> DataFrame:
+    """conf = Python str(round(rho, 2)) (Arrow UDF) + uuid5 mention key
+    (reference :532-535,567-571), over any union of raw mention rows."""
+    conf = round2_str(F.col("rho"))
+    df = raw.withColumn("conf", conf)
+    key = F.concat(
+        F.col("begin").cast("string"), F.col("end").cast("string"),
+        F.col("text"), F.col("entity_u"), F.col("conf"),
+        F.col("fragments_joined"),
+    )
+    return df.withColumn("m_uuid", uuid5_url_col(key)).drop(
+        "rho", "fragments_joined"
+    )
+
+
+def explode_mentions(claims: DataFrame, mention_col: str, attach_col: str,
+                     threshold: float, extra_cols=()) -> DataFrame:
+    """explode + mint in one go (single-source convenience)."""
+    assert not extra_cols
+    return mint_mentions(
+        explode_raw_mentions(claims, mention_col, attach_col, threshold)
     )
 
 
@@ -97,13 +112,17 @@ def mention_family_triples(mentions: DataFrame, model_uri: str,
     return base.unionByName(cat_triples)
 
 
-def review_and_body_mention_triples(claims: DataFrame, model_uri: str,
-                                    threshold: float) -> DataFrame:
+def review_and_body_raw_mentions(claims: DataFrame, threshold: float) -> DataFrame:
     """Claim-text mentions attach to the *creative work*; body mentions to
     the *claim review* — the reference's deliberate cross-attachment
-    (:711-727)."""
-    review = explode_mentions(claims, "m_review", "cw_uri", threshold)
-    body = explode_mentions(claims, "m_body", "cr_uri", threshold)
-    return mention_family_triples(review, model_uri).unionByName(
-        mention_family_triples(body, model_uri)
+    (:711-727).  Raw (unminted) rows, ready for a unified minting pass."""
+    review = explode_raw_mentions(claims, "m_review", "cw_uri", threshold)
+    body = explode_raw_mentions(claims, "m_body", "cr_uri", threshold)
+    return review.unionByName(body)
+
+
+def review_and_body_mention_triples(claims: DataFrame, model_uri: str,
+                                    threshold: float) -> DataFrame:
+    return mention_family_triples(
+        mint_mentions(review_and_body_raw_mentions(claims, threshold)), model_uri
     )

@@ -27,9 +27,13 @@ from claimskg_generator_spark.constants.static_triples import (
     static_triples,
 )
 from claimskg_generator_spark.functions.udfs import clean_citations
-from claimskg_generator_spark.operators.keywords import keyword_triples
+from claimskg_generator_spark.operators.keywords import (
+    keyword_triples_and_raw_mentions,
+)
 from claimskg_generator_spark.operators.mentions import (
-    review_and_body_mention_triples,
+    mention_family_triples,
+    mint_mentions,
+    review_and_body_raw_mentions,
 )
 from claimskg_generator_spark.operators.ratings_join import with_normalized_rating
 from claimskg_generator_spark.operators.triples import (
@@ -111,12 +115,24 @@ class ClaimsKGPipeline:
             + thesaurus_triples(cfg.thesaurus_entries),
             TRIPLE_DDL,
         )
+        # unified mention pass: review + body + keyword-winner mention rows
+        # are unioned raw, then confidence-formatted and uuid5-minted ONCE
+        # (one Arrow UDF stage for all mention sources)
+        kw_non_mention, kw_raw = keyword_triples_and_raw_mentions(
+            claims, cfg.model_uri, self.matchers, cfg.threshold
+        )
+        all_raw = review_and_body_raw_mentions(claims, cfg.threshold).unionByName(
+            kw_raw
+        )
+        mention_triples = mention_family_triples(
+            mint_mentions(all_raw), cfg.model_uri
+        )
         parts = [
             core_claim_triples(claims, cfg.model_uri, cfg.include_body),
-            review_and_body_mention_triples(claims, cfg.model_uri, cfg.threshold),
+            mention_triples,
             author_mention_triples(claims),
             citation_triples(claims),
-            keyword_triples(claims, cfg.model_uri, self.matchers, cfg.threshold),
+            kw_non_mention,
             fixed,
         ]
         if cfg.align_duplicated:
