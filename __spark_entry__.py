@@ -288,6 +288,33 @@ def q21_claims_triples(spark, sf_dir):
     return triples.groupBy("pred", "okind").agg(F.count("*").alias("n"))
 
 
+def q23_claims_reconcile(spark, sf_dir):
+    """J7/J8: blocked similarity self-join over the synthesized corpus."""
+    from claimskg_generator_spark.operators.reconcile import reconcile_pairs
+    from claimskg_generator_spark.operators.views import logical_views
+    from claimskg_generator_spark.plans.pipeline import ClaimsKGPipeline
+
+    corpus = _claims_corpus(spark, sf_dir)
+    pipe = ClaimsKGPipeline(spark)
+    views = logical_views(pipe.claims(corpus), pipe.config.model_uri, 0.3)
+    return reconcile_pairs(views, theta=0.25).select(
+        "cw_a", "cw_b", F.round("score", 6).alias("score")
+    )
+
+
+def q24_claims_stats(spark, sf_dir):
+    """A1: per-source + global statistics rollup over the synthesized
+    corpus."""
+    from claimskg_generator_spark.operators.stats import statistics_table
+    from claimskg_generator_spark.plans.pipeline import ClaimsKGPipeline
+
+    corpus = _claims_corpus(spark, sf_dir)
+    pipe = ClaimsKGPipeline(spark)
+    return statistics_table(
+        pipe.claims(corpus), pipe.config.model_uri, pipe.matchers, 0.3
+    )
+
+
 def q22_multimodal_features(spark, sf_dir):
     from claimskg_generator_spark.operators.multimodal import (
         extract_features,
@@ -324,6 +351,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q20_uuid5_mint": q20_uuid5_mint,
         "q21_claims_triples": q21_claims_triples,
         "q22_multimodal_features": q22_multimodal_features,
+        "q23_claims_reconcile": q23_claims_reconcile,
+        "q24_claims_stats": q24_claims_stats,
     }
 
 

@@ -1,0 +1,106 @@
+"""spark-submit entry point.
+
+Mirrors the reference's export.py option surface (reference export.py:
+42-97) re-expressed for the Spark pipeline:
+
+    spark-submit --py-files claimskg_generator_spark.zip \
+        -m claimskg_generator_spark.cli \
+        --input /data/source_records \
+        --output /data/claimskg_triples \
+        --format parquet|ntriples \
+        --threshold 0.3 --include-body \
+        --reconcile 0.25 --sample 0.01 --seed 42 \
+        --align-duplicated \
+        --checkpoint-dir /data/checkpoints/run1 \
+        --stats-output /data/claimskg_stats \
+        --lineage-output /data/claimskg_lineage
+
+Local smoke run:  python -m claimskg_generator_spark.cli --synth 10000 ...
+"""
+
+import argparse
+import sys
+
+from pyspark.sql import SparkSession
+
+from claimskg_generator_spark.constants.namespaces import DEFAULT_MODEL_URI
+from claimskg_generator_spark.plans.pipeline import ClaimsKGPipeline, PipelineConfig
+
+
+def build_arg_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="claimskg_generator_spark")
+    p.add_argument("--input", help="input table path (repo,path,commit,lang,content)")
+    p.add_argument("--synth", type=int, default=None,
+                   help="synthesize N corpus rows instead of reading --input")
+    p.add_argument("--output", required=True, help="triple table output path")
+    p.add_argument("--format", default="parquet", choices=["parquet", "ntriples"])
+    p.add_argument("--model-uri", default=DEFAULT_MODEL_URI)
+    p.add_argument("--threshold", type=float, default=0.3)
+    p.add_argument("--include-body", action="store_true")
+    p.add_argument("--align-duplicated", action="store_true")
+    p.add_argument("--reconcile", type=float, default=-1.0,
+                   help="reconciliation theta; <=0 disables (reference default)")
+    p.add_argument("--sample", type=float, default=None,
+                   help="pair sampling fraction for reconciliation")
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--stats-output", default=None)
+    p.add_argument("--lineage-output", default=None)
+    p.add_argument("--output-partitions", type=int, default=None)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_arg_parser().parse_args(argv)
+    if not args.input and args.synth is None:
+        print("either --input or --synth is required", file=sys.stderr)
+        return 2
+
+    spark = (
+        SparkSession.builder.appName("claimskg_generator_spark")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .getOrCreate()
+    )
+
+    cfg = PipelineConfig(
+        model_uri=args.model_uri,
+        threshold=args.threshold,
+        include_body=args.include_body,
+        align_duplicated=args.align_duplicated,
+        reconcile_theta=args.reconcile,
+        reconcile_sample=args.sample,
+        reconcile_seed=args.seed,
+        checkpoint_dir=args.checkpoint_dir,
+    )
+    pipe = ClaimsKGPipeline(spark, cfg)
+
+    if args.synth is not None:
+        from claimskg_generator_spark.sources.synth import synthesize_corpus
+
+        input_df = synthesize_corpus(spark, args.synth)
+    else:
+        input_df = spark.read.parquet(args.input)
+
+    triples = pipe.run(input_df)
+    if args.format == "parquet":
+        pipe.write_triples(triples, args.output, args.output_partitions)
+    else:
+        pipe.write_ntriples(triples, args.output)
+
+    if args.lineage_output:
+        pipe.lineage(input_df).write.mode("overwrite").parquet(args.lineage_output)
+
+    if args.stats_output:
+        from claimskg_generator_spark.operators.stats import statistics_table
+
+        statistics_table(
+            pipe.claims(input_df), cfg.model_uri, pipe.matchers, cfg.threshold
+        ).write.mode("overwrite").json(args.stats_output)
+
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
