@@ -1,0 +1,104 @@
+"""Property-based tests (hypothesis) over the pure scalar layer — the
+functions shared by the Spark UDFs and the oracle must be total and
+well-behaved on arbitrary input (SURVEY.md §5.5)."""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from claimskg_generator_spark.constants.ratings import (
+    normalize_rating,
+    normalize_rating_fast,
+)
+from claimskg_generator_spark.functions.cleaning import (
+    clean_citation_links,
+    normalize_label,
+    normalize_text_fragment,
+    original_rating_slug,
+    process_json,
+)
+from claimskg_generator_spark.functions.rdfterms import to_ntriples_line
+from claimskg_generator_spark.functions.textmatch import (
+    porter_stem,
+    span_tokenize,
+)
+from claimskg_generator_spark.operators.reconcile import levenshtein_similarity
+
+text = st.text(max_size=300)
+word = st.text(st.characters(categories=("Ll", "Lu")), min_size=1, max_size=20)
+
+
+@given(text)
+@settings(max_examples=200, deadline=None)
+def test_process_json_total(s):
+    out = process_json(s)
+    assert out is None or isinstance(out, list)
+
+
+@given(text, st.sampled_from(["snopes", "politifact", ""]))
+@settings(max_examples=200, deadline=None)
+def test_citations_total(links, author):
+    for cleaned, uri in clean_citation_links(links, author):
+        assert "?" in uri and uri.split("://", 1)[0] in ("http", "https", "ftp", "ftps")
+        assert cleaned.strip() == cleaned
+
+
+@given(word)
+@settings(max_examples=300, deadline=None)
+def test_porter_stem_properties(w):
+    s = porter_stem(w)
+    assert s == s.lower()
+    # unicode lowercasing can EXPAND (e.g. 'İ' -> 'i̇'), so compare against
+    # the lowercased input length
+    assert len(s) <= len(w.lower())
+    assert len(s) >= 1
+
+
+@given(text)
+@settings(max_examples=200, deadline=None)
+def test_span_tokenize_spans_are_consistent(s):
+    for b, e in span_tokenize(s):
+        assert 0 <= b < e <= len(s)
+        assert s[b:e].strip() == s[b:e]
+
+
+@given(st.text(max_size=40), st.text(max_size=40))
+@settings(max_examples=200, deadline=None)
+def test_levenshtein_similarity_properties(a, b):
+    v = levenshtein_similarity(a, b)
+    assert 0.0 <= v <= 1.0
+    assert levenshtein_similarity(b, a) == v
+    if a == b:
+        assert v == 1.0
+
+
+@given(st.text(max_size=40), st.text(max_size=40))
+@settings(max_examples=200, deadline=None)
+def test_rating_lookup_fast_agrees(src, label):
+    assert normalize_rating_fast(src, label) == normalize_rating(src, label)
+
+
+@given(text)
+@settings(max_examples=200, deadline=None)
+def test_fragment_normalization_kills_double_quotes(s):
+    assert '"' not in normalize_text_fragment(s)
+    assert '"' not in normalize_label(s)
+    assert "'" not in normalize_label(s)
+
+
+@given(text, text, text)
+@settings(max_examples=100, deadline=None)
+def test_rating_slug_is_uri_safe(a, b, c):
+    slug = original_rating_slug(a, b, c)
+    for ch in " []'\\/<>":
+        assert ch not in slug
+
+
+@given(text, st.sampled_from(["", "@en",
+                              "http://www.w3.org/2001/XMLSchema#date"]))
+@settings(max_examples=200, deadline=None)
+def test_ntriples_literal_line_is_single_line(obj, okind):
+    # literals get full escaping; URI objects are the engine's own minted
+    # URIs (control chars out of domain)
+    line = to_ntriples_line("http://s", "http://p", obj, okind)
+    assert "\n" not in line and "\r" not in line
+    assert line.endswith(" .")
