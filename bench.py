@@ -129,6 +129,31 @@ def run_pipeline_throughput(sf_dir: str, cpus: int, n_rows: int) -> dict:
     }
 
 
+def run_oracle_baseline(n_rows: int) -> dict:
+    """Single-node single-thread throughput of the reference *semantics*:
+    the pure-Python oracle executes the same per-row call tree the
+    reference generator does (same cleaning chains, uuid5 minting, phrase
+    matching, set-semantics graph).  The actual reference cannot run here
+    (rdflib/nltk/SPARQLWrapper + thesaurus blobs absent), so this is the
+    fair in-sandbox proxy for 'match-or-beat single-node throughput'."""
+    from claimskg_generator_spark.oracle import ReferenceOracle
+    from claimskg_generator_spark.sources.synth import THESAURUS_ENTRIES, gen_records
+
+    rows = gen_records(n_rows)
+    t0 = time.time()
+    o = ReferenceOracle(THESAURUS_ENTRIES)
+    o.generate(rows)
+    dt = time.time() - t0
+    return {
+        "mode": "oracle_rowwise_baseline",
+        "n_rows": n_rows,
+        "n_triples": len(o.triples),
+        "wall_s": round(dt, 3),
+        "rows_per_s": round(n_rows / dt, 1),
+        "triples_per_s": round(len(o.triples) / dt, 1),
+    }
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     # Sandbox note: 32 CPUs are visible but measured parallel capacity is
@@ -168,6 +193,12 @@ def main():
             "4N": best["4N"],
             "all_walls": {k: [r["wall_s"] for r in v] for k, v in runs.items()},
         }))
+        return
+
+    if "--oracle-baseline" in sys.argv:
+        i = sys.argv.index("--oracle-baseline")
+        n = int(sys.argv[i + 1]) if len(sys.argv) > i + 1 else 20000
+        print(json.dumps(run_oracle_baseline(n)))
         return
 
     if "--pipeline-once" in sys.argv:
