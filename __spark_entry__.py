@@ -327,6 +327,34 @@ def q22_multimodal_features(spark, sf_dir):
     )
 
 
+def q25_salted_canonicalize(spark, sf_dir):
+    """A5: salted two-phase canonicalization aggregate (result identical to
+    a plain GROUP BY — the salt only reshapes the shuffle)."""
+    from claimskg_generator_spark.operators.canonicalize import (
+        salted_surface_counts,
+    )
+
+    d = spark.read.parquet(_t(sf_dir, "documents"))
+    tokens = d.select(
+        "doc_id", "source",
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("surface"),
+    )
+    return salted_surface_counts(tokens, "surface", "source",
+                                 F.col("doc_id"), salt=16)
+
+
+def q26_claims_canonicalize(spark, sf_dir):
+    """A5 over the claim corpus mention surface forms (rows-only)."""
+    from claimskg_generator_spark.operators.canonicalize import (
+        canonicalize_claim_mentions,
+    )
+    from claimskg_generator_spark.plans.pipeline import ClaimsKGPipeline
+
+    corpus = _claims_corpus(spark, sf_dir)
+    pipe = ClaimsKGPipeline(spark)
+    return canonicalize_claim_mentions(pipe.claims(corpus), 0.3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -353,6 +381,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q22_multimodal_features": q22_multimodal_features,
         "q23_claims_reconcile": q23_claims_reconcile,
         "q24_claims_stats": q24_claims_stats,
+        "q25_salted_canonicalize": q25_salted_canonicalize,
+        "q26_claims_canonicalize": q26_claims_canonicalize,
     }
 
 
@@ -525,6 +555,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT sum(duration_ms // 1000 + 1) AS n_frames,
                    count(DISTINCT media_id) AS n_media
             FROM media
+        """,
+        "q25_salted_canonicalize": """
+            WITH tok AS (
+                SELECT doc_id, source,
+                       unnest(string_split_regex(lower(trim(text)), '\\s+')) AS surface
+                FROM documents),
+            per AS (
+                SELECT surface, source, count(*) AS n_links
+                FROM tok GROUP BY surface, source),
+            ranked AS (
+                SELECT surface, source, n_links,
+                       sum(n_links) OVER (PARTITION BY surface) AS n_mentions,
+                       count(*) OVER (PARTITION BY surface) AS n_entities,
+                       ROW_NUMBER() OVER (PARTITION BY surface
+                           ORDER BY n_links DESC, source DESC) AS rn
+                FROM per)
+            SELECT surface, n_mentions, n_entities,
+                   source AS canonical_entity
+            FROM ranked WHERE rn = 1
         """,
         "q16_quality_score": f"""
             WITH t AS (
