@@ -91,12 +91,14 @@ def keyword_triples_and_raw_mentions(claims: DataFrame, model_uri: str,
         F.lit(OKIND_URI).alias("okind"),
     )
 
-    # distinct keywords: node triples + broadcast thesaurus matching (J3)
+    # distinct keywords: node triples + broadcast thesaurus matching (J3).
+    # Cached: tiny (distinct keywords), consumed by three plan branches.
     kw_match = make_keyword_match_udf(matchers)
     distinct_kw = (
         ex.select("keyword", "kw_uri")
         .dropDuplicates(["kw_uri"])
         .withColumn("cm", kw_match(F.col("keyword")))
+        .cache()
     )
     node_triples = emit(
         distinct_kw,
@@ -125,6 +127,7 @@ def keyword_triples_and_raw_mentions(claims: DataFrame, model_uri: str,
         .agg(F.min(F.when(F.col("has_match"), F.col("ord"))).alias("win_ord"))
         .filter(F.col("win_ord").isNotNull())
         .select(F.col("kw_uri").alias("w_kw_uri"), "win_ord")
+        .cache()
     )
     win_rows = (
         per_row.join(
