@@ -83,6 +83,23 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     }
 
 
+def _calibrate() -> float:
+    """Single-thread host-speed probe (fixed sha256 work, min of 3): the
+    sandbox is a shared host whose effective speed swings ~4x minute to
+    minute, so every timed run carries a calibration factor and the scaling
+    report also shows host-speed-normalized walls."""
+    import hashlib
+
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        x = b"x"
+        for _ in range(400_000):
+            x = hashlib.sha256(x).digest()
+        best = min(best, time.time() - t0)
+    return best
+
+
 def run_pipeline_throughput(sf_dir: str, cpus: int, n_rows: int) -> dict:
     """Flagship KG pipeline throughput: rows & triples per second.
 
@@ -108,6 +125,7 @@ def run_pipeline_throughput(sf_dir: str, cpus: int, n_rows: int) -> dict:
     corpus = spark.read.parquet(corpus_path)
     ckpt = tempfile.mkdtemp(prefix=f"claimskg_ck_{cpus}_")
     pipe = ClaimsKGPipeline(spark, PipelineConfig(checkpoint_dir=ckpt))
+    cal_before = _calibrate()
     t0 = time.time()
     pipe.parsed(corpus)
     t_parse = time.time() - t0
@@ -115,8 +133,10 @@ def run_pipeline_throughput(sf_dir: str, cpus: int, n_rows: int) -> dict:
     n_triples = pipe.triples(corpus).count()
     t_triples = time.time() - t1
     dt = time.time() - t0
+    cal_after = _calibrate()
     spark.stop()
     shutil.rmtree(ckpt, ignore_errors=True)
+    cal = (cal_before + cal_after) / 2
     return {
         "cpus": cpus,
         "n_rows": n_rows,
@@ -126,6 +146,9 @@ def run_pipeline_throughput(sf_dir: str, cpus: int, n_rows: int) -> dict:
         "triples_s": round(t_triples, 3),
         "rows_per_s": round(n_rows / dt, 1),
         "triples_per_s": round(n_triples / dt, 1),
+        # host-speed probe (smaller = faster host window) + normalized wall
+        "cal_s": round(cal, 4),
+        "wall_norm_s": round(dt * 0.35 / cal, 3),
     }
 
 
@@ -181,17 +204,23 @@ def main():
                 r = json.loads(line)
                 runs[name].append(r)
                 print(f"# {name} ({c} cores): {r}", file=sys.stderr)
-        best = {name: min(rs, key=lambda r: r["wall_s"]) for name, rs in runs.items()}
-        eff = (
-            best["4N"]["triples_per_s"] / best["N"]["triples_per_s"]
-        ) / (best["4N"]["cpus"] / best["N"]["cpus"])
+        key = "wall_norm_s" if all(
+            "wall_norm_s" in r for rs in runs.values() for r in rs
+        ) else "wall_s"
+        best = {name: min(rs, key=lambda r: r[key]) for name, rs in runs.items()}
+        eff = (best["N"][key] / best["4N"][key]) / (
+            best["4N"]["cpus"] / best["N"]["cpus"]
+        )
         print(json.dumps({
             "metric": "pipeline_scaling",
             "value": round(eff, 3),
             "unit": "efficiency",
+            "normalized_by": key,
             "N": best["N"],
             "4N": best["4N"],
             "all_walls": {k: [r["wall_s"] for r in v] for k, v in runs.items()},
+            "all_norm_walls": {k: [r.get("wall_norm_s") for r in v]
+                               for k, v in runs.items()},
         }))
         return
 

@@ -96,10 +96,13 @@ def _make_minhash_udf(num_hashes: int, seed: int = 7):
     import pandas as pd
 
     rng = np.random.RandomState(seed)
-    # Universal hashing: h_i(x) = (a_i * x + b_i) mod p  (p Mersenne prime)
-    p = (1 << 61) - 1
-    a = rng.randint(1, p, size=num_hashes, dtype=np.int64)
-    b = rng.randint(0, p, size=num_hashes, dtype=np.int64)
+    # Universal hashing h_i(x) = (a_i*x + b_i) mod p with p = 2^31-1
+    # (Mersenne).  Inputs are first reduced mod p, so a*x < 2^62 fits
+    # uint64 exactly — the whole signature is one vectorized numpy
+    # broadcast per document, no Python-int arithmetic.
+    p = np.uint64((1 << 31) - 1)
+    a = rng.randint(1, int(p), size=num_hashes).astype(np.uint64)
+    b = rng.randint(0, int(p), size=num_hashes).astype(np.uint64)
 
     @F.pandas_udf(_SIG_TYPE)
     def minhash_sig(shingle_hashes: pd.Series) -> pd.Series:
@@ -108,13 +111,10 @@ def _make_minhash_udf(num_hashes: int, seed: int = 7):
             if hs is None or len(hs) == 0:
                 out.append([0] * num_hashes)
                 continue
-            x = np.asarray(hs, dtype=np.uint64).astype(np.object_)
-            # object dtype -> Python ints -> exact modular arithmetic
-            mins = [
-                int(min((int(ai) * int(v) + int(bi)) % p for v in x))
-                for ai, bi in zip(a, b)
-            ]
-            out.append(mins)
+            x = np.asarray(hs, dtype=np.int64).astype(np.uint64) % p
+            # (H, S) broadcast: rows = hash fns, cols = shingles
+            sig = ((a[:, None] * x[None, :] + b[:, None]) % p).min(axis=1)
+            out.append([int(v) for v in sig])
         return pd.Series(out)
 
     return minhash_sig

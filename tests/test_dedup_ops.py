@@ -1,0 +1,95 @@
+"""Dedup/similarity operators on a controlled corpus with known duplicates
+(the shared testdata has no real near-dups, so we plant them)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from claimskg_generator_spark.operators.dedup import (
+    exact_duplicates,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_dups,
+)
+from claimskg_generator_spark.operators.similarity import (
+    cosine_topk,
+    lsh_cosine_pairs,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the old wooden fence near the river bank in the morning light"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),  # exact dup of 0
+        (2, BASE.replace("morning", "evening")),          # near dup
+        (3, BASE.replace("quick", "slow").replace("dog", "wolf")),  # near dup
+        (4, "completely different text about spark dataframes and shuffles "
+            "with partitions and codegen and adaptive execution plans"),
+        (5, "another unrelated document mentioning parquet files pushdown "
+            "statistics bloom filters and column pruning strategies"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicates(spark, docs):
+    got = {r["doc_id"]: r for r in exact_duplicates(docs).collect()}
+    assert got[1]["survivor_id"] == 0 and got[1]["is_duplicate"] == 1
+    assert got[0]["is_duplicate"] == 0
+    assert got[4]["survivor_id"] == 4
+
+
+def test_ngram_jaccard_finds_near_dups(spark, docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in ngram_jaccard_pairs(docs, threshold=0.3).collect()}
+    assert pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs and pairs[(0, 2)] < 1.0
+    assert not any(4 in p or 5 in p for p in pairs)
+
+
+def test_minhash_lsh_agrees_with_exact(spark, docs):
+    got = {(r["id_a"], r["id_b"]) for r in
+           minhash_lsh_pairs(docs, verify_threshold=0.3).collect()}
+    # exact duplicates always collide in every band
+    assert (0, 1) in got
+    # verified jaccard filter keeps it honest
+    assert not any(4 in p or 5 in p for p in got)
+
+
+def test_simhash_near_dups(spark, docs):
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in simhash_near_dups(docs, max_hamming=10).collect()}
+    assert got[(0, 1)] == 0
+    assert (0, 2) in got
+    assert (4, 5) not in got
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.99, 0.14, 0.0]),   # ~cos 0.99 with 0
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.0, 0.98, 0.2]),
+        (4, [0.0, 0.0, 1.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_topk_ranks(spark, vecs):
+    got = {(r["query_id"], r["rank"]): r["neighbor_id"]
+           for r in cosine_topk(vecs, [0], k=2).collect()}
+    assert got[(0, 1)] == 1
+    assert got[(0, 2)] in (2, 3, 4)
+
+
+def test_lsh_cosine_pairs(spark, vecs):
+    got = {(r["id_a"], r["id_b"]) for r in
+           lsh_cosine_pairs(vecs, n_planes=4, threshold=0.9).collect()}
+    # LSH buckets are probabilistic per plane draw, but identical-direction
+    # vectors always share a bucket
+    assert (0, 1) in got or (2, 3) in got
