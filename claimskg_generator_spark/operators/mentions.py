@@ -77,39 +77,41 @@ def explode_mentions(claims: DataFrame, mention_col: str, attach_col: str,
 def mention_family_triples(mentions: DataFrame, model_uri: str,
                            attach_pred: str = NS.SCHEMA_MENTIONS) -> DataFrame:
     """The 7-triple NIF/ITS family + attachment edge + per-category
-    dct:about triples for pre-exploded mention rows."""
+    dct:about triples for pre-exploded mention rows — one explode, the
+    category triples folded into the same per-mention array (no second
+    plan branch)."""
+    from claimskg_generator_spark.operators.triples import triple_struct
+
     m_uri = F.concat(F.lit(model_uri + "mention/"), F.col("m_uuid"))
     dbr = F.concat(F.lit(NS.DBR), F.col("entity_u"))
-    base = emit(
-        mentions.withColumn("m_uri", m_uri).withColumn("dbr_uri", dbr),
-        [
-            (None, F.col("m_uri"), NS.RDF_TYPE, NS.NIF_CONTEXT, OKIND_URI),
-            (None, F.col("m_uri"), NS.RDF_TYPE, NS.NIF_RFC5147_STRING, OKIND_URI),
-            (None, F.col("m_uri"), NS.NIF_IS_STRING, F.col("text"), OKIND_LANG_EN),
-            (None, F.col("m_uri"), NS.NIF_BEGIN_INDEX,
-             F.col("begin").cast("string"), NS.XSD_INTEGER),
-            (None, F.col("m_uri"), NS.NIF_END_INDEX,
-             F.col("end").cast("string"), NS.XSD_INTEGER),
-            # Literal(float(str(round(v,2)))) == str(round(v,2)) (reference
-            # :544-546,567-571)
-            (None, F.col("m_uri"), NS.ITS_TA_CONFIDENCE, F.col("conf"), NS.XSD_FLOAT),
-            (None, F.col("m_uri"), NS.ITS_TA_IDENT_REF, F.col("dbr_uri"), OKIND_URI),
-            (None, F.col("attach_uri"), attach_pred, F.col("m_uri"), OKIND_URI),
-        ],
+    df = mentions.withColumn("m_uri", m_uri).withColumn("dbr_uri", dbr)
+    base = F.array(
+        triple_struct(F.col("m_uri"), NS.RDF_TYPE, NS.NIF_CONTEXT, OKIND_URI),
+        triple_struct(F.col("m_uri"), NS.RDF_TYPE, NS.NIF_RFC5147_STRING, OKIND_URI),
+        triple_struct(F.col("m_uri"), NS.NIF_IS_STRING, F.col("text"), OKIND_LANG_EN),
+        triple_struct(F.col("m_uri"), NS.NIF_BEGIN_INDEX,
+                      F.col("begin").cast("string"), NS.XSD_INTEGER),
+        triple_struct(F.col("m_uri"), NS.NIF_END_INDEX,
+                      F.col("end").cast("string"), NS.XSD_INTEGER),
+        # Literal(float(str(round(v,2)))) == str(round(v,2)) (reference
+        # :544-546,567-571)
+        triple_struct(F.col("m_uri"), NS.ITS_TA_CONFIDENCE, F.col("conf"),
+                      NS.XSD_FLOAT),
+        triple_struct(F.col("m_uri"), NS.ITS_TA_IDENT_REF, F.col("dbr_uri"),
+                      OKIND_URI),
+        triple_struct(F.col("attach_uri"), attach_pred, F.col("m_uri"), OKIND_URI),
     )
-    cat_triples = (
-        mentions.withColumn("m_uri", m_uri)
-        .filter(F.size("cats") > 0)
-        .select("m_uri", F.explode("cats").alias("cat"))
-        .select(
-            F.col("m_uri").alias("subj"),
-            F.lit(NS.DCT_ABOUT).alias("pred"),
-            F.concat(F.lit(NS.DBC),
-                     F.replace(F.col("cat"), F.lit(" "), F.lit("_"))).alias("obj"),
-            F.lit(OKIND_URI).alias("okind"),
-        )
+    about = F.transform(
+        F.col("cats"),
+        lambda cat: triple_struct(
+            F.col("m_uri"), NS.DCT_ABOUT,
+            F.concat(F.lit(NS.DBC), F.replace(cat, F.lit(" "), F.lit("_"))),
+            OKIND_URI,
+        ),
     )
-    return base.unionByName(cat_triples)
+    return (
+        df.select(F.explode(F.concat(base, about)).alias("t")).select("t.*")
+    )
 
 
 def review_and_body_raw_mentions(claims: DataFrame, threshold: float) -> DataFrame:

@@ -35,13 +35,11 @@ from claimskg_generator_spark.operators.mentions import (
     mint_mentions,
     review_and_body_raw_mentions,
 )
-from claimskg_generator_spark.operators.ratings_join import with_normalized_rating
-from claimskg_generator_spark.operators.triples import (
-    align_duplicated_triples,
-    author_mention_triples,
-    citation_triples,
-    core_claim_triples,
+from claimskg_generator_spark.operators.row_triples import (
+    single_pass_row_triples,
 )
+from claimskg_generator_spark.operators.ratings_join import with_normalized_rating
+from claimskg_generator_spark.operators.triples import align_duplicated_triples
 from claimskg_generator_spark.plans.checkpoints import CheckpointManager
 from claimskg_generator_spark.sources import synth
 from claimskg_generator_spark.sources.claims import derive_claims, parse_records
@@ -115,9 +113,14 @@ class ClaimsKGPipeline:
             + thesaurus_triples(cfg.thesaurus_entries),
             TRIPLE_DDL,
         )
-        # unified mention pass: review + body + keyword-winner mention rows
-        # are unioned raw, then confidence-formatted and uuid5-minted ONCE
-        # (one Arrow UDF stage for all mention sources)
+        # three corpus branches total:
+        # 1. single-pass per-row emission (core + citations + cw-author
+        #    mention families) — one scan, one explode;
+        # 2. unified mention branch: review + body + keyword-winner mention
+        #    rows unioned raw, ONE Python conf/minting stage, one explode
+        #    (incl. per-category triples);
+        # 3. keyword non-mention families (winner aggregate + broadcast
+        #    thesaurus joins — the only global-view operators).
         kw_non_mention, kw_raw = keyword_triples_and_raw_mentions(
             claims, cfg.model_uri, self.matchers, cfg.threshold
         )
@@ -128,10 +131,9 @@ class ClaimsKGPipeline:
             mint_mentions(all_raw), cfg.model_uri
         )
         parts = [
-            core_claim_triples(claims, cfg.model_uri, cfg.include_body),
+            single_pass_row_triples(claims, cfg.model_uri, cfg.include_body,
+                                    cfg.threshold),
             mention_triples,
-            author_mention_triples(claims),
-            citation_triples(claims),
             kw_non_mention,
             fixed,
         ]
