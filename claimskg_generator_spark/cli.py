@@ -42,6 +42,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="reconciliation theta; <=0 disables (reference default)")
     p.add_argument("--sample", type=float, default=None,
                    help="pair sampling fraction for reconciliation")
+    p.add_argument("--embeddings", action="store_true",
+                   help="include the mean-BoW text-similarity term in "
+                        "reconciliation scoring")
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--stats-output", default=None)
@@ -72,6 +75,7 @@ def main(argv=None) -> int:
         reconcile_theta=args.reconcile,
         reconcile_sample=args.sample,
         reconcile_seed=args.seed,
+        reconcile_embeddings=args.embeddings,
         checkpoint_dir=args.checkpoint_dir,
     )
     pipe = ClaimsKGPipeline(spark, cfg)

@@ -81,10 +81,12 @@ def soft_jaccard(xs, ys) -> float:
 def claim_pair_score(keywords_a, keywords_b, links_a, links_b,
                      entities_a, entities_b, cats_a, cats_b,
                      entity_weight=1.0, keyword_weight=1.0,
-                     link_weight=1.0, text_weight=1.0) -> float:
-    """_claim_similarity (reference reconciler/__init__.py:201-242),
-    embeddings-off path (text term absent from the product, but the
-    geometric-mean length stays 4)."""
+                     link_weight=1.0, text_weight=1.0,
+                     text_sim=None) -> float:
+    """_claim_similarity (reference reconciler/__init__.py:201-242).
+    ``text_sim`` is the embeddings cosine (None = embeddings-off path:
+    the text term is absent from the product, but the geometric-mean
+    length stays 4)."""
     import math
 
     keyword_sim = (
@@ -107,10 +109,42 @@ def claim_pair_score(keywords_a, keywords_b, links_a, links_b,
 
     product = 1.0
     for v, w in [(entity_sim, entity_weight), (keyword_sim, keyword_weight),
-                 (link_sim, link_weight), (None, text_weight)]:
+                 (link_sim, link_weight), (text_sim, text_weight)]:
         if v is not None:
             product *= math.pow(max(v, 0.00001), w)
     return math.pow(product, 1.0 / 4.0)
+
+
+_VEC_TYPE = T.StructType(
+    [
+        T.StructField("vec_full", T.ArrayType(T.DoubleType())),
+        T.StructField("vec_first", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+@F.pandas_udf(_VEC_TYPE)
+def _fragment_vectors_udf(fragments: pd.Series) -> pd.DataFrame:
+    from claimskg_generator_spark.sources.embeddings import fragment_vectors
+
+    full, first = [], []
+    for fr in fragments:
+        a, b = fragment_vectors([] if fr is None else list(fr))
+        full.append(a)
+        first.append(b)
+    return pd.DataFrame({"vec_full": full, "vec_first": first})
+
+
+def with_fragment_vectors(views: DataFrame) -> DataFrame:
+    """Per-claim mean-BoW vectors over the text fragments (A6/P15/S6):
+    computed once per claim, then reused for every candidate pair."""
+    vecs = _fragment_vectors_udf(F.col("fragments"))
+    return (
+        views.withColumn("_v", vecs)
+        .withColumn("vec_full", F.col("_v.vec_full"))
+        .withColumn("vec_first", F.col("_v.vec_first"))
+        .drop("_v")
+    )
 
 
 _PAIR_SCORE_TYPE = T.DoubleType()
@@ -119,13 +153,16 @@ _PAIR_SCORE_TYPE = T.DoubleType()
 @F.pandas_udf(_PAIR_SCORE_TYPE)
 def _pair_score_udf(kw_a: pd.Series, kw_b: pd.Series, ln_a: pd.Series,
                     ln_b: pd.Series, en_a: pd.Series, en_b: pd.Series,
-                    ca: pd.Series, cb: pd.Series) -> pd.Series:
+                    ca: pd.Series, cb: pd.Series,
+                    text_sim: pd.Series) -> pd.Series:
     out = []
     for i in range(len(kw_a)):
+        ts = text_sim[i]
         out.append(
             claim_pair_score(
                 list(kw_a[i]), list(kw_b[i]), list(ln_a[i]), list(ln_b[i]),
                 list(en_a[i]), list(en_b[i]), list(ca[i]), list(cb[i]),
+                text_sim=None if ts is None or pd.isna(ts) else float(ts),
             )
         )
     return pd.Series(out)
@@ -140,15 +177,25 @@ def _entity_overlap_udf(en_a: pd.Series, en_b: pd.Series) -> pd.Series:
 
 def reconcile_pairs(views: DataFrame, theta: float,
                     sample_fraction: Optional[float] = None,
-                    seed: Optional[int] = None) -> DataFrame:
+                    seed: Optional[int] = None,
+                    use_embeddings: bool = False) -> DataFrame:
     """views columns: ord, cw_uri, creative_work_author, claim_date (date),
     review_date (date), keywords (arr), links (arr), entities (arr),
-    categories (arr).
+    categories (arr) [+ fragments (arr) when use_embeddings].
 
     Returns (cw_a, cw_b, score) for pairs with score > theta.
+
+    With ``use_embeddings``, the text term is the mean-BoW cosine of the
+    merged fragments (A side) vs the FIRST fragment (B side) — reference
+    reconciler/__init__.py:229-232 — with per-claim vectors precomputed
+    ONCE (an Arrow UDF over claims, not over pairs) and the pair-level
+    cosine evaluated as a JVM array expression.
     """
     cols = ["ord", "cw_uri", "creative_work_author", "claim_date",
             "review_date", "keywords", "links", "entities", "categories"]
+    if use_embeddings:
+        views = with_fragment_vectors(views)
+        cols += ["vec_full", "vec_first"]
     v = views.select(*cols)
     a = v.select([F.col(c).alias(c + "_a") for c in cols])
     b = v.select([F.col(c).alias(c + "_b") for c in cols])
@@ -195,11 +242,30 @@ def reconcile_pairs(views: DataFrame, theta: float,
         .drop("rn")
     )
 
+    if use_embeddings:
+        dot = F.aggregate(
+            F.zip_with("vec_full_a", "vec_first_b", lambda x, y: x * y),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+        norm = lambda c: F.sqrt(  # noqa: E731
+            F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
+        )
+        cos = dot / (norm(F.col("vec_full_a")) * norm(F.col("vec_first_b")))
+        pairs = pairs.withColumn(
+            "text_sim",
+            F.when((norm(F.col("vec_full_a")) == 0)
+                   | (norm(F.col("vec_first_b")) == 0), F.lit(0.0))
+            .otherwise(cos),
+        )
+    else:
+        pairs = pairs.withColumn("text_sim", F.lit(None).cast("double"))
+
     scored = pairs.withColumn(
         "score",
         _pair_score_udf(
             "keywords_a", "keywords_b", "links_a", "links_b",
             "entities_a", "entities_b", "categories_a", "categories_b",
+            "text_sim",
         ),
     )
     return scored.filter(F.col("score") > theta).select(
@@ -210,9 +276,11 @@ def reconcile_pairs(views: DataFrame, theta: float,
 
 def reconcile_triples(views: DataFrame, theta: float,
                       sample_fraction: Optional[float] = None,
-                      seed: Optional[int] = None) -> DataFrame:
+                      seed: Optional[int] = None,
+                      use_embeddings: bool = False) -> DataFrame:
     """owl:sameAs edges for reconciled pairs (reference generator :770-774)."""
-    return reconcile_pairs(views, theta, sample_fraction, seed).select(
+    return reconcile_pairs(views, theta, sample_fraction, seed,
+                           use_embeddings).select(
         F.col("cw_a").alias("subj"),
         F.lit(NS.OWL_SAME_AS).alias("pred"),
         F.col("cw_b").alias("obj"),

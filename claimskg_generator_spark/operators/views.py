@@ -109,6 +109,7 @@ def logical_views(claims: DataFrame, model_uri: str, threshold: float) -> DataFr
         "cw_uri",
         "claim_review_url",
         "source",
+        "fragments",
         F.col("cw_author").alias("creative_work_author"),
         F.when(F.length(F.coalesce("claim_date", F.lit(""))) > 0,
                F.try_to_date(F.col("claim_date"), "yyyy-MM-dd")).alias("claim_date"),

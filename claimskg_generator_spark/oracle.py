@@ -405,17 +405,33 @@ class ReferenceOracle:
 
             self.claims.append(claim)
 
-    def reconcile(self, theta: float):
+    def reconcile(self, theta: float, use_embeddings: bool = False):
         """Full-pairs reconciliation (reference FactReconciler
         generate_mappings / _evaluate_mapping / _pruning_criterion,
         reconciler/__init__.py:85-199): returns [(cw_a, cw_b, score)] and
-        adds the owl:sameAs edges (generator :770-774)."""
+        adds the owl:sameAs edges (generator :770-774).  With
+        ``use_embeddings``, the text term is the mean-BoW cosine of merged
+        fragments (A) vs first fragment (B) — reference :229-232."""
         import datetime as _dt
 
         from claimskg_generator_spark.operators.reconcile import (
             claim_pair_score,
             soft_overlap,
         )
+        from claimskg_generator_spark.sources.embeddings import (
+            cosine,
+            fragment_vectors,
+        )
+
+        vec_cache = {}
+
+        def text_sim(a: LogicalClaim, b: LogicalClaim):
+            if not use_embeddings:
+                return None
+            for c in (a, b):
+                if id(c) not in vec_cache:
+                    vec_cache[id(c)] = fragment_vectors(c.text_fragments)
+            return cosine(vec_cache[id(a)][0], vec_cache[id(b)][1])
 
         def prune(a: LogicalClaim, b: LogicalClaim) -> bool:
             ents_a = a.claim_entities + a.review_entities
@@ -451,6 +467,7 @@ class ReferenceOracle:
                     b.claim_entities + b.review_entities,
                     a.review_entity_categories + a.claim_entity_categories,
                     b.review_entity_categories + b.claim_entity_categories,
+                    text_sim=text_sim(a, b),
                 )
                 if score > theta:
                     mappings.append((a.creative_work_uri, b.creative_work_uri, score))

@@ -69,6 +69,7 @@ class PipelineConfig:
     reconcile_theta: float = -1.0
     reconcile_sample: Optional[float] = None
     reconcile_seed: Optional[int] = None
+    reconcile_embeddings: bool = False
 
 
 class ClaimsKGPipeline:
@@ -148,7 +149,8 @@ class ClaimsKGPipeline:
             views = logical_views(claims, cfg.model_uri, cfg.threshold)
             parts.append(
                 reconcile_triples(views, cfg.reconcile_theta,
-                                  cfg.reconcile_sample, cfg.reconcile_seed)
+                                  cfg.reconcile_sample, cfg.reconcile_seed,
+                                  cfg.reconcile_embeddings)
             )
         out = parts[0]
         for p in parts[1:]:

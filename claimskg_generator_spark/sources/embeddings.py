@@ -1,0 +1,107 @@
+"""Word/sentence embeddings for the reconciliation text-similarity term.
+
+Reference semantics (claimskg/vsm/embeddings.py):
+
+- sentence_vector (:45-60): Treebank-tokenize, keep printable non-stopword
+  tokens, arithmetic mean of the word vectors (:62-87).
+- sentence_similarity (:40-43): cosine of the two mean vectors.
+- Reconciler call site (claimskg/reconciler/__init__.py:229-232): side A
+  embeds ALL text fragments merged; side B embeds only the FIRST fragment
+  (``text_fragments[0:1]``) — quirk preserved; both sides preprocessed by
+  ``_merge_and_normalise_strings`` (:18-19): stopword scrub + bracketed
+  segments and non-word chars to spaces.
+
+Stand-ins, documented: the reference loads word vectors from files that
+are not part of the repo, so ``HashEmbeddings`` derives a deterministic
+unit-ish vector per word from sha256(word) — fixture semantics shared by
+the oracle and the Spark pipeline (same module), making the text term
+exactly comparable between them.  Tokenization is the same regex span
+tokenizer used for phrase matching; the stopword regex is built from the
+standard NLTK English list, alternatives sorted longest-first (the
+reference's set-iteration order is nondeterministic).
+"""
+
+import hashlib
+import re
+import struct
+from typing import List, Sequence
+
+from claimskg_generator_spark.constants.wordlists import NLTK_STOPWORDS_EN
+from claimskg_generator_spark.functions.textmatch import span_tokenize
+
+_STOPWORD_PATTERN = re.compile(
+    r"\b(" + "|".join(
+        re.escape(w) for w in sorted(NLTK_STOPWORDS_EN, key=len, reverse=True)
+    ) + r")\b\s*"
+)
+_NLTK_STOPWORDS = set(NLTK_STOPWORDS_EN)
+
+
+def merge_and_normalise_strings(strings: Sequence[str]) -> str:
+    """P15 (reference claimskg/reconciler/__init__.py:18-19): join, strip,
+    lower, scrub stopwords, then [..]/(..)/non-word chars -> spaces."""
+    merged = _STOPWORD_PATTERN.sub("", " ".join(strings).strip().lower())
+    return re.sub(r"\[.*?\]|\(.*?\)|\W", " ", merged)
+
+
+DEFAULT_DIM = 32
+
+
+def hash_word_vector(word: str, dim: int = DEFAULT_DIM) -> List[float]:
+    """Deterministic pseudo-random vector in [-1, 1]^dim from sha256(word)
+    (vocabulary-free fixture for the reference's vector files)."""
+    out: List[float] = []
+    counter = 0
+    while len(out) < dim:
+        digest = hashlib.sha256(f"{word}:{counter}".encode("utf-8")).digest()
+        for i in range(0, 32, 4):
+            (u,) = struct.unpack(">I", digest[i:i + 4])
+            out.append(u / 2147483647.5 - 1.0)
+            if len(out) == dim:
+                break
+        counter += 1
+    return out
+
+
+def sentence_tokens(sentence: str) -> List[str]:
+    """Printable, non-stopword tokens (reference embeddings.py:46-47)."""
+    return [
+        sentence[b:e]
+        for b, e in span_tokenize(sentence)
+        if sentence[b:e].isprintable() and sentence[b:e] not in _NLTK_STOPWORDS
+    ]
+
+
+def sentence_vector(sentence: str, dim: int = DEFAULT_DIM) -> List[float]:
+    """Arithmetic-mean bag-of-words vector (reference :62-87); an empty
+    token list yields the zero vector (the reference's identity-matrix
+    fallback is out of domain — any non-empty text has tokens here)."""
+    tokens = sentence_tokens(sentence)
+    if not tokens:
+        return [0.0] * dim
+    acc = [0.0] * dim
+    for t in tokens:
+        v = hash_word_vector(t, dim)
+        for i in range(dim):
+            acc[i] += v[i]
+    return [x / len(tokens) for x in acc]
+
+
+def cosine(a: Sequence[float], b: Sequence[float]) -> float:
+    """1 - cosine distance (reference :31-33); zero vectors -> 0.0."""
+    dot = sum(x * y for x, y in zip(a, b))
+    na = sum(x * x for x in a) ** 0.5
+    nb = sum(y * y for y in b) ** 0.5
+    if na == 0.0 or nb == 0.0:
+        return 0.0
+    return dot / (na * nb)
+
+
+def fragment_vectors(text_fragments: Sequence[str], dim: int = DEFAULT_DIM):
+    """(vector of all fragments merged, vector of the first fragment) —
+    the A-side / B-side pair the reconciler needs (:229-232)."""
+    full = sentence_vector(merge_and_normalise_strings(list(text_fragments)), dim)
+    first = sentence_vector(
+        merge_and_normalise_strings(list(text_fragments)[0:1]), dim
+    )
+    return full, first
