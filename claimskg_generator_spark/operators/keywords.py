@@ -81,7 +81,9 @@ def keyword_triples_and_raw_mentions(claims: DataFrame, model_uri: str,
     The raw mention rows (attach = keyword URI) are returned unminted so
     the pipeline can union them with the review/body mention rows and run
     ONE confidence-format + uuid5 pass over all mentions."""
-    ex = exploded_keywords(claims, model_uri)
+    # consumed by the edge projection, the winner aggregate and the winner
+    # join — cache so the tag explode + containment filter runs once
+    ex = exploded_keywords(claims, model_uri).cache()
 
     # (cw, schema:keywords, kw) for every occurrence (:410)
     edges = ex.select(
