@@ -263,14 +263,50 @@ def q18_simhash(spark, sf_dir):
     from claimskg_generator_spark.operators.dedup import simhash_near_dups
 
     d = spark.read.parquet(_t(sf_dir, "documents"))
-    return simhash_near_dups(d, max_hamming=8)
+    return simhash_near_dups(d, max_hamming=3)
+
+
+LSH_PLANES = 4
+LSH_THRESHOLD = 0.25
+LSH_SEED = 11
+EMB_DIM = 64
 
 
 def q19_lsh_cosine(spark, sf_dir):
     from claimskg_generator_spark.operators.similarity import lsh_cosine_pairs
 
     e = spark.read.parquet(_t(sf_dir, "embeddings"))
-    return lsh_cosine_pairs(e, n_planes=8, threshold=0.9)
+    return lsh_cosine_pairs(e, n_planes=LSH_PLANES, threshold=LSH_THRESHOLD,
+                            seed=LSH_SEED, dim=EMB_DIM)
+
+
+def _q19_oracle_sql() -> str:
+    """DuckDB twin of lsh_cosine_pairs: the hyperplanes are a pure function
+    of (seed, dim) via random.Random(seed).gauss, so the oracle embeds the
+    SAME plane coefficients as SQL literals and reproduces bucket + verify
+    relationally."""
+    import random
+
+    rng = random.Random(LSH_SEED)
+    cases = []
+    for _ in range(LSH_PLANES):
+        plane = [rng.gauss(0.0, 1.0) for _ in range(EMB_DIM)]
+        lit = "[" + ",".join(repr(x) for x in plane) + "]"
+        cases.append(
+            "(CASE WHEN list_dot_product(embedding::DOUBLE[], "
+            f"{lit}) >= 0 THEN '1' ELSE '0' END)"
+        )
+    bucket = " || ".join(cases)
+    return f"""
+        WITH bk AS (SELECT vec_id, embedding, {bucket} AS bucket
+                    FROM embeddings)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                            b.embedding::DOUBLE[]), 4) AS cosine
+        FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                           b.embedding::DOUBLE[]), 4) >= {LSH_THRESHOLD}
+    """
 
 
 def q20_uuid5_mint(spark, sf_dir):
@@ -388,6 +424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "q19_lsh_cosine": _q19_oracle_sql(),
         "q01_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,
@@ -420,7 +457,7 @@ def oracle_sql() -> dict[str, str]:
         "q04_stats_rollup": """
             SELECT coalesce(source, 'ALL') AS source_grp,
                    count(*) AS n_docs,
-                   sum(n_chars) AS total_chars,
+                   sum(n_chars)::BIGINT AS total_chars,
                    round(avg(n_chars), 4) AS avg_chars
             FROM documents
             GROUP BY ROLLUP(source)
@@ -538,7 +575,7 @@ def oracle_sql() -> dict[str, str]:
                            (PARTITION BY user_id ORDER BY ts, event_id)) AS gap
                 FROM events)
             SELECT user_id,
-                   sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END) AS n_sessions,
+                   sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)::BIGINT AS n_sessions,
                    count(*) AS n_events
             FROM g GROUP BY user_id
         """,
@@ -552,7 +589,7 @@ def oracle_sql() -> dict[str, str]:
             WITH media AS (
                 SELECT doc_id AS media_id, n_chars * 10 AS duration_ms
                 FROM documents WHERE doc_id % 3 = 2)
-            SELECT sum(duration_ms // 1000 + 1) AS n_frames,
+            SELECT sum(duration_ms // 1000 + 1)::BIGINT AS n_frames,
                    count(DISTINCT media_id) AS n_media
             FROM media
         """,
@@ -566,7 +603,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM tok GROUP BY surface, source),
             ranked AS (
                 SELECT surface, source, n_links,
-                       sum(n_links) OVER (PARTITION BY surface) AS n_mentions,
+                       sum(n_links) OVER (PARTITION BY surface)::BIGINT AS n_mentions,
                        count(*) OVER (PARTITION BY surface) AS n_entities,
                        ROW_NUMBER() OVER (PARTITION BY surface
                            ORDER BY n_links DESC, source DESC) AS rn

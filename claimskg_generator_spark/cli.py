@@ -77,6 +77,9 @@ def main(argv=None) -> int:
         reconcile_seed=args.seed,
         reconcile_embeddings=args.embeddings,
         checkpoint_dir=args.checkpoint_dir,
+        # durable checkpoint identity across driver restarts
+        input_id=(f"synth:{args.synth}:42" if args.synth is not None
+                  else f"path:{args.input}"),
     )
     pipe = ClaimsKGPipeline(spark, cfg)
 

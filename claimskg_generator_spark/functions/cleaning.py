@@ -12,6 +12,16 @@ from urllib.parse import urlparse
 
 from claimskg_generator_spark.constants.sources import SOURCE_URI_DICT
 
+# Java-regex character class matching exactly the set Python's str.strip()
+# removes (characters where str.isspace() is True).  Java's `\s` is
+# ASCII-only by default, so scraped text padded with \xa0 /   etc.
+# would diverge between the JVM column expressions and the Python oracle.
+PY_STRIP_CLASS = (
+    "[\\t\\n\\x0B\\f\\r\\x1C-\\x1F \\x85\\xA0\\u1680\\u2000-\\u200A"
+    "\\u2028\\u2029\\u202F\\u205F\\u3000]"
+)
+PY_STRIP_REGEX = f"^{PY_STRIP_CLASS}+|{PY_STRIP_CLASS}+$"
+
 # Public URL-validation regex (Django-style), as used by the reference
 # (claimskg/generator/__init__.py:26-32).
 IS_VALID_URL_REGEX = re.compile(

@@ -35,12 +35,18 @@ from claimskg_generator_spark.functions.textmatch import PhraseMatcher
 
 @F.pandas_udf(T.StringType())
 def round2_str(values: pd.Series) -> pd.Series:
-    return values.map(lambda v: None if v is None else str(round(float(v), 2)))
+    # Arrow hands null doubles to pandas as NaN, so the null guard must be
+    # pd.isna, not `is None` — otherwise a null emits the string "nan".
+    return values.map(lambda v: None if pd.isna(v) else str(round(float(v), 2)))
 
 
 @F.pandas_udf(T.StringType())
 def pyfloat_str(values: pd.Series) -> pd.Series:
-    return values.map(lambda v: None if v is None else str(float(v)))
+    # pd.isna for the same reason as round2_str; a non-numeric
+    # rating_ratingValue (try_cast -> null) must DROP the triple (the
+    # reference raises on float(); we drop — see core_claim_triples guard),
+    # never serialize "nan"^^xsd:float.
+    return values.map(lambda v: None if pd.isna(v) else str(float(v)))
 
 
 @F.pandas_udf(T.StringType())

@@ -10,8 +10,9 @@ Scale design notes (100 TB posture):
   which bounds the join fan-out.
 - minhash-LSH: signatures via one vectorized numpy pandas UDF; band ->
   bucket groupBy; only bucket-colliding pairs are candidates (no all-pairs).
-- simhash: 64-bit signature from token xxhash64s, bucketed by 16-bit
-  chunks (pigeonhole: hamming<=3 over 4 chunks guarantees one equal chunk).
+- simhash: 64-bit signature from token hashes, bucketed by max_hamming+1
+  chunks (pigeonhole: hamming<=h over h+1 chunks guarantees an equal chunk,
+  so candidate recall is exact, not best-effort).
 - embedding-cosine: see operators/similarity.py.
 """
 
@@ -167,9 +168,27 @@ def minhash_lsh_pairs(documents: DataFrame, n: int = 3, num_hashes: int = 32,
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .dropDuplicates()
     )
-    verified = ngram_jaccard_pairs(documents, n, verify_threshold, max_df)
-    return candidates.join(verified, ["id_a", "id_b"]).select(
-        "id_a", "id_b", "jaccard"
+    # Verify on CANDIDATES ONLY: join each side to its distinct-shingle set
+    # and compute exact Jaccard with array_intersect — never the full-corpus
+    # shingle self-join (that O(docs^2) job is what LSH exists to avoid).
+    shingle_sets = documents.select(
+        "doc_id", _shingles(F.col("text"), n).alias("sset")
+    )
+    return (
+        candidates
+        .join(shingle_sets.select(F.col("doc_id").alias("id_a"),
+                                  F.col("sset").alias("s_a")), "id_a")
+        .join(shingle_sets.select(F.col("doc_id").alias("id_b"),
+                                  F.col("sset").alias("s_b")), "id_b")
+        .withColumn("common", F.size(F.array_intersect("s_a", "s_b")))
+        .withColumn(
+            "jaccard",
+            F.round(F.col("common")
+                    / (F.size("s_a") + F.size("s_b") - F.col("common"))
+                    .cast("double"), 4),
+        )
+        .filter(F.col("jaccard") >= verify_threshold)
+        .select("id_a", "id_b", "jaccard")
     )
 
 
@@ -178,14 +197,33 @@ def _bit_mask(i: int) -> int:
     return (1 << i) if i < 63 else -(1 << 63)
 
 
-def simhash_signatures(documents: DataFrame) -> DataFrame:
-    """64-bit SimHash over token xxhash64s: explode tokens -> one 64-way
+def _chunk_widths(n_chunks: int):
+    """Split 64 bits into n_chunks contiguous chunks (remainder spread over
+    the first chunks)."""
+    base, extra = divmod(64, n_chunks)
+    widths = [base + (1 if i < extra else 0) for i in range(n_chunks)]
+    offsets, off = [], 0
+    for w in widths:
+        offsets.append(off)
+        off += w
+    return list(zip(offsets, widths))
+
+
+def simhash_signatures(documents: DataFrame, n_chunks: int = 4,
+                       token_hash=None) -> DataFrame:
+    """64-bit SimHash over token hashes: explode tokens -> one 64-way
     majority-vote aggregate per doc (map-side partial agg keeps the shuffle
-    small), plus 4x16-bit bucket keys for pigeonhole candidate generation
-    (hamming<=3 over 4 chunks -> at least one equal chunk)."""
+    small), plus n_chunks bucket keys for pigeonhole candidate generation
+    (hamming <= n_chunks-1  ->  at least one chunk equal).
+
+    ``token_hash``: column fn token -> 64-bit long; default xxhash64 (the
+    fast path).  Pass an md5-derived hash for cross-engine verification.
+    """
+    if token_hash is None:
+        token_hash = lambda c: F.xxhash64(c)  # noqa: E731
     toks = F.array_distinct(F.split(F.lower(F.trim("text")), r"\s+"))
     ex = documents.select("doc_id", F.explode(toks).alias("tok")).withColumn(
-        "h", F.xxhash64("tok")
+        "h", token_hash(F.col("tok"))
     )
     votes = [
         F.sum(
@@ -201,20 +239,30 @@ def simhash_signatures(documents: DataFrame) -> DataFrame:
             .otherwise(F.lit(0).cast("long"))
         )
     df = agg.select("doc_id", sim.alias("simhash"))
-    for c in range(4):
+    for c, (off, width) in enumerate(_chunk_widths(n_chunks)):
         df = df.withColumn(
             f"chunk{c}",
-            F.shiftrightunsigned("simhash", c * 16).bitwiseAND(F.lit(0xFFFF)),
+            F.shiftrightunsigned("simhash", off)
+            .bitwiseAND(F.lit((1 << width) - 1)),
         )
     return df
 
 
-def simhash_near_dups(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """Candidate pairs via equal 16-bit chunk, verified by true hamming
-    distance (bit_count of xor)."""
-    sigs = simhash_signatures(documents)
+def simhash_near_dups(documents: DataFrame, max_hamming: int = 3,
+                      token_hash=None) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= max_hamming, candidates via
+    equal chunks, verified by true hamming distance (bit_count of xor).
+
+    Recall is GUARANTEED: max_hamming+1 chunks means any pair within the
+    hamming budget leaves at least one chunk untouched (pigeonhole), so it
+    always collides on some chunk table.  Larger max_hamming -> narrower
+    chunks -> more candidates; 3 (the default, 4x16-bit chunks) is the
+    classic web-dedup operating point.
+    """
+    n_chunks = max_hamming + 1
+    sigs = simhash_signatures(documents, n_chunks, token_hash)
     pairs = None
-    for c in range(4):
+    for c in range(n_chunks):
         a = sigs.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("s_a"),
                         F.col(f"chunk{c}").alias("k"))
         b = sigs.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("s_b"),

@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from claimskg_generator_spark.constants.namespaces import NS
+from claimskg_generator_spark.functions.cleaning import PY_STRIP_REGEX
 from claimskg_generator_spark.functions.textmatch import PhraseMatcher
 from claimskg_generator_spark.functions.udfs import make_keyword_match_udf
 from claimskg_generator_spark.functions.uuid5 import uuid5_url_col
@@ -43,7 +44,8 @@ from claimskg_generator_spark.operators.triples import (
 
 
 def _strip(col):
-    return F.regexp_replace(col, r"^\s+|\s+$", "")
+    # Python str.strip() semantics (Unicode whitespace, not Java \s)
+    return F.regexp_replace(col, PY_STRIP_REGEX, "")
 
 
 def exploded_keywords(claims: DataFrame, model_uri: str) -> DataFrame:

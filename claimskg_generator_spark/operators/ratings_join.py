@@ -15,6 +15,7 @@ from claimskg_generator_spark.constants.ratings import (
     NORMALIZED_RATING_VALUES,
     RATING_NORMALIZATION_ROWS,
 )
+from claimskg_generator_spark.functions.cleaning import PY_STRIP_REGEX
 
 
 def ratings_dim(spark: SparkSession) -> DataFrame:
@@ -30,7 +31,7 @@ def ratings_dim(spark: SparkSession) -> DataFrame:
 def standardize_label_col(col) -> "F.Column":
     """strip -> drop '!'/':' -> '-' to ' ' (reference ratings.py:114-115);
     input arrives pre-lowercased like the reference's probe."""
-    stripped = F.regexp_replace(col, r"^\s+|\s+$", "")
+    stripped = F.regexp_replace(col, PY_STRIP_REGEX, "")
     return F.replace(F.translate(stripped, "!:", ""), F.lit("-"), F.lit(" "))
 
 

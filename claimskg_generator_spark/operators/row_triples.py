@@ -77,7 +77,9 @@ def core_triple_array(model_uri: str, include_body: bool) -> Column:
              triple_struct(c("original_rating_uri"), NS.SCHEMA_ALTERNATE_NAME,
                            escape_b64(c("raw_rating_alt")), NS.XSD_B64)),
         triple_struct(c("original_rating_uri"), NS.RDF_TYPE, NS.SCHEMA_RATING, OKIND_URI),
-        _opt(_truthy(c("rating_value_clean")),
+        # failed try_cast drops the triple (never "nan"^^xsd:float)
+        _opt(_truthy(c("rating_value_clean"))
+             & c("rating_value_clean").try_cast("double").isNotNull(),
              triple_struct(c("original_rating_uri"), NS.SCHEMA_RATING_VALUE,
                            pyfloat_str(c("rating_value_clean").try_cast("double")),
                            NS.XSD_FLOAT)),

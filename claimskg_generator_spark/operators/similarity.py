@@ -63,7 +63,11 @@ def hyperplane_lsh_buckets(embeddings: DataFrame, n_planes: int = 8,
                            seed: int = 11, dim: Optional[int] = None,
                            vec_col: str = "embedding") -> DataFrame:
     """Sign-pattern bucket id per vector: bit i = (v . r_i) >= 0, random
-    hyperplanes fixed by seed (deterministic, JVM-side)."""
+    hyperplanes fixed by seed (deterministic, JVM-side).
+
+    Pass ``dim`` explicitly in production plans — the fallback runs a
+    driver-side ``.first()`` action while building the plan, a hidden job
+    you don't want at scale."""
     import random
 
     if dim is None:
@@ -91,10 +95,11 @@ def hyperplane_lsh_buckets(embeddings: DataFrame, n_planes: int = 8,
 
 def lsh_cosine_pairs(embeddings: DataFrame, n_planes: int = 8,
                      threshold: float = 0.9, seed: int = 11,
+                     dim: Optional[int] = None,
                      id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Embedding-cosine near-dup pairs: bucket equi-join candidates, then
     exact cosine verification — the scale path for embedding dedup."""
-    b = hyperplane_lsh_buckets(embeddings, n_planes, seed, vec_col=vec_col)
+    b = hyperplane_lsh_buckets(embeddings, n_planes, seed, dim=dim, vec_col=vec_col)
     a = b.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"), "bucket")
     c = b.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"), "bucket")
     pairs = a.join(c, ["bucket"]).filter(F.col("id_a") < F.col("id_b"))

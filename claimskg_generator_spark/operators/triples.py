@@ -11,6 +11,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from claimskg_generator_spark.constants.namespaces import NS
+from claimskg_generator_spark.functions.cleaning import PY_STRIP_REGEX
 from claimskg_generator_spark.functions.udfs import escape_b64, pyfloat_str
 
 OKIND_URI = "uri"
@@ -89,7 +90,10 @@ def core_claim_triples(claims: DataFrame, model_uri: str,
          c("original_rating_uri"), NS.SCHEMA_ALTERNATE_NAME,
          escape_b64(c("raw_rating_alt")), NS.XSD_B64),
         (None, c("original_rating_uri"), NS.RDF_TYPE, NS.SCHEMA_RATING, OKIND_URI),
-        (_truthy(c("rating_value_clean")),
+        # non-empty AND numeric: a failed try_cast drops the triple (the
+        # reference would raise on float(); "nan"^^xsd:float is never emitted)
+        (_truthy(c("rating_value_clean"))
+         & c("rating_value_clean").try_cast("double").isNotNull(),
          c("original_rating_uri"), NS.SCHEMA_RATING_VALUE,
          pyfloat_str(c("rating_value_clean").try_cast("double")), NS.XSD_FLOAT),
         (None, c("original_rating_uri"), NS.SCHEMA_AUTHOR, c("org_uri"), OKIND_URI),
@@ -145,9 +149,10 @@ def align_duplicated_triples(claims: DataFrame) -> DataFrame:
     oriented by processing order (reference :779-799).  Expressed as an
     equi-self-join on the normalized title — the blocking key — instead of
     the reference's O(n^2) loop; AQE skew-join handles hot titles."""
-    # strip -> lower -> drop quotes, in the reference's exact order (:798-799)
+    # strip -> lower -> drop quotes, in the reference's exact order (:798-799);
+    # strip must match Python str.strip() (Unicode whitespace)
     norm_title = F.translate(
-        F.regexp_replace(F.lower(F.col("claim_text")), r"^\s+|\s+$", ""), "\"'", ""
+        F.regexp_replace(F.lower(F.col("claim_text")), PY_STRIP_REGEX, ""), "\"'", ""
     )
     d = claims.select(norm_title.alias("nt"), "ord", "cw_uri")
     a, b = d.alias("a"), d.alias("b")

@@ -12,6 +12,7 @@ from each keyword's first matching row count as claim entities.
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from claimskg_generator_spark.functions.cleaning import PY_STRIP_REGEX
 from claimskg_generator_spark.operators.keywords import exploded_keywords
 
 
@@ -51,7 +52,7 @@ def _keywords_array(tags_col):
     kw_list = F.when(
         F.contains(tags_col, F.lit(";")), F.split(tags_col, ";")
     ).otherwise(F.split(tags_col, ","))
-    stripped = F.transform(kw_list, lambda k: F.regexp_replace(k, r"^\s+|\s+$", ""))
+    stripped = F.transform(kw_list, lambda k: F.regexp_replace(k, PY_STRIP_REGEX, ""))
     return F.when(
         tags_col.isNotNull() & (F.length(tags_col) > 0),
         F.array_distinct(stripped),

@@ -4,14 +4,32 @@ recomputing (north_rule: checkpoint-resumable at stage boundaries).  This
 replaces the reference's Redis memo caches (reference
 claimskg/util/sparql/sparql_offset_fetcher.py:55-74) with idempotent,
 cluster-wide stage artifacts.
+
+Resume safety: a checkpoint is only reused when BOTH the Parquet _SUCCESS
+marker and an identity marker (``_IDENTITY.<token>``) are present.  The
+token hashes the stage's canonicalized logical plan (semanticHash — input
+path/plan changes flip it) plus the pipeline config, so re-running with the
+same checkpoint dir but different input or config recomputes instead of
+silently returning stale triples.  All existence checks and marker writes
+go through the Hadoop FileSystem API, so checkpoints work on HDFS/S3/GCS,
+not just the local filesystem.
 """
 
+import hashlib
 import json
-import os
 import time
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+def plan_token(df: DataFrame, extra: str = "") -> str:
+    """Identity token for a stage: canonicalized-plan hash + config blob."""
+    try:
+        sem = str(df.semanticHash())
+    except Exception:  # very old/remote sessions: fall back to plan text
+        sem = df._jdf.queryExecution().logical().toString()
+    return hashlib.sha256((sem + "\x00" + extra).encode()).hexdigest()[:16]
 
 
 class CheckpointManager:
@@ -20,24 +38,50 @@ class CheckpointManager:
         self.base_dir = base_dir
         self.events = []  # (stage, action, wall_s, path)
 
+    # -- Hadoop FS helpers (work on any supported scheme, not just file://) --
+    def _jpath(self, *parts: str):
+        jvm = self.spark._jvm
+        p = "/".join(x.rstrip("/") for x in parts)
+        return jvm.org.apache.hadoop.fs.Path(p)
+
+    def _fs(self, jpath):
+        hconf = self.spark._jsc.hadoopConfiguration()
+        return jpath.getFileSystem(hconf)
+
+    def _exists(self, *parts: str) -> bool:
+        jp = self._jpath(*parts)
+        return self._fs(jp).exists(jp)
+
+    def _touch(self, *parts: str) -> None:
+        jp = self._jpath(*parts)
+        self._fs(jp).create(jp, True).close()
+
     def _path(self, name: str) -> str:
-        return os.path.join(self.base_dir, name)
+        return self.base_dir.rstrip("/") + "/" + name
 
-    def _done(self, name: str) -> bool:
-        return os.path.exists(os.path.join(self._path(name), "_SUCCESS"))
+    def _done(self, name: str, token: Optional[str]) -> bool:
+        path = self._path(name)
+        if not self._exists(path, "_SUCCESS"):
+            return False
+        # pre-identity checkpoints (no marker) are treated as stale
+        return token is None or self._exists(path, f"_IDENTITY.{token}")
 
-    def materialize(self, name: str, df: DataFrame) -> DataFrame:
-        """Write-once stage boundary: skip the write when a complete
-        checkpoint already exists (resume), else write and re-read so
-        downstream stages scan Parquet instead of recomputing lineage."""
+    def materialize(self, name: str, df: DataFrame,
+                    token: Optional[str] = None) -> DataFrame:
+        """Write-once stage boundary: skip the write when a complete,
+        identity-matching checkpoint already exists (resume), else write and
+        re-read so downstream stages scan Parquet instead of recomputing
+        lineage."""
         if not self.base_dir:
             return df
         path = self._path(name)
         t0 = time.time()
-        if self._done(name):
+        if self._done(name, token):
             self.events.append((name, "resume", 0.0, path))
             return self.spark.read.parquet(path)
         df.write.mode("overwrite").parquet(path)
+        if token is not None:
+            self._touch(path, f"_IDENTITY.{token}")
         self.events.append((name, "write", time.time() - t0, path))
         return self.spark.read.parquet(path)
 
@@ -48,6 +92,8 @@ class CheckpointManager:
             {"stage": s, "action": a, "wall_s": round(w, 3), "path": p}
             for s, a, w, p in self.events
         ]
-        os.makedirs(self.base_dir, exist_ok=True)
-        with open(os.path.join(self.base_dir, "manifest.json"), "w") as f:
-            json.dump(manifest, f, indent=1)
+        blob = json.dumps(manifest, indent=1)
+        jp = self._jpath(self.base_dir, "manifest.json")
+        out = self._fs(jp).create(jp, True)
+        out.write(bytearray(blob.encode()))
+        out.close()

@@ -14,6 +14,9 @@ per-keyword winner aggregate, (c) the optional duplicate-title self-join.
 Everything else is map-side (broadcast dims, within-row array ops).
 """
 
+import dataclasses
+import hashlib
+import json
 import time
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Sequence
@@ -40,7 +43,7 @@ from claimskg_generator_spark.operators.row_triples import (
 )
 from claimskg_generator_spark.operators.ratings_join import with_normalized_rating
 from claimskg_generator_spark.operators.triples import align_duplicated_triples
-from claimskg_generator_spark.plans.checkpoints import CheckpointManager
+from claimskg_generator_spark.plans.checkpoints import CheckpointManager, plan_token
 from claimskg_generator_spark.sources import synth
 from claimskg_generator_spark.sources.claims import derive_claims, parse_records
 from claimskg_generator_spark.sources.thesaurus import (
@@ -64,6 +67,12 @@ class PipelineConfig:
     )
     checkpoint_dir: Optional[str] = None
     materialize_parsed: bool = True
+    # durable input identity for checkpoint binding (e.g. the input path or
+    # "synth:<n>:<seed>").  Plans that embed pickled Python (mapInPandas
+    # sources) don't hash stably across driver processes, so callers with
+    # such inputs must name them; file-based inputs can leave this None
+    # (their semanticHash is process-stable).
+    input_id: Optional[str] = None
     # reconciliation (J7/J8): owl:sameAs edges for pairs scoring > theta;
     # disabled when <= 0, like the reference's --reconcile flag
     reconcile_theta: float = -1.0
@@ -79,6 +88,12 @@ class ClaimsKGPipeline:
         self.matchers = build_matchers(self.config.thesaurus_entries)
         self.checkpoints = CheckpointManager(spark, self.config.checkpoint_dir)
         self.stage_timings: List[Dict] = []
+        self._input_token: Optional[str] = None
+
+    def _config_blob(self) -> str:
+        cfg = dataclasses.asdict(self.config)
+        cfg.pop("checkpoint_dir", None)  # relocating checkpoints is fine
+        return json.dumps(cfg, sort_keys=True, default=str)
 
     # -- stages ------------------------------------------------------------
     def parsed(self, input_df: DataFrame) -> DataFrame:
@@ -89,7 +104,19 @@ class ClaimsKGPipeline:
         across UDF/join operator boundaries."""
         df = parse_records(input_df, self.config.order_col)
         if self.config.checkpoint_dir:
-            return self.checkpoints.materialize("parsed", df)
+            # Input-identity anchor: an explicit config.input_id when given
+            # (required for pickled-Python sources, which don't hash stably
+            # across driver processes), else the parse plan's semanticHash
+            # (parse_records is pure built-ins — stable for file scans).
+            ident = self.config.input_id
+            self._input_token = (
+                hashlib.sha256(
+                    (ident + "\x00" + self._config_blob()).encode()
+                ).hexdigest()[:16]
+                if ident is not None
+                else plan_token(df, self._config_blob())
+            )
+            return self.checkpoints.materialize("parsed", df, self._input_token)
         if self.config.materialize_parsed:
             df = df.cache()
         return df
@@ -156,7 +183,15 @@ class ClaimsKGPipeline:
         for p in parts[1:]:
             out = out.unionByName(p)
         deduped = out.dropDuplicates(["subj", "pred", "obj", "okind"])
-        return self.checkpoints.materialize("triples", deduped)
+        # Derive the token from the parsed-stage token, NOT the triples plan:
+        # plans holding pandas UDFs don't hash stably across instances, and
+        # triples are a pure function of (parsed data, config, code) anyway.
+        token = None
+        if self._input_token is not None:
+            token = hashlib.sha256(
+                (self._input_token + "\x00" + self._config_blob()).encode()
+            ).hexdigest()[:16]
+        return self.checkpoints.materialize("triples", deduped, token)
 
     # -- sinks ---------------------------------------------------------------
     def write_triples(self, triples: DataFrame, path: str,
@@ -214,8 +249,16 @@ class ClaimsKGPipeline:
 
 
 def _nt_escape(col):
+    """JVM twin of rdfterms._escape_nt: the named escapes plus \\uXXXX for
+    every other control char < 0x20, so both sinks emit byte-identical
+    canonical N-Triples."""
     out = F.replace(col, F.lit("\\"), F.lit("\\\\"))
     out = F.replace(out, F.lit('"'), F.lit('\\"'))
     out = F.replace(out, F.lit("\n"), F.lit("\\n"))
     out = F.replace(out, F.lit("\r"), F.lit("\\r"))
-    return F.replace(out, F.lit("\t"), F.lit("\\t"))
+    out = F.replace(out, F.lit("\t"), F.lit("\\t"))
+    for code in range(0x20):
+        if chr(code) in ("\n", "\r", "\t"):
+            continue
+        out = F.replace(out, F.lit(chr(code)), F.lit("\\u%04X" % code))
+    return out

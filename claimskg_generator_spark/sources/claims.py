@@ -33,6 +33,7 @@ from pyspark.sql import types as T
 
 from claimskg_generator_spark.constants.namespaces import DEFAULT_MODEL_URI
 from claimskg_generator_spark.constants.sources import SOURCE_URI_DICT
+from claimskg_generator_spark.functions.cleaning import PY_STRIP_REGEX
 from claimskg_generator_spark.functions.uuid5 import uuid5_url_col
 
 CLAIM_FIELDS = [
@@ -99,8 +100,9 @@ def repaired_mentions(col: Column) -> Column:
 
 
 def _strip(col: Column) -> Column:
-    """Python str.strip() equivalent (all whitespace, not just spaces)."""
-    return F.regexp_replace(col, r"^\s+|\s+$", "")
+    """Python str.strip() equivalent — Unicode whitespace (\\xa0 etc.),
+    which Java's ASCII-only \\s would miss."""
+    return F.regexp_replace(col, PY_STRIP_REGEX, "")
 
 
 def mint_uri(model_uri: str, kind: str, key: Column) -> Column:

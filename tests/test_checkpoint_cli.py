@@ -39,6 +39,37 @@ def test_checkpoint_resume_identical(spark):
     assert {m["stage"] for m in manifest} == {"parsed", "triples"}
 
 
+def test_checkpoint_stale_on_input_or_config_change(spark):
+    """A checkpoint dir written for one (input, config) must NOT resume for
+    a different input or different config (ADVICE r1: staleness guard)."""
+    base = tempfile.mkdtemp(prefix="claimskg_ck_stale_")
+    p1 = ClaimsKGPipeline(spark, PipelineConfig(checkpoint_dir=base))
+    p1.run(spark.createDataFrame(gen_rows(40)))
+
+    # different input rows -> both stages recompute
+    p2 = ClaimsKGPipeline(spark, PipelineConfig(checkpoint_dir=base))
+    p2.run(spark.createDataFrame(gen_rows(60)))
+    assert all(a == "write" for _, a, _, _ in p2.checkpoints.events)
+
+    # same input, different config -> recompute
+    p3 = ClaimsKGPipeline(
+        spark, PipelineConfig(checkpoint_dir=base, include_body=True)
+    )
+    p3.run(spark.createDataFrame(gen_rows(60)))
+    assert all(a == "write" for _, a, _, _ in p3.checkpoints.events)
+
+    # explicit input_id: resume is keyed on the id, not the plan
+    p4 = ClaimsKGPipeline(
+        spark, PipelineConfig(checkpoint_dir=base, input_id="corpus-v1")
+    )
+    p4.run(spark.createDataFrame(gen_rows(60)))
+    p5 = ClaimsKGPipeline(
+        spark, PipelineConfig(checkpoint_dir=base, input_id="corpus-v1")
+    )
+    p5.run(spark.createDataFrame(gen_rows(60)))
+    assert all(a == "resume" for _, a, _, _ in p5.checkpoints.events)
+
+
 def test_cli_synth_end_to_end(spark):
     from claimskg_generator_spark.cli import main
 
