@@ -15,6 +15,8 @@
 
 from __future__ import annotations
 
+import json as _json
+import os as _os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -22,6 +24,24 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window
 
 LANGID_PROBES_SQL = "['the','a','of','and','to','in','is','it']"
+
+_REPO_DIR = _os.path.dirname(_os.path.abspath(__file__))
+# Checked-in corpus parquet: byte-identical to synthesize_corpus()'s rows
+# (each row is a pure function of (seed, i); purity pinned by
+# tests/test_synth_oracle.py), so DuckDB oracles can compute over the exact
+# input the distributed mapInPandas source generates.
+_CORPUS_PARQUET = _os.path.join(_REPO_DIR, "golden", "corpus_n500_seed42.parquet")
+_GOLDEN_JSON = _os.path.join(_REPO_DIR, "golden", "driver_goldens.json")
+
+
+def _goldens() -> dict:
+    with open(_GOLDEN_JSON) as f:
+        return _json.load(f)
+
+
+def _sq(s: str) -> str:
+    """SQL single-quote escape."""
+    return s.replace("'", "''")
 
 
 def _t(sf_dir: str, name: str) -> str:
@@ -252,18 +272,27 @@ def q16_quality_score(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 def q17_minhash_lsh(spark, sf_dir):
-    from claimskg_generator_spark.operators.dedup import minhash_lsh_pairs
+    """md5-hash variant: same LSH machinery as the production xxhash64 path
+    but reproducible by the DuckDB oracle (dedup.py cross-engine section)."""
+    from claimskg_generator_spark.operators.dedup import (
+        minhash_lsh_pairs_checkable,
+    )
 
     d = spark.read.parquet(_t(sf_dir, "documents"))
-    return minhash_lsh_pairs(d, n=3, num_hashes=32, bands=8,
-                             verify_threshold=0.1, max_df=100000)
+    return minhash_lsh_pairs_checkable(d, n=3, num_hashes=32, bands=8,
+                                       verify_threshold=0.1, seed=7)
 
 
 def q18_simhash(spark, sf_dir):
-    from claimskg_generator_spark.operators.dedup import simhash_near_dups
+    """md5-token-hash variant (cross-engine checkable); recall guaranteed
+    for hamming<=3 by 4-chunk pigeonhole."""
+    from claimskg_generator_spark.operators.dedup import (
+        md5_token_hash64,
+        simhash_near_dups,
+    )
 
     d = spark.read.parquet(_t(sf_dir, "documents"))
-    return simhash_near_dups(d, max_hamming=3)
+    return simhash_near_dups(d, max_hamming=3, token_hash=md5_token_hash64)
 
 
 LSH_PLANES = 4
@@ -310,10 +339,16 @@ def _q19_oracle_sql() -> str:
 
 
 def q20_uuid5_mint(spark, sf_dir):
+    """P16: pure-JVM uuid5 minting over the corpus content, cross-checked
+    against a Python-stdlib-uuid5 golden (DuckDB has no sha1, so this is a
+    golden rather than a relational oracle)."""
     from claimskg_generator_spark.functions.uuid5 import uuid5_url_col
 
-    d = spark.read.parquet(_t(sf_dir, "documents"))
-    return d.select("doc_id", uuid5_url_col(F.col("text")).alias("doc_uuid"))
+    corpus = _claims_corpus(spark, sf_dir)
+    return corpus.select(
+        F.col("path").alias("ord"),
+        uuid5_url_col(F.col("content")).alias("doc_uuid"),
+    )
 
 
 def q21_claims_triples(spark, sf_dir):
@@ -391,6 +426,428 @@ def q26_claims_canonicalize(spark, sf_dir):
     return canonicalize_claim_mentions(pipe.claims(corpus), 0.3)
 
 
+# ---------------------------------------------------------------------------
+# DuckDB oracles for the claims-pipeline queries.
+#
+# Two kinds:
+#  * RELATIONAL (q24, q26): full re-derivation in SQL over the checked-in
+#    corpus parquet — JSON mention parsing, keyword memo, citation cleaning
+#    and rating normalization re-expressed with DuckDB primitives plus the
+#    same broadcast dictionaries (ratings table, source homepages, keyword
+#    concept spans) the engine uses as INPUT data.
+#  * GOLDEN (q20, q21, q23): the expected output embedded as VALUES,
+#    generated by the pure-Python reference-semantics side (oracle.py /
+#    stdlib uuid5) via scripts/gen_pipeline_goldens.py — NOT by the Spark
+#    engine (Spark-vs-oracle parity is separately pinned by
+#    tests/test_pipeline_golden.py and tests/test_uuid5.py).
+# ---------------------------------------------------------------------------
+
+# Python-strip character set (the corpus is ASCII; DuckDB trim() alone only
+# strips spaces)
+_WS = "(' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12))"
+
+_MENTION_STRUCT = (
+    '[{"begin":"BIGINT","end":"BIGINT","text":"VARCHAR",'
+    '"entity":"VARCHAR","score":"VARCHAR","categories":["VARCHAR"]}]'
+)
+_EMPTY_MENTIONS = f"json_transform('[]'::JSON, '{_MENTION_STRUCT}')"
+
+
+def _mp(field: str) -> str:
+    """Repair + parse one mention-annotation JSON field (twin of
+    functions/cleaning.process_json + sources/claims.repaired_mentions)."""
+    raw = f"json_extract_string(j, '$.{field}')"
+    repaired = (
+        "regexp_replace(regexp_replace(regexp_replace(" + raw +
+        ", '\",\"{2}', ',\"', 'g'), '\"\n\t\"', '', 'g'), "
+        "'\\}\\]\\[\\]', '}]', 'g')"
+    )
+    return f"json_transform(TRY_CAST({repaired} AS JSON), '{_MENTION_STRUCT}')"
+
+
+def _above(col: str) -> str:
+    """Above-threshold mention filter (strict >, like the engine)."""
+    return (f"list_filter(coalesce({col}, {_EMPTY_MENTIONS}), "
+            "m -> TRY_CAST(m.score AS DOUBLE) > 0.3::DOUBLE)")
+
+
+def _corpus_fields_cte() -> str:
+    return f"""
+        c AS (SELECT path AS ord, content::JSON AS j
+              FROM read_parquet('{_CORPUS_PARQUET}')),
+        f AS (SELECT ord,
+              json_extract_string(j, '$.claimReview_author_name') AS source,
+              coalesce(json_extract_string(j, '$.creativeWork_author_name'), '') AS author,
+              coalesce(json_extract_string(j, '$.extra_title'), '') AS title,
+              coalesce(json_extract_string(j, '$.extra_body'), '') AS body,
+              coalesce(json_extract_string(j, '$.extra_tags'), '') AS tags,
+              coalesce(json_extract_string(j, '$.extra_refered_links'), '') AS links,
+              coalesce(json_extract_string(j, '$.creativeWork_datePublished'), '') AS cdate,
+              coalesce(json_extract_string(j, '$.rating_alternateName'), '') AS ralt,
+              {_mp('extra_entities_claimReview_claimReviewed')} AS m_review,
+              {_mp('extra_entities_body')} AS m_body,
+              {_mp('extra_entities_keywords')} AS m_kw
+              FROM c)"""
+
+
+def _ratings_dim_values() -> str:
+    from claimskg_generator_spark.constants.ratings import RATING_NORMALIZATION_ROWS
+
+    rows = ", ".join(
+        f"('{_sq(src)}', '{_sq(label)}', '{_sq(name)}')"
+        for src, label, name in RATING_NORMALIZATION_ROWS
+    )
+    return f"(SELECT * FROM (VALUES {rows}) AS t(r_source, r_label, r_name))"
+
+
+def _homepage_dim_values() -> str:
+    from claimskg_generator_spark.constants.sources import SOURCE_URI_DICT
+
+    rows = ", ".join(
+        f"('{_sq(k)}', '{_sq(v)}')" for k, v in SOURCE_URI_DICT.items()
+    )
+    return f"(SELECT * FROM (VALUES {rows}) AS t(h_source, homepage))"
+
+
+def _kw_dim_values() -> str:
+    def arr(spans):
+        return ("CAST([" + ",".join(f"'{_sq(s)}'" for s in spans)
+                + "] AS VARCHAR[])")
+
+    rows = ", ".join(
+        f"('{_sq(kw)}', {arr(th)}, {arr(un)})"
+        for kw, th, un in _goldens()["kw_dim"]
+    )
+    return f"(SELECT * FROM (VALUES {rows}) AS t(d_kw, th_spans, un_spans))"
+
+
+def _url_regex_sql() -> str:
+    from claimskg_generator_spark.functions.cleaning import IS_VALID_URL_REGEX
+
+    return _sq(IS_VALID_URL_REGEX.pattern)
+
+
+_JUNK_1 = "%20TARGET=prayer>adultery</A>%20was%20made%20public.%20</p>%0A"
+
+
+_SHINGLES3_SQL = """
+    (SELECT doc_id,
+        CASE WHEN len(toks) >= 3 THEN
+            list_distinct([array_to_string(toks[i:i+2], ' ')
+                           for i in range(1, len(toks) - 1)])
+        ELSE [array_to_string(toks, ' ')] END AS sset
+     FROM (SELECT doc_id,
+                  string_split_regex(lower(trim(text)), '\\s+') AS toks
+           FROM documents))"""
+
+_MD5_MOD_P = ("((('0x' || substr(md5({x}), 1, 8))::BIGINT % 2147483647) * 2"
+              " + ('0x' || substr(md5({x}), 9, 8))::BIGINT % 2147483647)"
+              " % 2147483647")
+
+
+def _q17_oracle_sql() -> str:
+    """SQL twin of minhash_lsh_pairs_checkable: md5-mod-p shingle hashes,
+    the same seeded universal-hash coefficients, banding, bucket self-join,
+    candidates-only exact-Jaccard verify."""
+    from claimskg_generator_spark.operators.dedup import minhash_coefficients
+
+    num_hashes, bands, rpb, thr = 32, 8, 4, 0.1
+    coeffs = minhash_coefficients(num_hashes, seed=7)
+    mins = [
+        f"list_min(list_transform(xs, x -> (x * {a} + {b}) % 2147483647))"
+        for a, b in coeffs
+    ]
+    band_cols = ",\n            ".join(
+        "array_to_string([" + ", ".join(mins[j * rpb:(j + 1) * rpb])
+        + f"], ',') AS band{j}"
+        for j in range(bands)
+    )
+    banded_union = "\n            UNION ALL ".join(
+        f"SELECT doc_id, {j} AS band, band{j} AS key FROM sig"
+        for j in range(bands)
+    )
+    return f"""
+        WITH sh AS {_SHINGLES3_SQL},
+        xs AS (SELECT doc_id,
+                      list_transform(sset, s -> {_MD5_MOD_P.format(x='s')})
+                      AS xs
+               FROM sh),
+        sig AS (SELECT doc_id,
+            {band_cols}
+            FROM xs),
+        banded AS ({banded_union}),
+        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                 FROM banded a JOIN banded b
+                   ON a.band = b.band AND a.key = b.key
+                  AND a.doc_id < b.doc_id),
+        ver AS (SELECT c.id_a, c.id_b,
+                       len(list_intersect(sa.sset, sb.sset)) AS common,
+                       len(sa.sset) AS la, len(sb.sset) AS lb
+                FROM cand c
+                JOIN sh sa ON sa.doc_id = c.id_a
+                JOIN sh sb ON sb.doc_id = c.id_b)
+        SELECT id_a, id_b,
+               round(common::DOUBLE / (la + lb - common), 4) AS jaccard
+        FROM ver
+        WHERE round(common::DOUBLE / (la + lb - common), 4) >= {thr}
+    """
+
+
+def _q18_oracle_sql() -> str:
+    """SQL twin of simhash_near_dups(md5_token_hash64, max_hamming=3): the
+    64-bit signature carried as two 32-bit halves (no signed-overflow
+    packing needed), 4x16-bit pigeonhole chunks, exact hamming verify."""
+    lo_votes = ",\n            ".join(
+        f"sum(CASE WHEN (lo >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(32)
+    )
+    hi_votes = ",\n            ".join(
+        f"sum(CASE WHEN (hi >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i + 32}"
+        for i in range(32)
+    )
+    sh_lo = " + ".join(
+        f"(CASE WHEN v{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(32)
+    )
+    sh_hi = " + ".join(
+        f"(CASE WHEN v{i + 32} > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(32)
+    )
+    return f"""
+        WITH tok AS (
+            SELECT doc_id,
+                   unnest(list_distinct(
+                       string_split_regex(lower(trim(text)), '\\s+'))) AS t
+            FROM documents),
+        h AS (SELECT doc_id,
+                     ('0x' || substr(md5(t), 1, 8))::BIGINT AS hi,
+                     ('0x' || substr(md5(t), 9, 8))::BIGINT AS lo
+              FROM tok),
+        v AS (SELECT doc_id,
+            {lo_votes},
+            {hi_votes}
+            FROM h GROUP BY doc_id),
+        s AS (SELECT doc_id, {sh_lo} AS sh_lo, {sh_hi} AS sh_hi FROM v),
+        c AS (SELECT doc_id, sh_lo, sh_hi,
+                     sh_lo & 65535 AS c0, sh_lo >> 16 AS c1,
+                     sh_hi & 65535 AS c2, sh_hi >> 16 AS c3
+              FROM s)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               (bit_count(xor(a.sh_lo, b.sh_lo))
+                + bit_count(xor(a.sh_hi, b.sh_hi)))::INT AS hamming
+        FROM c a JOIN c b
+          ON a.doc_id < b.doc_id
+         AND (a.c0 = b.c0 OR a.c1 = b.c1 OR a.c2 = b.c2 OR a.c3 = b.c3)
+        WHERE bit_count(xor(a.sh_lo, b.sh_lo))
+              + bit_count(xor(a.sh_hi, b.sh_hi)) <= 3
+    """
+
+
+def _q24_oracle_sql() -> str:
+    ws = _WS
+    x2 = f"trim(x, {ws})"
+    cleaned = (
+        f"replace(replace(replace(replace(replace(replace(replace({x2}, "
+        f"'\\', ''), '{_sq(_JUNK_1)}', ''), '\"', ''), '<img%20src=?', ''), "
+        "'>', ''), '</', ''), '<', '')"
+    )
+    after = f"substr({cleaned}, strpos({cleaned}, '://') + 3)"
+    netloc = f"regexp_extract({after}, '^[^/?#]*')"
+    path = f"regexp_extract(substr({after}, length({netloc}) + 1), '^[^?#]*')"
+    kw_strip = f"trim(lower(m.text), {ws})"
+    contains_kw = f"contains({kw_strip}, lower(keyword))"
+    span = "m.begin::VARCHAR || ':' || m.\"end\"::VARCHAR"
+    processed = "(w.win_ord IS NULL OR k.ord <= w.win_ord)"
+    kw_split = ("CASE WHEN contains(tags, ';') THEN string_split(tags, ';') "
+                "ELSE string_split(tags, ',') END")
+    return f"""
+        WITH {_corpus_fields_cte()},
+        hp AS {_homepage_dim_values()},
+        rdim AS {_ratings_dim_values()},
+        kdim AS {_kw_dim_values()},
+        cit AS (
+            SELECT f.ord, count(*) AS cit_cnt
+            FROM f JOIN hp ON hp.h_source = f.source,
+                 unnest(string_split(substr(f.links, 1, length(f.links) - 1),
+                                     ',')) AS u(x)
+            WHERE length(f.links) > 0
+              AND length({x2}) > 0
+              AND substr({x2}, 1, 1) <> '#'
+              AND regexp_matches({x2}, '{_url_regex_sql()}', 'i')
+              AND {x2} <> hp.homepage
+              AND length({path}) > 0
+              AND contains({netloc}, '.')
+              AND NOT contains({cleaned}, '<img')
+            GROUP BY f.ord),
+        kwx AS (
+            SELECT ord, trim(x, {ws}) AS keyword, m_kw
+            FROM f, unnest({kw_split}) AS u(x)
+            WHERE length(tags) > 0),
+        kwm AS (
+            SELECT ord, keyword,
+                len(list_filter(coalesce(m_kw, {_EMPTY_MENTIONS}),
+                                m -> {contains_kw})) > 0 AS has_match,
+                list_filter(coalesce(m_kw, {_EMPTY_MENTIONS}),
+                            m -> {contains_kw}
+                            AND TRY_CAST(m.score AS DOUBLE) > 0.3::DOUBLE) AS m_thr
+            FROM kwx),
+        win AS (SELECT keyword, min(ord) FILTER (WHERE has_match) AS win_ord
+                FROM kwm GROUP BY keyword),
+        kwc AS (
+            SELECT k.ord,
+                count(DISTINCT k.keyword) FILTER (WHERE {processed}
+                    AND len(d.th_spans) > 0) AS n_kw_thesoz,
+                count(DISTINCT k.keyword) FILTER (WHERE {processed}
+                    AND len(d.un_spans) > 0) AS n_kw_unesco,
+                count(DISTINCT k.keyword) FILTER (WHERE k.ord = w.win_ord
+                    AND len(k.m_thr) > 0) AS n_kw_dbpedia,
+                count(DISTINCT k.keyword) FILTER (WHERE k.ord = w.win_ord
+                    AND len(list_filter(k.m_thr,
+                        m -> list_contains(d.th_spans, {span}))) > 0)
+                    AS n_kw_thesoz_dbp,
+                count(DISTINCT k.keyword) FILTER (WHERE k.ord = w.win_ord
+                    AND len(list_filter(k.m_thr,
+                        m -> list_contains(d.un_spans, {span}))) > 0)
+                    AS n_kw_unesco_dbp
+            FROM kwm k LEFT JOIN win w ON k.keyword = w.keyword
+                       LEFT JOIN kdim d ON k.keyword = d.d_kw
+            GROUP BY k.ord),
+        kwin AS (SELECT DISTINCT k.ord, k.keyword, len(k.m_thr) AS me
+                 FROM kwm k JOIN win w
+                   ON k.keyword = w.keyword AND k.ord = w.win_ord),
+        kwe AS (SELECT ord, sum(me) AS kw_ent_cnt FROM kwin GROUP BY ord),
+        v AS (
+            SELECT f.ord, f.source, f.author,
+                len({_above('m_review')}) AS rev_cnt,
+                len({_above('m_body')}) AS body_cnt,
+                coalesce(e.kw_ent_cnt, 0) AS kw_ent,
+                CASE WHEN length(f.tags) > 0 THEN
+                    len(list_distinct(list_transform({kw_split},
+                                                     x -> trim(x, {ws}))))
+                ELSE 0 END AS kw_cnt,
+                coalesce(c2.cit_cnt, 0) AS cit_cnt,
+                length(f.body) > 0 AS has_body,
+                length(f.title) > 0 AS has_headline,
+                (length(f.cdate) > 0
+                 AND TRY_CAST(f.cdate AS DATE) IS NOT NULL) AS has_date,
+                coalesce(r.r_name, 'OTHER') AS norm_name,
+                coalesce(k.n_kw_thesoz, 0) AS n_kw_thesoz,
+                coalesce(k.n_kw_unesco, 0) AS n_kw_unesco,
+                coalesce(k.n_kw_dbpedia, 0) AS n_kw_dbpedia,
+                coalesce(k.n_kw_thesoz_dbp, 0) AS n_kw_thesoz_dbp,
+                coalesce(k.n_kw_unesco_dbp, 0) AS n_kw_unesco_dbp
+            FROM f
+            LEFT JOIN kwe e USING (ord)
+            LEFT JOIN cit c2 USING (ord)
+            LEFT JOIN kwc k ON k.ord = f.ord
+            LEFT JOIN rdim r ON r.r_source = lower(f.source)
+                 AND r.r_label = replace(translate(trim(lower(f.ralt), {ws}),
+                                                   '!:', ''), '-', ' '))
+        SELECT coalesce(source, '__global__') AS source_grp,
+            count(*) AS claim_reviews,
+            sum(CASE WHEN length(author) = 0 THEN 1 ELSE 0 END)::BIGINT
+                AS claims_without_author,
+            sum(rev_cnt)::DOUBLE / count(*) AS entities_per_review,
+            sum(kw_ent + body_cnt)::DOUBLE / count(*) AS entities_per_claim,
+            sum(kw_ent + body_cnt + rev_cnt)::BIGINT AS total_entities,
+            sum(kw_cnt)::BIGINT AS keywords,
+            sum(n_kw_thesoz)::BIGINT AS kw_thesoz,
+            sum(n_kw_unesco)::BIGINT AS kw_unesco,
+            sum(n_kw_dbpedia)::BIGINT AS kw_dbpedia,
+            sum(n_kw_thesoz_dbp)::BIGINT AS kw_thesoz_dbpedia,
+            sum(n_kw_unesco_dbp)::BIGINT AS kw_unesco_dbpedia,
+            sum(kw_cnt)::DOUBLE / count(*) AS keywords_per_review,
+            sum(cit_cnt)::DOUBLE / count(*) AS citations_per_creative_work,
+            sum(CASE WHEN has_body THEN 1 ELSE 0 END)::DOUBLE / count(*)
+                * 100.0 AS pct_with_text,
+            sum(CASE WHEN length(author) > 0 THEN 1 ELSE 0 END)::DOUBLE
+                / count(*) * 100.0 AS pct_with_author,
+            sum(CASE WHEN has_date THEN 1 ELSE 0 END)::DOUBLE / count(*)
+                * 100.0 AS pct_with_date,
+            sum(CASE WHEN cit_cnt > 0 THEN 1 ELSE 0 END)::DOUBLE / count(*)
+                * 100.0 AS pct_with_citations,
+            sum(CASE WHEN kw_ent + body_cnt > 0 THEN 1 ELSE 0 END)::DOUBLE
+                / count(*) * 100.0 AS pct_with_entities,
+            sum(CASE WHEN has_headline THEN 1 ELSE 0 END)::DOUBLE / count(*)
+                * 100.0 AS pct_with_headline,
+            sum(CASE WHEN kw_cnt > 0 THEN 1 ELSE 0 END)::DOUBLE / count(*)
+                * 100.0 AS pct_with_keywords,
+            sum(CASE WHEN rev_cnt > 0 THEN 1 ELSE 0 END)::DOUBLE / count(*)
+                * 100.0 AS pct_reviews_with_entities,
+            sum(CASE WHEN norm_name = 'TRUE' THEN 1 ELSE 0 END)::BIGINT
+                AS true_claims,
+            sum(CASE WHEN norm_name = 'FALSE' THEN 1 ELSE 0 END)::BIGINT
+                AS false_claims,
+            sum(CASE WHEN norm_name = 'MIXTURE' THEN 1 ELSE 0 END)::BIGINT
+                AS mixture_claims,
+            sum(CASE WHEN norm_name = 'OTHER' THEN 1 ELSE 0 END)::BIGINT
+                AS other_claims
+        FROM v GROUP BY ROLLUP(source)
+    """
+
+
+def _q26_oracle_sql() -> str:
+    return f"""
+        WITH {_corpus_fields_cte()},
+        m AS (
+            SELECT lower(mm.text) AS surface,
+                   replace(mm.entity, ' ', '_') AS entity_u
+            FROM (
+                SELECT unnest({_above('m_review')}) AS mm FROM f
+                UNION ALL
+                SELECT unnest({_above('m_body')}) AS mm FROM f)),
+        pe AS (SELECT surface, entity_u, count(*) AS n_links
+               FROM m GROUP BY 1, 2),
+        r AS (SELECT surface, entity_u, n_links,
+                     sum(n_links) OVER (PARTITION BY surface)::BIGINT
+                         AS n_mentions,
+                     count(*) OVER (PARTITION BY surface) AS n_entities,
+                     row_number() OVER (PARTITION BY surface
+                         ORDER BY n_links DESC, entity_u DESC) AS rn
+              FROM pe)
+        SELECT surface, n_mentions, n_entities, entity_u AS canonical_entity
+        FROM r WHERE rn = 1
+    """
+
+
+def _q21_oracle_sql() -> str:
+    rows = ", ".join(
+        f"('{_sq(p)}', '{_sq(k)}', {n})" for p, k, n in _goldens()["q21"]
+    )
+    return f"""
+        -- golden derived from the row-at-a-time reference-semantics oracle
+        -- (claimskg_generator_spark/oracle.py) over the same deterministic
+        -- corpus; regenerate with scripts/gen_pipeline_goldens.py
+        SELECT pred, okind, n::BIGINT AS n
+        FROM (VALUES {rows}) AS t(pred, okind, n)
+    """
+
+
+def _q23_oracle_sql() -> str:
+    rows = ", ".join(
+        f"('{_sq(a)}', '{_sq(b)}', {s!r})" for a, b, s in _goldens()["q23"]
+    )
+    return f"""
+        -- golden from oracle.py reconcile() (reference reconciler
+        -- semantics), scores quantized HALF_UP to 6 like Spark ROUND;
+        -- regenerate with scripts/gen_pipeline_goldens.py
+        SELECT cw_a, cw_b, score::DOUBLE AS score
+        FROM (VALUES {rows}) AS t(cw_a, cw_b, score)
+    """
+
+
+def _q20_oracle_sql() -> str:
+    rows = ", ".join(
+        f"('{_sq(o)}', '{u}')" for o, u in _goldens()["q20"]
+    )
+    return f"""
+        -- golden from Python stdlib uuid.uuid5 (the independent twin of the
+        -- JVM column expression); regenerate with
+        -- scripts/gen_pipeline_goldens.py
+        SELECT ord, doc_uuid
+        FROM (VALUES {rows}) AS t(ord, doc_uuid)
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -424,7 +881,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "q17_minhash_lsh": _q17_oracle_sql(),
+        "q18_simhash": _q18_oracle_sql(),
         "q19_lsh_cosine": _q19_oracle_sql(),
+        "q20_uuid5_mint": _q20_oracle_sql(),
+        "q22_multimodal_features": """
+            SELECT doc_id::BIGINT AS media_id,
+                   CASE WHEN doc_id % 3 = 0 THEN 'image'
+                        WHEN doc_id % 3 = 1 THEN 'audio'
+                        ELSE 'video' END AS kind,
+                   sha256(text) AS payload_sha256,
+                   octet_length(encode(text))::BIGINT AS n_bytes
+            FROM documents
+        """,
+        "q21_claims_triples": _q21_oracle_sql(),
+        "q23_claims_reconcile": _q23_oracle_sql(),
+        "q24_claims_stats": _q24_oracle_sql(),
+        "q26_claims_canonicalize": _q26_oracle_sql(),
         "q01_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,

@@ -47,6 +47,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         "reconciliation scoring")
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--mappings-output", default=None,
+                   help="write the reconciliation mappings CSV (the "
+                        "reference's per-side feature columns); requires "
+                        "--reconcile > 0")
     p.add_argument("--stats-output", default=None)
     p.add_argument("--lineage-output", default=None)
     p.add_argument("--output-partitions", type=int, default=None)
@@ -95,6 +99,19 @@ def main(argv=None) -> int:
         pipe.write_triples(triples, args.output, args.output_partitions)
     else:
         pipe.write_ntriples(triples, args.output)
+
+    if args.mappings_output and args.reconcile > 0:
+        from claimskg_generator_spark.operators.reconcile import (
+            reconcile_mappings,
+        )
+        from claimskg_generator_spark.operators.views import logical_views
+
+        views = logical_views(pipe.claims(input_df), cfg.model_uri,
+                              cfg.threshold)
+        reconcile_mappings(
+            views, cfg.reconcile_theta, cfg.reconcile_sample,
+            cfg.reconcile_seed, cfg.reconcile_embeddings,
+        ).write.mode("overwrite").option("header", True).csv(args.mappings_output)
 
     if args.lineage_output:
         pipe.lineage(input_df).write.mode("overwrite").parquet(args.lineage_output)

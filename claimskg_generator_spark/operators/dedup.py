@@ -89,6 +89,118 @@ def ngram_jaccard_pairs(documents: DataFrame, n: int = 3,
     )
 
 
+# --------------------------------------------------------------------------
+# Cross-engine-checkable hash paths.  xxhash64 is Spark-only, so operators
+# built on it can't be verified by an external SQL engine.  These md5-based
+# twins produce the same results from ANY engine with md5 + 64-bit integer
+# arithmetic (used by the driver-oracle queries; the xxhash64 paths remain
+# the production default — md5 costs ~2-3x more per token).
+# --------------------------------------------------------------------------
+
+MINHASH_P = (1 << 31) - 1  # Mersenne prime 2^31-1
+
+
+def md5_token_hash64(col):
+    """First 64 bits of md5 as a signed long, assembled from two 32-bit
+    halves (conv of 16 hex chars can exceed Long.MAX; two 8-char halves
+    always fit, and shiftleft wraps into two's complement exactly like the
+    SQL twin's hi/lo arithmetic)."""
+    h = F.md5(col)
+    hi = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
+    return F.shiftleft(hi, 32).bitwiseOR(lo)
+
+
+def md5_hash_mod_p(col):
+    """md5-derived value mod 2^31-1: (hi*2^32 + lo) mod p computed as
+    (2*(hi mod p) + (lo mod p)) mod p since 2^32 ≡ 2 (mod p) — every
+    intermediate fits a 64-bit signed int in any engine."""
+    h = F.md5(col)
+    hi = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
+    return (hi % MINHASH_P * 2 + lo % MINHASH_P) % MINHASH_P
+
+
+def minhash_coefficients(num_hashes: int, seed: int = 7):
+    """Universal-hash coefficients h_i(x) = (a_i*x + b_i) mod p, fixed by
+    seed via the portable stdlib generator (shared with the SQL oracle)."""
+    import random
+
+    rng = random.Random(seed)
+    return [(rng.randrange(1, MINHASH_P), rng.randrange(0, MINHASH_P))
+            for _ in range(num_hashes)]
+
+
+def _verify_candidate_jaccard(documents: DataFrame, candidates: DataFrame,
+                              n: int, threshold: float) -> DataFrame:
+    """Exact n-gram Jaccard on CANDIDATE pairs only (join each side to its
+    distinct-shingle set + array_intersect) — never the full-corpus shingle
+    self-join LSH exists to avoid."""
+    shingle_sets = documents.select(
+        "doc_id", _shingles(F.col("text"), n).alias("sset")
+    )
+    return (
+        candidates
+        .join(shingle_sets.select(F.col("doc_id").alias("id_a"),
+                                  F.col("sset").alias("s_a")), "id_a")
+        .join(shingle_sets.select(F.col("doc_id").alias("id_b"),
+                                  F.col("sset").alias("s_b")), "id_b")
+        .withColumn("common", F.size(F.array_intersect("s_a", "s_b")))
+        .withColumn(
+            "jaccard",
+            F.round(F.col("common")
+                    / (F.size("s_a") + F.size("s_b") - F.col("common"))
+                    .cast("double"), 4),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_lsh_pairs_checkable(documents: DataFrame, n: int = 3,
+                                num_hashes: int = 32, bands: int = 8,
+                                verify_threshold: float = 0.5,
+                                seed: int = 7) -> DataFrame:
+    """MinHash+LSH with md5-mod-p shingle hashes and the signature computed
+    as pure JVM array expressions (array_min over transform) — zero Python
+    in the plan AND reproducible by a SQL oracle.  Same banding/bucketing/
+    candidates-only-verify shape as minhash_lsh_pairs."""
+    rows_per_band = num_hashes // bands
+    coeffs = minhash_coefficients(num_hashes, seed)
+    p = F.lit(MINHASH_P)
+    xs = F.transform(_shingles(F.col("text"), n), md5_hash_mod_p)
+    def _minexpr(a, b):
+        return F.array_min(F.transform(xs, lambda x: (x * a + b) % p))
+
+    sig_cols = [_minexpr(a, b) for a, b in coeffs]
+    doc_sigs = documents.select("doc_id", *[
+        F.concat_ws(",", *[s.cast("string")
+                           for s in sig_cols[j * rows_per_band:
+                                             (j + 1) * rows_per_band]])
+        .alias(f"band{j}")
+        for j in range(bands)
+    ])
+    banded = doc_sigs.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(j).alias("band"), F.col(f"band{j}").alias("key"))
+            for j in range(bands)
+        ])).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.key")
+    a, b = banded.alias("a"), banded.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .dropDuplicates()
+    )
+    return _verify_candidate_jaccard(documents, candidates, n, verify_threshold)
+
+
 _SIG_TYPE = T.ArrayType(T.LongType())
 
 
@@ -168,28 +280,7 @@ def minhash_lsh_pairs(documents: DataFrame, n: int = 3, num_hashes: int = 32,
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .dropDuplicates()
     )
-    # Verify on CANDIDATES ONLY: join each side to its distinct-shingle set
-    # and compute exact Jaccard with array_intersect — never the full-corpus
-    # shingle self-join (that O(docs^2) job is what LSH exists to avoid).
-    shingle_sets = documents.select(
-        "doc_id", _shingles(F.col("text"), n).alias("sset")
-    )
-    return (
-        candidates
-        .join(shingle_sets.select(F.col("doc_id").alias("id_a"),
-                                  F.col("sset").alias("s_a")), "id_a")
-        .join(shingle_sets.select(F.col("doc_id").alias("id_b"),
-                                  F.col("sset").alias("s_b")), "id_b")
-        .withColumn("common", F.size(F.array_intersect("s_a", "s_b")))
-        .withColumn(
-            "jaccard",
-            F.round(F.col("common")
-                    / (F.size("s_a") + F.size("s_b") - F.col("common"))
-                    .cast("double"), 4),
-        )
-        .filter(F.col("jaccard") >= verify_threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    return _verify_candidate_jaccard(documents, candidates, n, verify_threshold)
 
 
 def _bit_mask(i: int) -> int:

@@ -77,15 +77,21 @@ def exploded_keywords(claims: DataFrame, model_uri: str) -> DataFrame:
 
 def keyword_triples_and_raw_mentions(claims: DataFrame, model_uri: str,
                                      matchers: Dict[str, PhraseMatcher],
-                                     threshold: float):
+                                     threshold: float,
+                                     ex: DataFrame = None):
     """Returns (non-mention keyword triples, raw winner mention rows).
 
     The raw mention rows (attach = keyword URI) are returned unminted so
     the pipeline can union them with the review/body mention rows and run
-    ONE confidence-format + uuid5 pass over all mentions."""
+    ONE confidence-format + uuid5 pass over all mentions.
+
+    ``ex``: pre-materialized exploded_keywords frame — pass it when the
+    same run also builds views/statistics so the tag explode + containment
+    filter is computed ONCE per run, not once per consumer."""
     # consumed by the edge projection, the winner aggregate and the winner
     # join — cache so the tag explode + containment filter runs once
-    ex = exploded_keywords(claims, model_uri).cache()
+    if ex is None:
+        ex = exploded_keywords(claims, model_uri).cache()
 
     # (cw, schema:keywords, kw) for every occurrence (:410)
     edges = ex.select(

@@ -179,6 +179,14 @@ def reconcile_pairs(views: DataFrame, theta: float,
                     sample_fraction: Optional[float] = None,
                     seed: Optional[int] = None,
                     use_embeddings: bool = False) -> DataFrame:
+    return _reconcile_scored(views, theta, sample_fraction, seed,
+                             use_embeddings).select("cw_a", "cw_b", "score")
+
+
+def _reconcile_scored(views: DataFrame, theta: float,
+                      sample_fraction: Optional[float] = None,
+                      seed: Optional[int] = None,
+                      use_embeddings: bool = False) -> DataFrame:
     """views columns: ord, cw_uri, creative_work_author, claim_date (date),
     review_date (date), keywords (arr), links (arr), entities (arr),
     categories (arr) [+ fragments (arr) when use_embeddings].
@@ -191,14 +199,20 @@ def reconcile_pairs(views: DataFrame, theta: float,
     ONCE (an Arrow UDF over claims, not over pairs) and the pair-level
     cosine evaluated as a JVM array expression.
     """
-    cols = ["ord", "cw_uri", "creative_work_author", "claim_date",
-            "review_date", "keywords", "links", "entities", "categories"]
     if use_embeddings:
         views = with_fragment_vectors(views)
-        cols += ["vec_full", "vec_first"]
-    v = views.select(*cols)
-    a = v.select([F.col(c).alias(c + "_a") for c in cols])
-    b = v.select([F.col(c).alias(c + "_b") for c in cols])
+
+    # SLIM blocking self-join: only the block key, prune-predicate columns
+    # and the pair identity go through the candidate explosion — a hot
+    # author with n claims produces n^2 candidate rows, and carrying the
+    # keyword/link/entity arrays through that explosion is the memory/
+    # shuffle bottleneck at scale.  The arrays re-attach by ord afterwards,
+    # touching only surviving candidates.
+    slim_cols = ["ord", "cw_uri", "creative_work_author", "claim_date",
+                 "review_date"]
+    slim = views.select(*slim_cols, F.size("entities").alias("n_entities"))
+    a = slim.select([F.col(c).alias(c + "_a") for c in slim.columns])
+    b = slim.select([F.col(c).alias(c + "_b") for c in slim.columns])
 
     # blocking equi-join + cheap pushed-down prune predicates
     cond = (
@@ -211,12 +225,26 @@ def reconcile_pairs(views: DataFrame, theta: float,
         & ~(F.col("review_date_a").isNotNull() & F.col("review_date_b").isNotNull()
             & (F.datediff("review_date_a", "review_date_b") > 1))
         # exactly one side with entities -> prune
-        & ~((F.size("entities_a") == 0) & (F.size("entities_b") > 0))
-        & ~((F.size("entities_a") > 0) & (F.size("entities_b") == 0))
+        & ~((F.col("n_entities_a") == 0) & (F.col("n_entities_b") > 0))
+        & ~((F.col("n_entities_a") > 0) & (F.col("n_entities_b") == 0))
     )
-    pairs = a.join(b, cond)
+    pairs = a.join(b, cond).select(
+        "ord_a", "ord_b", "cw_uri_a", "cw_uri_b",
+        "n_entities_a", "n_entities_b",
+    )
     if sample_fraction is not None:
         pairs = pairs.sample(fraction=sample_fraction, seed=seed or 0)
+
+    # re-attach the scoring arrays to the (pruned) candidates by ord
+    arr_cols = ["keywords", "links", "entities", "categories"]
+    if use_embeddings:
+        arr_cols += ["vec_full", "vec_first"]
+    arrs = views.select("ord", *arr_cols)
+    pairs = pairs.join(
+        arrs.select([F.col(c).alias(c + "_a") for c in arrs.columns]), "ord_a"
+    ).join(
+        arrs.select([F.col(c).alias(c + "_b") for c in arrs.columns]), "ord_b"
+    )
 
     # entity-overlap prune (both non-empty, soft overlap <= 1e-5)
     pairs = pairs.withColumn(
@@ -269,8 +297,55 @@ def reconcile_pairs(views: DataFrame, theta: float,
         ),
     )
     return scored.filter(F.col("score") > theta).select(
+        "ord_a", "ord_b",
         F.col("cw_uri_a").alias("cw_a"), F.col("cw_uri_b").alias("cw_b"),
         "score",
+    )
+
+
+def reconcile_mappings(views: DataFrame, theta: float,
+                       sample_fraction: Optional[float] = None,
+                       seed: Optional[int] = None,
+                       use_embeddings: bool = False) -> DataFrame:
+    """The reference's mappings-file rows (reconciler/__init__.py:126-147):
+    score + per-side (claim-review author, review URL, first text fragment,
+    entities, keywords, citations, creative-work URI).  Feature columns are
+    re-attached by ord AFTER scoring, so the mapping payload never rides
+    through the candidate explosion.
+
+    List fields are ','-joined in the engine's deterministic order (the
+    reference joins Python sets — nondeterministic member order — so byte
+    order of those fields is not part of the contract)."""
+    scored = _reconcile_scored(views, theta, sample_fraction, seed,
+                               use_embeddings)
+    feat = views.select(
+        "ord",
+        F.col("source").alias("cr_author"),
+        F.col("claim_review_url").alias("review_url"),
+        # text_fragments[0] with '"' -> "''" (reference :140-146)
+        F.replace(
+            F.coalesce(F.try_element_at("fragments", F.lit(1)), F.lit("")),
+            F.lit('"'), F.lit("''"),
+        ).alias("text_fragment"),
+        F.array_join("entities", ",").alias("entities"),
+        F.array_join("keywords", ",").alias("keywords"),
+        F.array_join("links", ",").alias("citations"),
+        F.col("cw_uri").alias("uri"),
+    )
+    fa = feat.select([F.col(c).alias(c + "_a") for c in feat.columns])
+    fb = feat.select([F.col(c).alias(c + "_b") for c in feat.columns])
+    return (
+        scored.join(fa, "ord_a").join(fb, "ord_b")
+        .select(
+            "score",
+            "cr_author_a", "cr_author_b",
+            "review_url_a", "review_url_b",
+            "text_fragment_a", "text_fragment_b",
+            "entities_a", "entities_b",
+            "keywords_a", "keywords_b",
+            "citations_a", "citations_b",
+            "uri_a", "uri_b",
+        )
     )
 
 

@@ -30,10 +30,11 @@ def _above(col, threshold):
 
 def keyword_stat_counts(claims: DataFrame, model_uri: str,
                         matchers: Dict[str, PhraseMatcher],
-                        threshold: float) -> DataFrame:
+                        threshold: float, ex: DataFrame = None) -> DataFrame:
     """Per-claim distinct-keyword counters for the five reconciled-keyword
     statistics."""
-    ex = exploded_keywords(claims, model_uri)
+    if ex is None:
+        ex = exploded_keywords(claims, model_uri)
     per_row = ex.withColumn("has_match", F.size("matched") > 0)
     winners = (
         per_row.groupBy("kw_uri")
@@ -78,16 +79,24 @@ def statistics_table(claims: DataFrame, model_uri: str,
                      threshold: float) -> DataFrame:
     """Wide statistics row per source + the '__global__' rollup row, after
     the reference's output ratio transform (statistics.py:100-129)."""
-    views = logical_views(claims, model_uri, threshold)
-    kw = keyword_stat_counts(claims, model_uri, matchers, threshold)
+    # ONE materialized exploded-keywords frame feeds both the logical views
+    # (winner mentions) and the keyword counters
+    ex = exploded_keywords(claims, model_uri).cache()
+    views = logical_views(claims, model_uri, threshold, ex)
+    kw = keyword_stat_counts(claims, model_uri, matchers, threshold, ex)
     v = views.join(kw, "ord", "left").na.fill(
         0, ["n_kw_thesoz", "n_kw_unesco", "n_kw_dbpedia",
             "n_kw_thesoz_dbp", "n_kw_unesco_dbp"]
     )
 
+    # Ratios stay unrounded: the reference's output_stats doesn't round, and
+    # raw doubles are bit-identical across the Python oracle, this plan, and
+    # the DuckDB driver oracle (same operation order), so rounding would only
+    # ADD cross-engine divergence (Spark rounds the decimal repr, DuckDB the
+    # binary value).
     n = F.count("*")
-    pct = lambda cond: F.round(  # noqa: E731
-        F.sum(F.when(cond, 1).otherwise(0)) / n * 100.0, 6
+    pct = lambda cond: (  # noqa: E731
+        F.sum(F.when(cond, 1).otherwise(0)) / n * 100.0
     )
     agg = (
         v.rollup("source")
@@ -95,8 +104,8 @@ def statistics_table(claims: DataFrame, model_uri: str,
             n.alias("claim_reviews"),
             F.sum(F.when(F.length("creative_work_author") == 0, 1).otherwise(0))
             .alias("claims_without_author"),
-            F.round(F.sum(F.size("review_entities")) / n, 6).alias("entities_per_review"),
-            F.round(F.sum(F.size("claim_entities")) / n, 6).alias("entities_per_claim"),
+            (F.sum(F.size("review_entities")) / n).alias("entities_per_review"),
+            (F.sum(F.size("claim_entities")) / n).alias("entities_per_claim"),
             F.sum(F.size("claim_entities") + F.size("review_entities")).alias("total_entities"),
             F.sum(F.size("keywords")).alias("keywords"),
             F.sum("n_kw_thesoz").alias("kw_thesoz"),
@@ -104,8 +113,8 @@ def statistics_table(claims: DataFrame, model_uri: str,
             F.sum("n_kw_dbpedia").alias("kw_dbpedia"),
             F.sum("n_kw_thesoz_dbp").alias("kw_thesoz_dbpedia"),
             F.sum("n_kw_unesco_dbp").alias("kw_unesco_dbpedia"),
-            F.round(F.sum(F.size("keywords")) / n, 6).alias("keywords_per_review"),
-            F.round(F.sum(F.size("links")) / n, 6).alias("citations_per_creative_work"),
+            (F.sum(F.size("keywords")) / n).alias("keywords_per_review"),
+            (F.sum(F.size("links")) / n).alias("citations_per_creative_work"),
             pct(F.col("has_body")).alias("pct_with_text"),
             pct(F.length("creative_work_author") > 0).alias("pct_with_author"),
             pct(F.col("claim_date").isNotNull()).alias("pct_with_date"),

@@ -59,10 +59,12 @@ def _keywords_array(tags_col):
     ).otherwise(_empty_str_array())
 
 
-def keyword_winner_mentions(claims: DataFrame, model_uri: str) -> DataFrame:
+def keyword_winner_mentions(claims: DataFrame, model_uri: str,
+                            ex: DataFrame = None) -> DataFrame:
     """Per claim row: the keyword mentions this row actually attaches under
     the first-writer-wins memo (any row may win several keywords)."""
-    ex = exploded_keywords(claims, model_uri)
+    if ex is None:
+        ex = exploded_keywords(claims, model_uri)
     per_row = ex.withColumn("has_match", F.size("matched") > 0)
     winners = (
         per_row.groupBy("kw_uri")
@@ -83,7 +85,8 @@ def keyword_winner_mentions(claims: DataFrame, model_uri: str) -> DataFrame:
     )
 
 
-def logical_views(claims: DataFrame, model_uri: str, threshold: float) -> DataFrame:
+def logical_views(claims: DataFrame, model_uri: str, threshold: float,
+                  ex: DataFrame = None) -> DataFrame:
     """One row per claim: ord, cw_uri, creative_work_author, claim_date,
     review_date, keywords, links, entities, categories (+ stat flags).
 
@@ -92,7 +95,7 @@ def logical_views(claims: DataFrame, model_uri: str, threshold: float) -> DataFr
     claim+review for scoring (reconciler/__init__.py:154-155), which we do
     here so the reconcile operator gets one ``entities`` list."""
     kw_part = (
-        keyword_winner_mentions(claims, model_uri)
+        keyword_winner_mentions(claims, model_uri, ex)
         .select(
             "ord",
             _mention_entities(F.col("matched"), threshold).alias("e"),

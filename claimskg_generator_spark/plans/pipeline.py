@@ -149,8 +149,15 @@ class ClaimsKGPipeline:
         #    (incl. per-category triples);
         # 3. keyword non-mention families (winner aggregate + broadcast
         #    thesaurus joins — the only global-view operators).
+        from claimskg_generator_spark.operators.keywords import (
+            exploded_keywords,
+        )
+
+        # one cached exploded-keywords frame for every consumer in this run
+        # (keyword families + logical views when reconciliation is on)
+        ex = exploded_keywords(claims, cfg.model_uri).cache()
         kw_non_mention, kw_raw = keyword_triples_and_raw_mentions(
-            claims, cfg.model_uri, self.matchers, cfg.threshold
+            claims, cfg.model_uri, self.matchers, cfg.threshold, ex
         )
         all_raw = review_and_body_raw_mentions(claims, cfg.threshold).unionByName(
             kw_raw
@@ -173,7 +180,7 @@ class ClaimsKGPipeline:
             )
             from claimskg_generator_spark.operators.views import logical_views
 
-            views = logical_views(claims, cfg.model_uri, cfg.threshold)
+            views = logical_views(claims, cfg.model_uri, cfg.threshold, ex)
             parts.append(
                 reconcile_triples(views, cfg.reconcile_theta,
                                   cfg.reconcile_sample, cfg.reconcile_seed,

@@ -1,0 +1,110 @@
+"""Generate the driver-oracle goldens for the pipeline queries.
+
+Everything here is derived from the *pure-Python* reference-semantics side
+of the repo (oracle.py, functions/uuid5.uuid5_url, the phrase matchers) —
+NOT from the Spark engine — so the driver oracles cross-check the Spark
+plans against an independent implementation:
+
+- golden/corpus_n500_seed42.parquet: the deterministic synthesized corpus
+  at the driver's correctness scale (sf0.01 -> 500 docs -> n=500), written
+  driver-side with pyarrow so DuckDB oracles can read the exact rows the
+  mapInPandas source generates (purity pinned by test_synth_oracle).
+- golden/driver_goldens.json:
+  * q21: (pred, okind, n) triple-family counts from ReferenceOracle
+  * q23: (cw_a, cw_b, score) reconciliation pairs from oracle.reconcile,
+    score quantized HALF_UP to 6 decimals (same as Spark's ROUND)
+  * q20: (doc_id, uuid5) over sf0.01 documents via Python stdlib uuid5
+  * kw_dim: keyword -> per-vocab concept-match spans from the phrase
+    matcher (the broadcast dictionary, embedded into the q24 oracle SQL)
+
+Rerun after any change to sources/synth.py, oracle.py or the matchers:
+    python scripts/gen_pipeline_goldens.py
+"""
+
+import json
+import os
+import sys
+from decimal import ROUND_HALF_UP, Decimal
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+import pandas as pd
+
+from claimskg_generator_spark.functions.uuid5 import uuid5_url
+from claimskg_generator_spark.oracle import ReferenceOracle
+from claimskg_generator_spark.sources.synth import (
+    THESAURUS_ENTRIES,
+    gen_records,
+    gen_rows,
+)
+from claimskg_generator_spark.sources.thesaurus import build_matchers
+
+N = 500
+SEED = 42
+THETA = 0.25
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+GOLDEN_DIR = os.path.join(REPO, "golden")
+SF001_DOCS = "/root/testdata/sf0.01/documents.parquet"
+
+
+def round6_half_up(x: float) -> float:
+    # Spark's ROUND on double: BigDecimal over the shortest repr, HALF_UP.
+    return float(Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+
+def main():
+    os.makedirs(GOLDEN_DIR, exist_ok=True)
+
+    # 1. corpus parquet (single file for a stable oracle path)
+    rows = gen_rows(N, SEED)
+    pd.DataFrame(rows).to_parquet(
+        os.path.join(GOLDEN_DIR, f"corpus_n{N}_seed{SEED}.parquet"), index=False
+    )
+
+    # 2. reference-semantics oracle over the same records
+    oracle = ReferenceOracle(THESAURUS_ENTRIES)
+    oracle.generate(gen_records(N, SEED))
+
+    fam = {}
+    for _s, p, _o, okind in oracle.triples:
+        fam[(p, okind)] = fam.get((p, okind), 0) + 1
+    q21 = sorted([p, k, n] for (p, k), n in fam.items())
+
+    q23 = sorted(
+        [a, b, round6_half_up(s)] for a, b, s in oracle.reconcile(THETA)
+    )
+
+    # 3. q20: uuid5 over the corpus content (Python stdlib twin) — keyed on
+    # the corpus, not an sf-dependent table, so the golden holds at any sf
+    # whose corpus size is N
+    q20 = [[r["path"], uuid5_url(r["content"])] for r in rows]
+
+    # 4. keyword -> concept-span dictionary (broadcast dim for the q24 SQL)
+    matchers = build_matchers(THESAURUS_ENTRIES)
+    keywords = set()
+    for r in gen_records(N, SEED):
+        tags = r["extra_tags"]
+        if tags:
+            parts = tags.split(";") if ";" in tags else tags.split(",")
+            keywords.update(p.strip() for p in parts)
+    # one row per distinct keyword: full-span concept matches per vocab,
+    # encoded as "begin:end" span keys (+ concept URIs for the about-family)
+    kw_dim = []
+    for kw in sorted(keywords):
+        row = [kw]
+        for vocab in ("thesoz", "unesco"):
+            matches = matchers[vocab].find_keyword_matches(kw)
+            row.append([f"{s}:{e}" for _c, _mt, s, e in matches])
+        kw_dim.append(row)
+
+    out = {"n": N, "seed": SEED, "theta": THETA,
+           "q21": q21, "q23": q23, "q20": q20, "kw_dim": kw_dim}
+    with open(os.path.join(GOLDEN_DIR, "driver_goldens.json"), "w") as f:
+        json.dump(out, f, indent=0)
+    print(f"q21 families={len(q21)} q23 pairs={len(q23)} q20 rows={len(q20)} "
+          f"kw_dim rows={len(kw_dim)}")
+
+
+if __name__ == "__main__":
+    main()

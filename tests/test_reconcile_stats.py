@@ -70,6 +70,39 @@ def test_reconcile_matches_oracle(spark, claims_df, oracle):
     )
 
 
+def test_reconcile_mappings_feature_columns(spark, claims_df, oracle):
+    """S9: the mappings sink carries the reference's per-side fields
+    (reconciler/__init__.py:126-147), keyed to the same scored pairs."""
+    from claimskg_generator_spark.operators.reconcile import reconcile_mappings
+
+    views = logical_views(claims_df, "http://data.gesis.org/claimskg/", 0.3)
+    rows = reconcile_mappings(views, THETA).collect()
+    assert [f.name for f in reconcile_mappings(views, THETA).schema.fields] == [
+        "score",
+        "cr_author_a", "cr_author_b",
+        "review_url_a", "review_url_b",
+        "text_fragment_a", "text_fragment_b",
+        "entities_a", "entities_b",
+        "keywords_a", "keywords_b",
+        "citations_a", "citations_b",
+        "uri_a", "uri_b",
+    ]
+    want = {(a, b, round(s, 9)) for a, b, s in oracle.reconcile(THETA)}
+    got = {(r["uri_a"], r["uri_b"], round(r["score"], 9)) for r in rows}
+    assert got == want
+    # per-side features point at real claim-review records
+    by_uri = {c.creative_work_uri: c for c in oracle.claims}
+    for r in rows[:20]:
+        c = by_uri[r["uri_a"]]
+        assert r["cr_author_a"] == c.claimreview_author
+        assert r["review_url_a"] == c.claim_review_url
+        # list fields: set-compare (the reference joins Python sets, so
+        # member order is not part of the contract)
+        assert set(r["keywords_a"].split(",")) - {""} == set(c.keywords)
+        assert set(r["entities_a"].split(",")) - {""} == \
+            set(c.claim_entities + c.review_entities)
+
+
 STAT_COLMAP = {
     "claim_reviews": "ClaimReview",
     "claims_without_author": "Claims reviews without author",
