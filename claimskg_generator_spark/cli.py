@@ -33,7 +33,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--synth", type=int, default=None,
                    help="synthesize N corpus rows instead of reading --input")
     p.add_argument("--output", required=True, help="triple table output path")
-    p.add_argument("--format", default="parquet", choices=["parquet", "ntriples"])
+    p.add_argument("--format", default="parquet",
+                   choices=["parquet", "ntriples", "turtle"])
     p.add_argument("--model-uri", default=DEFAULT_MODEL_URI)
     p.add_argument("--threshold", type=float, default=0.3)
     p.add_argument("--include-body", action="store_true")
@@ -45,7 +46,17 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--embeddings", action="store_true",
                    help="include the mean-BoW text-similarity term in "
                         "reconciliation scoring")
+    p.add_argument("--embeddings-file", default=None,
+                   help="word-vector text file (GloVe/word2vec text format) "
+                        "for the embeddings term; default is the "
+                        "deterministic hash-vector fixture")
     p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--thesaurus", action="append", default=[],
+                   metavar="VOCAB=PATH[,plain]",
+                   help="load a SKOS RDF/XML thesaurus for VOCAB (repeat "
+                        "per vocabulary; append ',plain' for plain-SKOS "
+                        "labels instead of SKOS-XL); replaces the built-in "
+                        "fixture entries")
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--mappings-output", default=None,
                    help="write the reconciliation mappings CSV (the "
@@ -71,8 +82,25 @@ def main(argv=None) -> int:
         .getOrCreate()
     )
 
+    thesaurus_kwargs = {}
+    if args.thesaurus:
+        from claimskg_generator_spark.sources.skos_xml import (
+            entries_from_skos_xml,
+        )
+
+        entries = []
+        for spec in args.thesaurus:
+            vocab, _, rest = spec.partition("=")
+            path, _, mode = rest.partition(",")
+            entries.extend(
+                entries_from_skos_xml(path, vocab,
+                                      skos_xl_labels=(mode != "plain"))
+            )
+        thesaurus_kwargs["thesaurus_entries"] = entries
+
     cfg = PipelineConfig(
         model_uri=args.model_uri,
+        **thesaurus_kwargs,
         threshold=args.threshold,
         include_body=args.include_body,
         align_duplicated=args.align_duplicated,
@@ -80,6 +108,7 @@ def main(argv=None) -> int:
         reconcile_sample=args.sample,
         reconcile_seed=args.seed,
         reconcile_embeddings=args.embeddings,
+        embeddings_file=args.embeddings_file,
         checkpoint_dir=args.checkpoint_dir,
         # durable checkpoint identity across driver restarts
         input_id=(f"synth:{args.synth}:42" if args.synth is not None
@@ -97,6 +126,8 @@ def main(argv=None) -> int:
     triples = pipe.run(input_df)
     if args.format == "parquet":
         pipe.write_triples(triples, args.output, args.output_partitions)
+    elif args.format == "turtle":
+        pipe.write_turtle(triples, args.output)
     else:
         pipe.write_ntriples(triples, args.output)
 
@@ -110,7 +141,7 @@ def main(argv=None) -> int:
                               cfg.threshold)
         reconcile_mappings(
             views, cfg.reconcile_theta, cfg.reconcile_sample,
-            cfg.reconcile_seed, cfg.reconcile_embeddings,
+            cfg.reconcile_seed, cfg.reconcile_embeddings, cfg.embeddings_file,
         ).write.mode("overwrite").option("header", True).csv(args.mappings_output)
 
     if args.lineage_output:

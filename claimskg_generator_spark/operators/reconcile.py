@@ -123,22 +123,41 @@ _VEC_TYPE = T.StructType(
 )
 
 
-@F.pandas_udf(_VEC_TYPE)
-def _fragment_vectors_udf(fragments: pd.Series) -> pd.DataFrame:
-    from claimskg_generator_spark.sources.embeddings import fragment_vectors
+def _make_fragment_vectors_udf(embeddings_file: Optional[str]):
+    """Per-claim vector UDF; with a real word-vector file the store loads
+    lazily ONCE per python worker (module-level memo) — the executor-side
+    analog of a broadcast dictionary."""
 
-    full, first = [], []
-    for fr in fragments:
-        a, b = fragment_vectors([] if fr is None else list(fr))
-        full.append(a)
-        first.append(b)
-    return pd.DataFrame({"vec_full": full, "vec_first": first})
+    @F.pandas_udf(_VEC_TYPE)
+    def _fragment_vectors_udf(fragments: pd.Series) -> pd.DataFrame:
+        from claimskg_generator_spark.sources import embeddings as emb
+
+        store = None
+        if embeddings_file is not None:
+            store = getattr(emb, "_WORKER_STORES", None) or {}
+            emb._WORKER_STORES = store
+            if embeddings_file not in store:
+                store[embeddings_file] = emb.FileEmbeddings(embeddings_file)
+            store = store[embeddings_file]
+        full, first = [], []
+        for fr in fragments:
+            a, b = emb.fragment_vectors(
+                [] if fr is None else list(fr), store=store
+            )
+            full.append(a)
+            first.append(b)
+        return pd.DataFrame({"vec_full": full, "vec_first": first})
+
+    return _fragment_vectors_udf
 
 
-def with_fragment_vectors(views: DataFrame) -> DataFrame:
+def with_fragment_vectors(views: DataFrame,
+                          embeddings_file: Optional[str] = None) -> DataFrame:
     """Per-claim mean-BoW vectors over the text fragments (A6/P15/S6):
-    computed once per claim, then reused for every candidate pair."""
-    vecs = _fragment_vectors_udf(F.col("fragments"))
+    computed once per claim, then reused for every candidate pair.
+    ``embeddings_file``: real word-vector text file (GloVe/word2vec text
+    format); None -> the deterministic hash-vector fixture."""
+    vecs = _make_fragment_vectors_udf(embeddings_file)(F.col("fragments"))
     return (
         views.withColumn("_v", vecs)
         .withColumn("vec_full", F.col("_v.vec_full"))
@@ -178,15 +197,18 @@ def _entity_overlap_udf(en_a: pd.Series, en_b: pd.Series) -> pd.Series:
 def reconcile_pairs(views: DataFrame, theta: float,
                     sample_fraction: Optional[float] = None,
                     seed: Optional[int] = None,
-                    use_embeddings: bool = False) -> DataFrame:
+                    use_embeddings: bool = False,
+                    embeddings_file: Optional[str] = None) -> DataFrame:
     return _reconcile_scored(views, theta, sample_fraction, seed,
-                             use_embeddings).select("cw_a", "cw_b", "score")
+                             use_embeddings,
+                             embeddings_file).select("cw_a", "cw_b", "score")
 
 
 def _reconcile_scored(views: DataFrame, theta: float,
                       sample_fraction: Optional[float] = None,
                       seed: Optional[int] = None,
-                      use_embeddings: bool = False) -> DataFrame:
+                      use_embeddings: bool = False,
+                      embeddings_file: Optional[str] = None) -> DataFrame:
     """views columns: ord, cw_uri, creative_work_author, claim_date (date),
     review_date (date), keywords (arr), links (arr), entities (arr),
     categories (arr) [+ fragments (arr) when use_embeddings].
@@ -200,7 +222,7 @@ def _reconcile_scored(views: DataFrame, theta: float,
     cosine evaluated as a JVM array expression.
     """
     if use_embeddings:
-        views = with_fragment_vectors(views)
+        views = with_fragment_vectors(views, embeddings_file)
 
     # SLIM blocking self-join: only the block key, prune-predicate columns
     # and the pair identity go through the candidate explosion — a hot
@@ -306,7 +328,8 @@ def _reconcile_scored(views: DataFrame, theta: float,
 def reconcile_mappings(views: DataFrame, theta: float,
                        sample_fraction: Optional[float] = None,
                        seed: Optional[int] = None,
-                       use_embeddings: bool = False) -> DataFrame:
+                       use_embeddings: bool = False,
+                       embeddings_file: Optional[str] = None) -> DataFrame:
     """The reference's mappings-file rows (reconciler/__init__.py:126-147):
     score + per-side (claim-review author, review URL, first text fragment,
     entities, keywords, citations, creative-work URI).  Feature columns are
@@ -317,7 +340,7 @@ def reconcile_mappings(views: DataFrame, theta: float,
     reference joins Python sets — nondeterministic member order — so byte
     order of those fields is not part of the contract)."""
     scored = _reconcile_scored(views, theta, sample_fraction, seed,
-                               use_embeddings)
+                               use_embeddings, embeddings_file)
     feat = views.select(
         "ord",
         F.col("source").alias("cr_author"),
@@ -352,10 +375,11 @@ def reconcile_mappings(views: DataFrame, theta: float,
 def reconcile_triples(views: DataFrame, theta: float,
                       sample_fraction: Optional[float] = None,
                       seed: Optional[int] = None,
-                      use_embeddings: bool = False) -> DataFrame:
+                      use_embeddings: bool = False,
+                      embeddings_file: Optional[str] = None) -> DataFrame:
     """owl:sameAs edges for reconciled pairs (reference generator :770-774)."""
     return reconcile_pairs(views, theta, sample_fraction, seed,
-                           use_embeddings).select(
+                           use_embeddings, embeddings_file).select(
         F.col("cw_a").alias("subj"),
         F.lit(NS.OWL_SAME_AS).alias("pred"),
         F.col("cw_b").alias("obj"),

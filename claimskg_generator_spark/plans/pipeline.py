@@ -79,6 +79,9 @@ class PipelineConfig:
     reconcile_sample: Optional[float] = None
     reconcile_seed: Optional[int] = None
     reconcile_embeddings: bool = False
+    # real word-vector text file for the embeddings term (None -> the
+    # deterministic hash-vector fixture)
+    embeddings_file: Optional[str] = None
 
 
 class ClaimsKGPipeline:
@@ -184,7 +187,8 @@ class ClaimsKGPipeline:
             parts.append(
                 reconcile_triples(views, cfg.reconcile_theta,
                                   cfg.reconcile_sample, cfg.reconcile_seed,
-                                  cfg.reconcile_embeddings)
+                                  cfg.reconcile_embeddings,
+                                  cfg.embeddings_file)
             )
         out = parts[0]
         for p in parts[1:]:
@@ -228,6 +232,38 @@ class ClaimsKGPipeline:
         ).orderBy("value")
         nt.write.mode("overwrite").text(path)
 
+    def write_turtle(self, triples: DataFrame, path: str) -> None:
+        """Turtle sink (reference serializes via rdflib to any format,
+        generator/__init__.py:751-762): prefixed names where the namespace
+        is in the prefix table AND the local part is PN_LOCAL-safe, full
+        IRIs otherwise; literals share the N-Triples escaper.  The @prefix
+        header rides a sort-key column so it lands before the body."""
+        used = [(p, ns) for p, ns in TTL_PREFIXES]
+        header = self.spark.createDataFrame(
+            [(0, f"@prefix {p}: <{ns}> .") for p, ns in used],
+            "k int, value string",
+        )
+        obj = (
+            F.when(F.col("okind") == "uri", _ttl_uri(F.col("obj")))
+            .when(F.col("okind") == "",
+                  F.concat(F.lit('"'), _nt_escape(F.col("obj")), F.lit('"')))
+            .when(F.col("okind").startswith("@"),
+                  F.concat(F.lit('"'), _nt_escape(F.col("obj")), F.lit('"'),
+                           F.col("okind")))
+            .otherwise(F.concat(F.lit('"'), _nt_escape(F.col("obj")),
+                                F.lit('"^^'), _ttl_uri(F.col("okind"))))
+        )
+        body = triples.select(
+            F.lit(1).alias("k"),
+            F.concat(
+                _ttl_uri(F.col("subj")), F.lit(" "),
+                _ttl_uri(F.col("pred")), F.lit(" "),
+                obj, F.lit(" ."),
+            ).alias("value"),
+        )
+        (header.unionByName(body).orderBy("k", "value")
+         .select("value").write.mode("overwrite").text(path))
+
     def lineage(self, input_df: DataFrame) -> DataFrame:
         """Per-partition lineage rows (north_rule): input split id, row
         count, combined content sha256, min/max order key."""
@@ -253,6 +289,40 @@ class ClaimsKGPipeline:
         self.stage_timings.append({"stage": "triples", "wall_s": time.time() - t0})
         self.checkpoints.write_manifest()
         return out
+
+
+# Turtle prefix table (longest namespace first so e.g. skos-xl wins over
+# skos if both were present)
+TTL_PREFIXES = sorted(
+    [
+        ("schema", "http://schema.org/"),
+        ("rdf", "http://www.w3.org/1999/02/22-rdf-syntax-ns#"),
+        ("owl", "http://www.w3.org/2002/07/owl#"),
+        ("xsd", "http://www.w3.org/2001/XMLSchema#"),
+        ("dct", "http://purl.org/dc/terms/"),
+        ("nif", "http://persistence.uni-leipzig.org/nlp2rdf/ontologies/"
+                "nif-core#"),
+        ("itsrdf", "http://www.w3.org/2005/11/its/rdf#"),
+        ("dbr", "http://dbpedia.org/resource/"),
+        ("dbc", "http://dbpedia.org/page/Category:"),
+    ],
+    key=lambda x: -len(x[1]),
+)
+
+# conservative PN_LOCAL subset: prefix only when the local name is plainly
+# safe, else fall back to a full IRI (always valid Turtle)
+_PN_LOCAL_SAFE = "^[A-Za-z][A-Za-z0-9_-]*$"
+
+
+def _ttl_uri(col):
+    expr = F.concat(F.lit("<"), col, F.lit(">"))
+    for pfx, ns in TTL_PREFIXES:
+        local = F.substring(col, len(ns) + 1, 1 << 20)
+        expr = F.when(
+            col.startswith(ns) & local.rlike(_PN_LOCAL_SAFE),
+            F.concat(F.lit(pfx + ":"), local),
+        ).otherwise(expr)
+    return expr
 
 
 def _nt_escape(col):

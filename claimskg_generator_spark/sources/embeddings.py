@@ -72,16 +72,54 @@ def sentence_tokens(sentence: str) -> List[str]:
     ]
 
 
-def sentence_vector(sentence: str, dim: int = DEFAULT_DIM) -> List[float]:
+class FileEmbeddings:
+    """Real word-vector text file loader (reference vsm/embeddings.py
+    :165-199): one ``word v1 v2 ... vD`` line per word (GloVe/word2vec-text
+    format), lazily parsed per word like the reference's string-keyed
+    dictionary; out-of-vocabulary words get the zero vector (:210-224),
+    which still counts in the mean denominator."""
+
+    def __init__(self, path: str):
+        self._raw = {}
+        with open(path, encoding="utf-8") as f:
+            for line in f:
+                word, _, rest = line.rstrip("\n").partition(" ")
+                if word:
+                    self._raw[word] = rest
+        self._cache = {}
+        self._dim = None
+
+    def dim(self) -> int:
+        if self._dim is None:
+            first = next(iter(self._raw.values()))
+            self._dim = len(first.split(" "))
+        return self._dim
+
+    def word_vector(self, word: str) -> List[float]:
+        v = self._cache.get(word)
+        if v is None:
+            raw = self._raw.get(word)
+            v = ([float(x) for x in raw.split(" ")] if raw is not None
+                 else [0.0] * self.dim())
+            self._cache[word] = v
+        return v
+
+
+def sentence_vector(sentence: str, dim: int = DEFAULT_DIM,
+                    store: "FileEmbeddings" = None) -> List[float]:
     """Arithmetic-mean bag-of-words vector (reference :62-87); an empty
     token list yields the zero vector (the reference's identity-matrix
-    fallback is out of domain — any non-empty text has tokens here)."""
+    fallback is out of domain — any non-empty text has tokens here).
+    ``store``: a FileEmbeddings vocabulary; None -> the deterministic
+    hash-vector fixture."""
     tokens = sentence_tokens(sentence)
+    if store is not None:
+        dim = store.dim()
     if not tokens:
         return [0.0] * dim
     acc = [0.0] * dim
     for t in tokens:
-        v = hash_word_vector(t, dim)
+        v = store.word_vector(t) if store is not None else hash_word_vector(t, dim)
         for i in range(dim):
             acc[i] += v[i]
     return [x / len(tokens) for x in acc]
@@ -97,11 +135,14 @@ def cosine(a: Sequence[float], b: Sequence[float]) -> float:
     return dot / (na * nb)
 
 
-def fragment_vectors(text_fragments: Sequence[str], dim: int = DEFAULT_DIM):
+def fragment_vectors(text_fragments: Sequence[str], dim: int = DEFAULT_DIM,
+                     store: "FileEmbeddings" = None):
     """(vector of all fragments merged, vector of the first fragment) —
     the A-side / B-side pair the reconciler needs (:229-232)."""
-    full = sentence_vector(merge_and_normalise_strings(list(text_fragments)), dim)
+    full = sentence_vector(
+        merge_and_normalise_strings(list(text_fragments)), dim, store
+    )
     first = sentence_vector(
-        merge_and_normalise_strings(list(text_fragments)[0:1]), dim
+        merge_and_normalise_strings(list(text_fragments)[0:1]), dim, store
     )
     return full, first

@@ -102,3 +102,22 @@ def test_cli_ntriples_sink(spark):
     assert all(l.endswith(" .") and l.startswith("<http") for l in lines)
     assert any('"^^<http://www.w3.org/2001/XMLSchema#date>' in l for l in lines)
     assert any('"@en' in l for l in lines)
+
+
+def test_cli_turtle_sink(spark):
+    from claimskg_generator_spark.cli import main
+
+    out = tempfile.mkdtemp(prefix="claimskg_cli_") + "/ttl"
+    rc = main(["--synth", "60", "--output", out, "--format", "turtle"])
+    assert rc == 0
+    lines = [r["value"] for r in spark.read.text(out).orderBy("value").collect()]
+    prefixes = [l for l in lines if l.startswith("@prefix")]
+    body = [l for l in lines if not l.startswith("@prefix")]
+    assert any("schema: <http://schema.org/>" in l for l in prefixes)
+    assert all(l.endswith(" .") for l in body)
+    # schema.org predicates are prefixed, claimskg URIs (contain '/') stay
+    # full IRIs
+    assert any(" schema:reviewRating " in l for l in body)
+    assert any(l.startswith("<http://data.gesis.org/claimskg/") for l in body)
+    assert any('"^^xsd:date' in l for l in body)
+    assert not any("<http://schema.org/" in l for l in body)

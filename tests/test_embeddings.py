@@ -78,3 +78,52 @@ def test_reconcile_with_embeddings_matches_oracle(spark):
     assert got == want, (
         f"extra={sorted(got - want)[:5]} missing={sorted(want - got)[:5]}"
     )
+
+
+def test_file_embeddings_loader(tmp_path):
+    """S6: real word-vector text file (GloVe/word2vec text format) — known
+    words parse to their vectors, OOV words get the zero vector that still
+    counts in the mean denominator (reference vsm/embeddings.py:210-224)."""
+    from claimskg_generator_spark.sources.embeddings import (
+        FileEmbeddings,
+        sentence_vector,
+    )
+
+    vec_file = tmp_path / "vectors.txt"
+    vec_file.write_text(
+        "climate 1.0 0.0 0.0 0.0\n"
+        "change 0.0 1.0 0.0 0.0\n"
+        "economy 0.0 0.0 1.0 0.0\n",
+        encoding="utf-8",
+    )
+    store = FileEmbeddings(str(vec_file))
+    assert store.dim() == 4
+    assert store.word_vector("climate") == [1.0, 0.0, 0.0, 0.0]
+    assert store.word_vector("nonexistent") == [0.0, 0.0, 0.0, 0.0]
+    # mean over [climate, change]: (1,1,0,0)/2
+    assert sentence_vector("climate change", store=store) == \
+        [0.5, 0.5, 0.0, 0.0]
+    # OOV token dilutes the mean (counts in the denominator)
+    v = sentence_vector("climate zzz", store=store)
+    assert v == [0.5, 0.0, 0.0, 0.0]
+
+
+def test_reconcile_with_file_embeddings(spark, tmp_path):
+    """The embeddings_file path flows through the per-worker store and
+    changes the text term (vs the hash fixture) without breaking the
+    pipeline."""
+    from claimskg_generator_spark.operators.reconcile import reconcile_pairs
+
+    vec_file = tmp_path / "vectors.txt"
+    words = set()
+    for r in gen_records(60):
+        words.update(str(r.get("claimReview_claimReviewed", "")).lower().split())
+    vec_file.write_text(
+        "".join(f"{w} 1.0 0.5 0.25\n" for w in sorted(words)), encoding="utf-8"
+    )
+    pipe = ClaimsKGPipeline(spark)
+    claims = pipe.claims(spark.createDataFrame(gen_rows(60)))
+    views = logical_views(claims, pipe.config.model_uri, 0.3)
+    rows = reconcile_pairs(views, THETA, use_embeddings=True,
+                           embeddings_file=str(vec_file)).collect()
+    assert all(r["score"] > THETA for r in rows)
