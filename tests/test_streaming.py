@@ -53,3 +53,48 @@ def test_stream_is_incremental(spark, dirs):
     q.awaitTermination(120)
     after = spark.read.parquet(dirs["log"]).count()
     assert after == before
+
+
+def test_streaming_keyword_winners_match_batch(spark):
+    """The stateful applyInPandasWithState winner memo converges to the
+    batch first-writer-wins answer when fed the corpus in two chunks."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from claimskg_generator_spark.operators.keywords import exploded_keywords
+    from claimskg_generator_spark.streaming.keyword_state import (
+        current_winners,
+        streaming_keyword_winners,
+    )
+
+    base = tempfile.mkdtemp(prefix="claimskg_kwstate_")
+    in_dir, out_dir, ck = f"{base}/in", f"{base}/out", f"{base}/ck"
+    os.makedirs(in_dir)
+    rows = gen_rows(N)
+    # two ord-ordered chunks, as an append log would deliver them
+    spark.createDataFrame(rows[:60]).coalesce(1).write.mode("append").parquet(in_dir)
+    q = streaming_keyword_winners(spark, in_dir, ck, out_dir)
+    q.awaitTermination(120)
+    spark.createDataFrame(rows[60:]).coalesce(1).write.mode("append").parquet(in_dir)
+    q2 = streaming_keyword_winners(spark, in_dir, ck, out_dir)
+    q2.awaitTermination(120)
+
+    got = {
+        (r["kw_uri"], r["win_ord"])
+        for r in current_winners(spark, out_dir).collect()
+    }
+
+    pipe = ClaimsKGPipeline(spark)
+    ex = exploded_keywords(pipe.claims(spark.createDataFrame(rows)),
+                           pipe.config.model_uri)
+    want = {
+        (r["kw_uri"], r["win_ord"])
+        for r in ex.withColumn("has_match", F.size("matched") > 0)
+        .groupBy("kw_uri")
+        .agg(F.min(F.when(F.col("has_match"), F.col("ord"))).alias("win_ord"))
+        .filter(F.col("win_ord").isNotNull())
+        .collect()
+    }
+    assert want, "corpus produced no keyword winners"
+    assert got == want
