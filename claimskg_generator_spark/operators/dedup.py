@@ -114,7 +114,13 @@ def md5_token_hash64(col):
 def md5_hash_mod_p(col):
     """md5-derived value mod 2^31-1: (hi*2^32 + lo) mod p computed as
     (2*(hi mod p) + (lo mod p)) mod p since 2^32 ≡ 2 (mod p) — every
-    intermediate fits a 64-bit signed int in any engine."""
+    intermediate fits a 64-bit signed int in any engine.
+
+    NOTE: inside higher-order-function lambdas Spark performs no common-
+    subexpression elimination, so callers that fan this out (one copy per
+    minhash function) MUST materialize it once behind a column alias first
+    — see minhash_lsh_pairs_checkable, which went 206s -> seconds at sf0.1
+    when the 32 signature expressions re-derived md5 per shingle each."""
     h = F.md5(col)
     hi = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
     lo = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
@@ -168,12 +174,20 @@ def minhash_lsh_pairs_checkable(documents: DataFrame, n: int = 3,
     rows_per_band = num_hashes // bands
     coeffs = minhash_coefficients(num_hashes, seed)
     p = F.lit(MINHASH_P)
-    xs = F.transform(_shingles(F.col("text"), n), md5_hash_mod_p)
+    # Materialize the md5-mod-p shingle hashes ONCE per document: the 32
+    # signature expressions below reference the alias, not the md5 chain —
+    # inlining the chain 32x (64 md5 calls per shingle; no CSE inside
+    # lambda bodies) measured 206 s at sf0.1 vs seconds this way.
+    hashed = documents.select(
+        "doc_id",
+        F.transform(_shingles(F.col("text"), n), md5_hash_mod_p).alias("xs"),
+    )
+
     def _minexpr(a, b):
-        return F.array_min(F.transform(xs, lambda x: (x * a + b) % p))
+        return F.array_min(F.transform(F.col("xs"), lambda x: (x * a + b) % p))
 
     sig_cols = [_minexpr(a, b) for a, b in coeffs]
-    doc_sigs = documents.select("doc_id", *[
+    doc_sigs = hashed.select("doc_id", *[
         F.concat_ws(",", *[s.cast("string")
                            for s in sig_cols[j * rows_per_band:
                                              (j + 1) * rows_per_band]])
