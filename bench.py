@@ -91,6 +91,34 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     }
 
 
+def _parallel_capacity(k: int) -> float:
+    """Effective parallel capacity of the shared host, in cores: run the
+    SAME fixed sha256 work in 1 process and in k concurrent processes;
+    capacity = k * t1 / tk (== k on a dedicated machine).  This is the
+    ceiling any k-thread Spark run can reach in that window — reported
+    next to the scaling pair so 'pipeline scaled 2.6x' can be read against
+    'the host granted 2.7 cores'."""
+    import multiprocessing as mp
+
+    def work(_):
+        import hashlib
+
+        x = b"x"
+        for _ in range(1_500_000):  # ~0.6 s: amortizes pool-spawn cost
+            x = hashlib.sha256(x).digest()
+        return 0
+
+    t0 = time.time()
+    work(0)
+    t1 = time.time() - t0
+    with mp.Pool(k) as pool:
+        pool.map(work, range(k))  # warm the workers
+        t0 = time.time()
+        pool.map(work, range(k))
+        tk = time.time() - t0
+    return k * t1 / tk
+
+
 def _calibrate() -> float:
     """Single-thread host-speed probe (fixed sha256 work, min of 3): the
     sandbox is a shared host whose effective speed swings ~4x minute to
@@ -214,9 +242,10 @@ def main():
         repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
         n_level = int(os.environ.get("SPARK_GRAFT_SCALE_N", "1"))
         levels = [("4N", 4 * n_level), ("N", n_level)]
+        ratio = 4 * n_level // n_level
         pairs = []
         for _ in range(repeats):
-            pair = {}
+            pair = {"capacity": round(_parallel_capacity(4 * n_level), 2)}
             for name, c in levels:
                 out = subprocess.run(
                     [sys.executable, __file__, "--pipeline-once", str(c), str(n_rows)],
@@ -225,21 +254,35 @@ def main():
                 line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
                 pair[name] = json.loads(line)
                 print(f"# {name} ({c} cores): {pair[name]}", file=sys.stderr)
+            print(f"# host capacity during pair: {pair['capacity']} of "
+                  f"{4 * n_level} cores", file=sys.stderr)
             pairs.append(pair)
-        best = min(pairs, key=lambda p: p["N"]["wall_s"] + p["4N"]["wall_s"])
-        eff = (best["N"]["wall_s"] / best["4N"]["wall_s"]) / (
-            best["4N"]["cpus"] / best["N"]["cpus"]
+        # quietest window = smallest combined wall (NOT best ratio — that
+        # would select noise in the favorable direction)
+        best = min(
+            pairs,
+            key=lambda p: p["N"]["wall_s"] + p["4N"]["wall_s"],
         )
+        eff = (best["N"]["wall_s"] / best["4N"]["wall_s"]) / ratio
+        cap = best["capacity"]
         print(json.dumps({
             "metric": "pipeline_scaling",
             "value": round(eff, 3),
             "unit": "efficiency",
             "protocol": "adjacent-pair, best (quietest) window of "
                         f"{repeats}",
+            # the shared host grants < 4N cores most windows (see BENCH.md);
+            # this reads the measured speedup against the measured grant:
+            # 1.0 means the pipeline used every core the host gave it
+            "host_capacity_cores": cap,
+            "efficiency_vs_host_capacity": round(
+                (best["N"]["wall_s"] / best["4N"]["wall_s"]) / cap, 3
+            ) if cap else None,
             "N": best["N"],
             "4N": best["4N"],
             "all_pairs": [
-                {"N_wall": p["N"]["wall_s"], "4N_wall": p["4N"]["wall_s"]}
+                {"N_wall": p["N"]["wall_s"], "4N_wall": p["4N"]["wall_s"],
+                 "capacity": p["capacity"]}
                 for p in pairs
             ],
         }))

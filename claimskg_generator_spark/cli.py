@@ -65,6 +65,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--stats-output", default=None)
     p.add_argument("--lineage-output", default=None)
     p.add_argument("--output-partitions", type=int, default=None)
+    p.add_argument("--pred-buckets", type=int, default=None,
+                   help="hive-partition the parquet triple table by a "
+                        "deterministic predicate bucket (Iceberg-style "
+                        "layout; single-predicate reads prune to 1/N of "
+                        "the directories)")
     return p
 
 
@@ -125,7 +130,8 @@ def main(argv=None) -> int:
 
     triples = pipe.run(input_df)
     if args.format == "parquet":
-        pipe.write_triples(triples, args.output, args.output_partitions)
+        pipe.write_triples(triples, args.output, args.output_partitions,
+                           args.pred_buckets)
     elif args.format == "turtle":
         pipe.write_turtle(triples, args.output)
     else:

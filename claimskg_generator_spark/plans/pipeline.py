@@ -206,13 +206,41 @@ class ClaimsKGPipeline:
 
     # -- sinks ---------------------------------------------------------------
     def write_triples(self, triples: DataFrame, path: str,
-                      partitions: Optional[int] = None) -> None:
-        """Partitioned Parquet triple table; repartitionByRange on subj for
-        stable, pruning-friendly layout across cluster sizes."""
+                      partitions: Optional[int] = None,
+                      pred_buckets: Optional[int] = None) -> None:
+        """Partitioned Parquet triple table.
+
+        - ``partitions``: repartitionByRange on subj — stable,
+          pruning-friendly file layout across cluster sizes.
+        - ``pred_buckets``: additionally hive-partition the table by a
+          deterministic predicate bucket (md5-derived, portable — see
+          pred_bucket_col / pred_bucket), the Iceberg-style layout for
+          SPARQL-ish access: a one-predicate read touches 1/N of the
+          directories (partition pruning), and within each bucket the subj
+          range sort keeps subject lookups to few row groups."""
         df = triples
+        if pred_buckets:
+            df = df.withColumn("pred_bucket", pred_bucket_col(pred_buckets))
+            if partitions:
+                df = df.repartitionByRange(partitions, "pred_bucket", "subj")
+            df.write.mode("overwrite").partitionBy("pred_bucket").parquet(path)
+            return
         if partitions:
             df = df.repartitionByRange(partitions, "subj")
         df.write.mode("overwrite").parquet(path)
+
+    def read_triples_for_pred(self, path: str, pred: str,
+                              pred_buckets: int) -> DataFrame:
+        """Pruned single-predicate read over a pred-bucketed triple table:
+        the bucket equality prunes directories BEFORE any file is opened
+        (driver-side, portable Python twin of the bucket function); the
+        pred equality is the residual pushed filter."""
+        return (
+            self.spark.read.parquet(path)
+            .filter(F.col("pred_bucket") == pred_bucket(pred, pred_buckets))
+            .filter(F.col("pred") == pred)
+            .drop("pred_bucket")
+        )
 
     def write_ntriples(self, triples: DataFrame, path: str) -> None:
         nt = triples.select(
@@ -289,6 +317,22 @@ class ClaimsKGPipeline:
         self.stage_timings.append({"stage": "triples", "wall_s": time.time() - t0})
         self.checkpoints.write_manifest()
         return out
+
+
+def pred_bucket(pred: str, buckets: int) -> int:
+    """Deterministic predicate bucket — md5-derived so ANY client (Python,
+    Spark, DuckDB) can compute the partition to read without a JVM."""
+    import hashlib
+
+    return int(hashlib.md5(pred.encode()).hexdigest()[:8], 16) % buckets
+
+
+def pred_bucket_col(buckets: int):
+    """JVM twin of pred_bucket."""
+    return (
+        F.conv(F.substring(F.md5("pred"), 1, 8), 16, 10).cast("long")
+        % buckets
+    ).cast("int")
 
 
 # Turtle prefix table (longest namespace first so e.g. skos-xl wins over
