@@ -39,6 +39,9 @@ def build_session(cpus: int):
         .config("spark.sql.files.openCostInBytes", str(1 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # plan construction is py4j-round-trip bound (~10k calls for the
+        # full pipeline plan); call-site capture adds ~20% on top
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_MEM", "48g"))
         .getOrCreate()
@@ -91,6 +94,15 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     }
 
 
+def _capacity_work(_):
+    import hashlib
+
+    x = b"x"
+    for _ in range(1_500_000):  # ~0.6 s: amortizes pool-spawn cost
+        x = hashlib.sha256(x).digest()
+    return 0
+
+
 def _parallel_capacity(k: int) -> float:
     """Effective parallel capacity of the shared host, in cores: run the
     SAME fixed sha256 work in 1 process and in k concurrent processes;
@@ -100,21 +112,13 @@ def _parallel_capacity(k: int) -> float:
     'the host granted 2.7 cores'."""
     import multiprocessing as mp
 
-    def work(_):
-        import hashlib
-
-        x = b"x"
-        for _ in range(1_500_000):  # ~0.6 s: amortizes pool-spawn cost
-            x = hashlib.sha256(x).digest()
-        return 0
-
     t0 = time.time()
-    work(0)
+    _capacity_work(0)
     t1 = time.time() - t0
     with mp.Pool(k) as pool:
-        pool.map(work, range(k))  # warm the workers
+        pool.map(_capacity_work, range(k))  # warm the workers
         t0 = time.time()
-        pool.map(work, range(k))
+        pool.map(_capacity_work, range(k))
         tk = time.time() - t0
     return k * t1 / tk
 

@@ -84,6 +84,9 @@ def main(argv=None) -> int:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # plan construction is py4j-round-trip bound (~10k calls for the
+        # full pipeline); per-op call-site capture adds ~20% on top
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .getOrCreate()
     )
 

@@ -105,6 +105,35 @@ class FileEmbeddings:
         return v
 
 
+class DenseEmbeddings:
+    """Vocab + dense-matrix loader (reference vsm/embeddings.py:228-246):
+    a vocab file with one word per line and a whitespace-separated numeric
+    matrix with the matching row order; OOV -> zero vector."""
+
+    def __init__(self, vocab_file: str, vectors_file: str):
+        with open(vocab_file, encoding="utf-8") as f:
+            words = [line.strip() for line in f if line.strip()]
+        self._index = {w: i for i, w in enumerate(words)}
+        self._rows: List[List[float]] = []
+        with open(vectors_file, encoding="utf-8") as f:
+            for line in f:
+                parts = line.split()
+                if parts:
+                    self._rows.append([float(x) for x in parts])
+        if len(self._rows) != len(words):
+            raise ValueError(
+                f"vocab has {len(words)} words but matrix has "
+                f"{len(self._rows)} rows"
+            )
+
+    def dim(self) -> int:
+        return len(self._rows[0])
+
+    def word_vector(self, word: str) -> List[float]:
+        i = self._index.get(word)
+        return self._rows[i] if i is not None else [0.0] * self.dim()
+
+
 def sentence_vector(sentence: str, dim: int = DEFAULT_DIM,
                     store: "FileEmbeddings" = None) -> List[float]:
     """Arithmetic-mean bag-of-words vector (reference :62-87); an empty

@@ -127,3 +127,31 @@ def test_reconcile_with_file_embeddings(spark, tmp_path):
     rows = reconcile_pairs(views, THETA, use_embeddings=True,
                            embeddings_file=str(vec_file)).collect()
     assert all(r["score"] > THETA for r in rows)
+
+
+def test_dense_embeddings_loader(tmp_path):
+    """S6: vocab + dense-matrix format (reference vsm/embeddings.py
+    :228-246) behaves identically to the word-per-line format."""
+    from claimskg_generator_spark.sources.embeddings import (
+        DenseEmbeddings,
+        sentence_vector,
+    )
+
+    (tmp_path / "vocab.txt").write_text("climate\nchange\neconomy\n")
+    (tmp_path / "matrix.txt").write_text(
+        "1.0 0.0 0.0 0.0\n0.0 1.0 0.0 0.0\n0.0 0.0 1.0 0.0\n"
+    )
+    store = DenseEmbeddings(str(tmp_path / "vocab.txt"),
+                            str(tmp_path / "matrix.txt"))
+    assert store.dim() == 4
+    assert store.word_vector("economy") == [0.0, 0.0, 1.0, 0.0]
+    assert store.word_vector("oov") == [0.0, 0.0, 0.0, 0.0]
+    assert sentence_vector("climate change", store=store) == \
+        [0.5, 0.5, 0.0, 0.0]
+
+    import pytest
+
+    (tmp_path / "short.txt").write_text("1.0 0.0 0.0 0.0\n")
+    with pytest.raises(ValueError):
+        DenseEmbeddings(str(tmp_path / "vocab.txt"),
+                        str(tmp_path / "short.txt"))
