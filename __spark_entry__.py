@@ -414,6 +414,15 @@ def q25_salted_canonicalize(spark, sf_dir):
                                  F.col("doc_id"), salt=16)
 
 
+def q27_ivf_topk(spark, sf_dir):
+    """IVF ANN (sampled coarse centroids, probe-limited exact search) —
+    the second scale path for similarity search next to q19's LSH."""
+    from claimskg_generator_spark.operators.similarity import ivf_topk
+
+    e = spark.read.parquet(_t(sf_dir, "embeddings"))
+    return ivf_topk(e, [0, 1, 2, 3, 4], k=5, stride=32, n_probe=4)
+
+
 def q26_claims_canonicalize(spark, sf_dir):
     """A5 over the claim corpus mention surface forms (rows-only)."""
     from claimskg_generator_spark.operators.canonicalize import (
@@ -876,6 +885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q24_claims_stats": q24_claims_stats,
         "q25_salted_canonicalize": q25_salted_canonicalize,
         "q26_claims_canonicalize": q26_claims_canonicalize,
+        "q27_ivf_topk": q27_ivf_topk,
     }
 
 
@@ -885,6 +895,39 @@ def oracle_sql() -> dict[str, str]:
         "q18_simhash": _q18_oracle_sql(),
         "q19_lsh_cosine": _q19_oracle_sql(),
         "q20_uuid5_mint": _q20_oracle_sql(),
+        "q27_ivf_topk": """
+            WITH cents AS (
+                SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cv
+                FROM embeddings WHERE vec_id % 32 = 0),
+            assigned AS (
+                SELECT vec_id AS m_id, mv, cent_id AS m_cent FROM (
+                    SELECT e.vec_id, e.embedding::DOUBLE[] AS mv, c.cent_id,
+                           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                               list_cosine_similarity(e.embedding::DOUBLE[],
+                                                      c.cv) DESC,
+                               c.cent_id ASC) AS rn
+                    FROM embeddings e, cents c)
+                WHERE rn = 1),
+            q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                  FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)),
+            probes AS (
+                SELECT query_id, qv, cent_id AS p_cent FROM (
+                    SELECT q.query_id, q.qv, c.cent_id,
+                           ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+                               list_cosine_similarity(q.qv, c.cv) DESC,
+                               c.cent_id ASC) AS rn
+                    FROM q, cents c)
+                WHERE rn <= 4)
+            SELECT query_id, neighbor_id, cosine, rank FROM (
+                SELECT p.query_id, a.m_id AS neighbor_id,
+                       round(list_cosine_similarity(a.mv, p.qv), 4) AS cosine,
+                       (ROW_NUMBER() OVER (PARTITION BY p.query_id ORDER BY
+                           round(list_cosine_similarity(a.mv, p.qv), 4) DESC,
+                           a.m_id ASC))::INTEGER AS rank
+                FROM assigned a JOIN probes p ON a.m_cent = p.p_cent
+                WHERE a.m_id <> p.query_id)
+            WHERE rank <= 5
+        """,
         "q22_multimodal_features": """
             SELECT doc_id::BIGINT AS media_id,
                    CASE WHEN doc_id % 3 = 0 THEN 'image'

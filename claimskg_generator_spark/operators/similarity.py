@@ -59,6 +59,78 @@ def cosine_topk(embeddings: DataFrame, query_ids: List[int], k: int = 5,
     )
 
 
+def ivf_topk(embeddings: DataFrame, query_ids: List[int], k: int = 5,
+             stride: int = 32, n_probe: int = 4,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF-style ANN: coarse-quantize the corpus into inverted lists, probe
+    only the lists nearest each query, exact top-k within them — the
+    classic sub-linear alternative to the hyperplane-LSH path.
+
+    The coarse centroids are a DETERMINISTIC sample of the dataset itself
+    (every stride-th vector id) rather than k-means output: sampled-point
+    quantizers are a standard IVF variant, and determinism is what lets an
+    external SQL engine reproduce the exact result (no iterative training
+    state).  At 100 TB you'd swap the sample for trained centroids; the
+    plan shape — broadcast centroids, one argmax assignment pass, per-query
+    probe-list candidate join — is identical.
+
+    Every distance is JVM-side (zip_with/aggregate); ties break to the
+    smaller centroid/neighbor id so results are total-order deterministic.
+    """
+    cents = embeddings.filter(F.col(id_col) % stride == 0).select(
+        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cv")
+    )
+    cos_cent = _dot(F.col(vec_col), F.col("cv")) / (
+        _norm(F.col(vec_col)) * _norm(F.col("cv"))
+    )
+    # assignment: nearest centroid per vector (broadcast nested loop over
+    # the small centroid set, one shuffle-free argmax window)
+    w_assign = Window.partitionBy(id_col).orderBy(
+        F.col("c_cos").desc(), F.col("cent_id").asc()
+    )
+    assigned = (
+        embeddings.join(F.broadcast(cents))
+        .withColumn("c_cos", cos_cent)
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select(F.col(id_col).alias("m_id"), F.col(vec_col).alias("mv"),
+                F.col("cent_id").alias("m_cent"))
+    )
+    # probe lists: the n_probe nearest centroids per query
+    q = embeddings.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    q_cos_cent = _dot(F.col("qv"), F.col("cv")) / (
+        _norm(F.col("qv")) * _norm(F.col("cv"))
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.col("qc_cos").desc(), F.col("cent_id").asc()
+    )
+    probes = (
+        q.join(F.broadcast(cents))
+        .withColumn("qc_cos", q_cos_cent)
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", "qv", F.col("cent_id").alias("p_cent"))
+    )
+    # candidates = members of probed lists; exact cosine top-k among them
+    cand = assigned.join(
+        F.broadcast(probes), F.col("m_cent") == F.col("p_cent")
+    ).filter(F.col("m_id") != F.col("query_id"))
+    cos = _dot(F.col("mv"), F.col("qv")) / (_norm(F.col("mv")) * _norm(F.col("qv")))
+    w_k = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.select(
+            "query_id", F.col("m_id").alias("neighbor_id"),
+            F.round(cos, 4).alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(w_k))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def hyperplane_lsh_buckets(embeddings: DataFrame, n_planes: int = 8,
                            seed: int = 11, dim: Optional[int] = None,
                            vec_col: str = "embedding") -> DataFrame:

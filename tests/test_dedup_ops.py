@@ -93,3 +93,24 @@ def test_lsh_cosine_pairs(spark, vecs):
     # LSH buckets are probabilistic per plane draw, but identical-direction
     # vectors always share a bucket
     assert (0, 1) in got or (2, 3) in got
+
+def test_ivf_topk_probes_subset_and_finds_neighbors(spark, vecs):
+    """IVF with sampled centroids: results are exact top-k within the
+    probed lists; with full probing it equals brute force."""
+    from claimskg_generator_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+    )
+
+    # stride 1 -> every vector is a centroid; n_probe >= #centroids ->
+    # candidates = whole corpus -> must equal brute force exactly
+    brute = {(r["query_id"], r["rank"]): r["neighbor_id"]
+             for r in cosine_topk(vecs, [0], k=3).collect()}
+    full = {(r["query_id"], r["rank"]): r["neighbor_id"]
+            for r in ivf_topk(vecs, [0], k=3, stride=1, n_probe=100).collect()}
+    assert full == brute
+
+    # restricted probing returns a subset of the probed lists only
+    few = ivf_topk(vecs, [0], k=3, stride=2, n_probe=1).collect()
+    assert 0 < len(few) <= 3
+    assert all(r["query_id"] == 0 and r["neighbor_id"] != 0 for r in few)
