@@ -123,6 +123,16 @@ def author_mention_triple_array() -> Column:
     return F.when(F.col("cwa_uri").isNotNull(), arr).otherwise(_empty_triples())
 
 
+def row_triple_array(model_uri: str, include_body: bool) -> Column:
+    """The full per-row triple array (core + citations + cw-author
+    mentions) — shared by the emission explode and the lineage counter."""
+    return F.concat(
+        core_triple_array(model_uri, include_body),
+        citation_triple_array(),
+        author_mention_triple_array(),
+    )
+
+
 def single_pass_row_triples(claims: DataFrame, model_uri: str,
                             include_body: bool, threshold: float) -> DataFrame:
     """Core + citations + cw-author-mention families in one explode.
@@ -131,9 +141,5 @@ def single_pass_row_triples(claims: DataFrame, model_uri: str,
     which Spark forbids inside higher-order-function lambdas — they go
     through the unified exploded mention branch instead, see
     operators/mentions.py mint_mentions.)"""
-    total = F.concat(
-        core_triple_array(model_uri, include_body),
-        citation_triple_array(),
-        author_mention_triple_array(),
-    )
+    total = row_triple_array(model_uri, include_body)
     return claims.select(F.explode(total).alias("t")).select("t.*")

@@ -322,23 +322,50 @@ class ClaimsKGPipeline:
         (header.unionByName(body).orderBy("k", "value")
          .select("value").write.mode("overwrite").text(path))
 
-    def lineage(self, input_df: DataFrame) -> DataFrame:
+    def lineage(self, input_df: DataFrame,
+                with_triple_counts: bool = True) -> DataFrame:
         """Per-partition lineage rows (north_rule): input split id, row
-        count, combined content sha256, min/max order key."""
+        count, combined content sha256, min/max order key, and the number
+        of row-local triples emitted from the split (pre-dedup; the
+        global-view families — keywords, alignment, reconciliation, static
+        — are not attributable to a single split by construction)."""
+        base_cols = [
+            F.spark_partition_id().alias("input_split"),
+            F.sha2(F.col("content"), 256).alias("h"),
+            F.col(self.config.order_col).alias("o"),
+        ]
+        aggs = [
+            F.count("*").alias("n_rows"),
+            F.sha2(F.concat_ws("", F.sort_array(F.collect_list("h"))), 256)
+            .alias("content_sha256"),
+            F.min("o").alias("min_ord"),
+            F.max("o").alias("max_ord"),
+        ]
+        if not with_triple_counts:
+            return input_df.select(*base_cols).groupBy("input_split").agg(*aggs)
+
+        from claimskg_generator_spark.operators.row_triples import (
+            row_triple_array,
+        )
+
+        cfg = self.config
+        # claims derivation is narrow (projections + a broadcast join), so
+        # spark_partition_id() here still equals the input-scan split id
+        claims = self.claims(input_df)
+        n_triples = (
+            F.size(row_triple_array(cfg.model_uri, cfg.include_body))
+            + _mention_triple_count(F.col("m_review"), cfg.threshold)
+            + _mention_triple_count(F.col("m_body"), cfg.threshold)
+        )
         return (
-            input_df.select(
+            claims.select(
                 F.spark_partition_id().alias("input_split"),
-                F.sha2(F.col("content"), 256).alias("h"),
-                F.col(self.config.order_col).alias("o"),
+                F.col("content_sha256").alias("h"),
+                F.col("ord").alias("o"),
+                n_triples.alias("nt"),
             )
             .groupBy("input_split")
-            .agg(
-                F.count("*").alias("n_rows"),
-                F.sha2(F.concat_ws("", F.sort_array(F.collect_list("h"))), 256)
-                .alias("content_sha256"),
-                F.min("o").alias("min_ord"),
-                F.max("o").alias("max_ord"),
-            )
+            .agg(*aggs, F.sum("nt").alias("n_triples_emitted"))
         )
 
     def run(self, input_df: DataFrame) -> DataFrame:
@@ -347,6 +374,28 @@ class ClaimsKGPipeline:
         self.stage_timings.append({"stage": "triples", "wall_s": time.time() - t0})
         self.checkpoints.write_manifest()
         return out
+
+
+_MENTION_ARR_DDL = ("array<struct<begin:bigint,end:bigint,text:string,"
+                    "entity:string,score:string,categories:array<string>>>")
+
+
+def _mention_triple_count(col, threshold: float):
+    """Triples the mention family emits per above-threshold mention: the
+    8-triple NIF/ITS block + one dct:about per category entry (twin of
+    operators/mentions.mention_family_triples, counting only)."""
+    flt = F.filter(
+        F.coalesce(col, F.array().cast(_MENTION_ARR_DDL)),
+        lambda m: m["score"].try_cast("double") > F.lit(threshold),
+    )
+    return F.aggregate(
+        flt,
+        F.lit(0),
+        lambda acc, m: acc + 8 + F.when(
+            F.size(m["categories"]) > 0,
+            F.size(F.split(F.element_at(m["categories"], 1), ",")),
+        ).otherwise(0),
+    )
 
 
 def pred_bucket(pred: str, buckets: int) -> int:

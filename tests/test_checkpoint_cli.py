@@ -121,3 +121,34 @@ def test_cli_turtle_sink(spark):
     assert any(l.startswith("<http://data.gesis.org/claimskg/") for l in body)
     assert any('"^^xsd:date' in l for l in body)
     assert not any("<http://schema.org/" in l for l in body)
+
+
+def test_lineage_triple_counts_match_emission(spark):
+    """The per-split n_triples_emitted lineage column equals the actual
+    pre-dedup row-local emission (single-pass families + review/body
+    mention families)."""
+    from claimskg_generator_spark.operators.mentions import (
+        review_and_body_mention_triples,
+    )
+    from claimskg_generator_spark.operators.row_triples import (
+        single_pass_row_triples,
+    )
+    from claimskg_generator_spark.plans.pipeline import (
+        ClaimsKGPipeline,
+        PipelineConfig,
+    )
+
+    corpus = spark.createDataFrame(gen_rows(90))
+    pipe = ClaimsKGPipeline(spark, PipelineConfig(materialize_parsed=False))
+    lin = pipe.lineage(corpus).collect()
+    got = sum(r["n_triples_emitted"] for r in lin)
+
+    claims = pipe.claims(corpus)
+    want = (
+        single_pass_row_triples(claims, pipe.config.model_uri, False, 0.3)
+        .count()
+        + review_and_body_mention_triples(claims, pipe.config.model_uri,
+                                          0.3).count()
+    )
+    assert got == want
+    assert sum(r["n_rows"] for r in lin) == 90
