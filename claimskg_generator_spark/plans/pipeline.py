@@ -121,7 +121,13 @@ class ClaimsKGPipeline:
             )
             return self.checkpoints.materialize("parsed", df, self._input_token)
         if self.config.materialize_parsed:
+            # EAGER cache fill: the triples query launches several
+            # broadcast-build jobs concurrently, and if the cache is still
+            # cold each of them recomputes the parse from scratch (measured
+            # as 6-7 duplicated ~3 s stages at bench scale).  One explicit
+            # materialization action makes every branch a cache read.
             df = df.cache()
+            df.count()
         return df
 
     def claims(self, input_df: DataFrame) -> DataFrame:

@@ -299,13 +299,15 @@ def synthesize_corpus(spark: SparkSession, n: int, seed: int = 42,
     import pandas as pd
 
     if partitions is None:
-        # size the fan-out to the data: ~500 rows per partition, capped at
-        # the session parallelism.  A 5k-row corpus split 32 ways spends
-        # its wall on python-worker/Arrow startup across every downstream
-        # map stage; a 640k-row corpus still gets the full width.  Rows are
-        # pure functions of (seed, i), so the split never changes results.
+        # size the fan-out to the data: ~2000 rows per partition, capped at
+        # the session parallelism.  Every downstream map stage fans out per
+        # corpus partition across ~3 plan branches, and at small scale the
+        # per-task overhead (Arrow batch + python UDF setup) dominates —
+        # a 5k-row corpus wants ~3 partitions, not 32; a 640k-row corpus
+        # still gets the full session width.  Rows are pure functions of
+        # (seed, i), so the split never changes results.
         dp = max(spark.sparkContext.defaultParallelism, 8)
-        partitions = max(1, min(dp, -(-n // 500)))
+        partitions = max(1, min(dp, -(-n // 2000)))
 
     def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for batch in batches:
