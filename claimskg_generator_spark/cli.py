@@ -73,11 +73,41 @@ def build_arg_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _parse_thesaurus_spec(parser: argparse.ArgumentParser, spec: str):
+    """VOCAB=PATH[,plain] — the ',plain' suffix is recognized only as the
+    LITERAL trailing token, so paths containing ',' or '=' survive."""
+    vocab, sep, rest = spec.partition("=")
+    if not sep or not vocab or not rest:
+        parser.error(
+            f"--thesaurus spec {spec!r} must be VOCAB=PATH[,plain]"
+        )
+    if rest.endswith(",plain"):
+        return vocab, rest[: -len(",plain")], False
+    return vocab, rest, True
+
+
+def _file_input_fingerprint(spark: SparkSession, args) -> str:
+    """Content fingerprint of --input, computed only when checkpoints are
+    in play (the FS listing is one driver-side RPC, but skipping it keeps
+    checkpoint-less runs free of any extra I/O)."""
+    if not args.checkpoint_dir:
+        return "nockpt"
+    from claimskg_generator_spark.plans.checkpoints import input_fingerprint
+
+    return input_fingerprint(spark, args.input)
+
+
 def main(argv=None) -> int:
-    args = build_arg_parser().parse_args(argv)
+    parser = build_arg_parser()
+    args = parser.parse_args(argv)
     if not args.input and args.synth is None:
         print("either --input or --synth is required", file=sys.stderr)
         return 2
+    if args.mappings_output and args.reconcile <= 0:
+        parser.error("--mappings-output requires --reconcile > 0 "
+                     "(no pairs are scored otherwise)")
+    thesaurus_specs = [_parse_thesaurus_spec(parser, s)
+                       for s in args.thesaurus]
 
     spark = (
         SparkSession.builder.appName("claimskg_generator_spark")
@@ -97,12 +127,9 @@ def main(argv=None) -> int:
         )
 
         entries = []
-        for spec in args.thesaurus:
-            vocab, _, rest = spec.partition("=")
-            path, _, mode = rest.partition(",")
+        for vocab, path, skos_xl in thesaurus_specs:
             entries.extend(
-                entries_from_skos_xml(path, vocab,
-                                      skos_xl_labels=(mode != "plain"))
+                entries_from_skos_xml(path, vocab, skos_xl_labels=skos_xl)
             )
         thesaurus_kwargs["thesaurus_entries"] = entries
 
@@ -118,9 +145,13 @@ def main(argv=None) -> int:
         reconcile_embeddings=args.embeddings,
         embeddings_file=args.embeddings_file,
         checkpoint_dir=args.checkpoint_dir,
-        # durable checkpoint identity across driver restarts
+        # durable checkpoint identity across driver restarts: synth corpora
+        # are identified by (n, seed); file inputs by path + a CONTENT
+        # fingerprint (FS listing of lengths/mtimes), so overwriting the
+        # same path invalidates old checkpoints instead of resuming them
         input_id=(f"synth:{args.synth}:42" if args.synth is not None
-                  else f"path:{args.input}"),
+                  else f"path:{args.input}:"
+                       f"{_file_input_fingerprint(spark, args)}"),
     )
     pipe = ClaimsKGPipeline(spark, cfg)
 

@@ -60,12 +60,15 @@ def ngram_jaccard_pairs(documents: DataFrame, n: int = 3,
         )
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    capped = (
-        sh.withColumn(
-            "df", F.count("*").over(Window.partitionBy("shingle"))
-        ).filter(F.col("df") <= max_df)
-        .drop("df")
+    # hot-shingle cap as a broadcast ANTI-join: the document-frequency count
+    # is a hash aggregate (map-side partials, no sort — a per-shingle Window
+    # would sort every posting list), and the >max_df survivors are by
+    # definition few, so they broadcast
+    hot = (
+        sh.groupBy("shingle").agg(F.count("*").alias("df"))
+        .filter(F.col("df") > max_df).select("shingle")
     )
+    capped = sh.join(F.broadcast(hot), "shingle", "left_anti")
     a = capped.alias("a")
     b = capped.alias("b")
     common = (
@@ -248,12 +251,15 @@ def _make_minhash_udf(num_hashes: int, seed: int = 7):
 
 
 def minhash_lsh_pairs(documents: DataFrame, n: int = 3, num_hashes: int = 32,
-                      bands: int = 8, verify_threshold: float = 0.5,
-                      max_df: int = 1000) -> DataFrame:
+                      bands: int = 8,
+                      verify_threshold: float = 0.5) -> DataFrame:
     """MinHash+LSH near-dup candidates, verified with true n-gram Jaccard.
 
     shingle -> xxhash64 -> minhash signature (vectorized pandas UDF) ->
     band slices -> bucket groupBy join -> verify on candidates only.
+    (Verification is UNCAPPED exact Jaccard over the candidate pairs —
+    hot-shingle df caps only matter for the full-corpus shingle self-join
+    in ngram_jaccard_pairs, which LSH exists to avoid.)
     """
     rows_per_band = num_hashes // bands
     sh = documents.select(

@@ -8,9 +8,12 @@ cluster-wide stage artifacts.
 Resume safety: a checkpoint is only reused when BOTH the Parquet _SUCCESS
 marker and an identity marker (``_IDENTITY.<token>``) are present.  The
 token hashes the stage's canonicalized logical plan (semanticHash — input
-path/plan changes flip it) plus the pipeline config, so re-running with the
-same checkpoint dir but different input or config recomputes instead of
-silently returning stale triples.  All existence checks and marker writes
+path/plan changes flip it) plus the pipeline config; the CLI additionally
+binds a content fingerprint of file inputs (``input_fingerprint``: Hadoop
+FS listing of paths + lengths + mtimes), so re-running with the same
+checkpoint dir but different input — including the same path overwritten
+with new data — or different config recomputes instead of silently
+returning stale triples.  A materialize call with no token never resumes.  All existence checks and marker writes
 go through the Hadoop FileSystem API, so checkpoints work on HDFS/S3/GCS,
 not just the local filesystem.
 """
@@ -21,6 +24,31 @@ import time
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+def input_fingerprint(spark: SparkSession, path: str) -> str:
+    """Content identity for a file-based input: recursive Hadoop FS listing
+    hashed over (file path, length, modification time).  Binding this into
+    the checkpoint token means overwriting the input files at the SAME path
+    invalidates old checkpoints — a bare path string would silently resume
+    stale stages.  Listing-level (not byte-level) so it stays O(#files) on
+    HDFS/S3/GCS; object stores change mtime on every overwrite."""
+    jvm = spark._jvm
+    jp = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jp.getFileSystem(spark._jsc.hadoopConfiguration())
+    entries = []
+    it = fs.listFiles(jp, True)
+    while it.hasNext():
+        st = it.next()
+        entries.append(
+            f"{st.getPath().toUri().getPath()}\x00{st.getLen()}"
+            f"\x00{st.getModificationTime()}"
+        )
+    h = hashlib.sha256()
+    for e in sorted(entries):
+        h.update(e.encode())
+        h.update(b"\n")
+    return h.hexdigest()[:16]
 
 
 def plan_token(df: DataFrame, extra: str = "") -> str:
@@ -63,8 +91,13 @@ class CheckpointManager:
         path = self._path(name)
         if not self._exists(path, "_SUCCESS"):
             return False
-        # pre-identity checkpoints (no marker) are treated as stale
-        return token is None or self._exists(path, f"_IDENTITY.{token}")
+        # No identity token -> never resume: accepting "any existing
+        # _SUCCESS" would reintroduce stale-checkpoint reuse through entry
+        # points that bypass the token derivation.  Recompute + overwrite.
+        if token is None:
+            return False
+        # pre-identity checkpoints (no marker) are likewise treated as stale
+        return self._exists(path, f"_IDENTITY.{token}")
 
     def materialize(self, name: str, df: DataFrame,
                     token: Optional[str] = None) -> DataFrame:

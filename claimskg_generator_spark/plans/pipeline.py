@@ -445,7 +445,10 @@ _PN_LOCAL_SAFE = "^[A-Za-z][A-Za-z0-9_-]*$"
 
 def _ttl_uri(col):
     expr = F.concat(F.lit("<"), col, F.lit(">"))
-    for pfx, ns in TTL_PREFIXES:
+    # reversed: the LAST prefix wrapped becomes the OUTERMOST when-condition
+    # and wins on overlap, so iterating shortest-to-longest makes the
+    # longest namespace the one tested first (skos-xl beats skos)
+    for pfx, ns in reversed(TTL_PREFIXES):
         local = F.substring(col, len(ns) + 1, 1 << 20)
         expr = F.when(
             col.startswith(ns) & local.rlike(_PN_LOCAL_SAFE),

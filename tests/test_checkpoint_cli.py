@@ -70,6 +70,54 @@ def test_checkpoint_stale_on_input_or_config_change(spark):
     assert all(a == "resume" for _, a, _, _ in p5.checkpoints.events)
 
 
+def test_checkpoint_stale_on_file_overwrite(spark):
+    """Overwriting the INPUT FILES at the same path must invalidate the
+    checkpoints (ADVICE r2: the token binds a content fingerprint of the
+    file listing, not just the path string)."""
+    from claimskg_generator_spark.cli import main
+
+    inp = tempfile.mkdtemp(prefix="claimskg_in_") + "/corpus"
+    ckpt = tempfile.mkdtemp(prefix="claimskg_ck_fp_")
+    out = tempfile.mkdtemp(prefix="claimskg_out_") + "/triples"
+
+    spark.createDataFrame(gen_rows(40)).write.parquet(inp)
+    main(["--input", inp, "--output", out, "--checkpoint-dir", ckpt])
+    n1 = spark.read.parquet(out).count()
+
+    # same path, new content -> must recompute, not resume stale triples
+    spark.createDataFrame(gen_rows(80)).write.mode("overwrite").parquet(inp)
+    main(["--input", inp, "--output", out, "--checkpoint-dir", ckpt])
+    n2 = spark.read.parquet(out).count()
+    assert n2 > n1
+
+
+def test_materialize_without_token_never_resumes(spark):
+    """token=None means 'no identity' -> always recompute (ADVICE r2)."""
+    from claimskg_generator_spark.plans.checkpoints import CheckpointManager
+
+    base = tempfile.mkdtemp(prefix="claimskg_ck_none_")
+    mgr = CheckpointManager(spark, base)
+    mgr.materialize("stage", spark.range(5).toDF("id"), token=None)
+    out = mgr.materialize("stage", spark.range(9).toDF("id"), token=None)
+    assert out.count() == 9  # a token-less call must not return the stale 5
+
+
+def test_cli_argument_validation():
+    import pytest
+
+    from claimskg_generator_spark.cli import main
+
+    # --mappings-output without --reconcile > 0 is an argparse error
+    with pytest.raises(SystemExit):
+        main(["--synth", "10", "--output", "/tmp/x",
+              "--mappings-output", "/tmp/m"])
+    # --thesaurus spec without '=' is an argparse error, not a downstream
+    # FileNotFoundError
+    with pytest.raises(SystemExit):
+        main(["--synth", "10", "--output", "/tmp/x",
+              "--thesaurus", "no-equals-sign"])
+
+
 def test_cli_synth_end_to_end(spark):
     from claimskg_generator_spark.cli import main
 
