@@ -60,58 +60,81 @@ def cosine_topk(embeddings: DataFrame, query_ids: List[int], k: int = 5,
 
 
 def ivf_topk(embeddings: DataFrame, query_ids: List[int], k: int = 5,
-             stride: int = 32, n_probe: int = 4,
+             n_centroids: int = 32, n_probe: int = 4,
              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """IVF-style ANN: coarse-quantize the corpus into inverted lists, probe
     only the lists nearest each query, exact top-k within them — the
     classic sub-linear alternative to the hyperplane-LSH path.
 
-    The coarse centroids are a DETERMINISTIC sample of the dataset itself
-    (every stride-th vector id) rather than k-means output: sampled-point
-    quantizers are a standard IVF variant, and determinism is what lets an
-    external SQL engine reproduce the exact result (no iterative training
-    state).  At 100 TB you'd swap the sample for trained centroids; the
-    plan shape — broadcast centroids, one argmax assignment pass, per-query
-    probe-list candidate join — is identical.
+    The coarse centroids are a FIXED-SIZE deterministic sample: the
+    ``n_centroids`` vectors whose md5(id) sorts first — a hash-ordered
+    uniform sample that any SQL engine reproduces (ORDER BY md5 LIMIT n),
+    computed as one global top-k (TakeOrderedAndProject, no full sort).
+    |C| no longer grows with the corpus, so the broadcast stays bounded and
+    the assignment pass is O(N * n_centroids) with a constant, tunable
+    factor.  At 100 TB you'd swap the sample for trained k-means centroids;
+    the plan shape — broadcast centroids, one hash-agg argmax assignment
+    pass, per-query probe-list candidate join — is identical.
 
-    Every distance is JVM-side (zip_with/aggregate); ties break to the
-    smaller centroid/neighbor id so results are total-order deterministic.
+    Assignment is a PURE MAP stage: the fixed-size centroid set rides as a
+    one-row broadcast array column and the per-vector argmax is a within-row
+    transform + array_max over (cos, -cent_id) structs — no N x |C| row
+    explosion, no aggregation shuffle, no Window sort.  Every distance is
+    JVM-side (zip_with/aggregate); ties break to the smaller centroid/
+    neighbor id so results are total-order deterministic.
     """
-    cents = embeddings.filter(F.col(id_col) % stride == 0).select(
-        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cv")
+    cents = (
+        embeddings.select(
+            F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cv"),
+            F.md5(F.col(id_col).cast("string")).alias("hk"),
+        )
+        .orderBy("hk", "cent_id")
+        .limit(n_centroids)
+        .drop("hk")
     )
-    cos_cent = _dot(F.col(vec_col), F.col("cv")) / (
-        _norm(F.col(vec_col)) * _norm(F.col("cv"))
+    # one-row frame holding ALL centroids as an array (canonical cent_id
+    # order) — broadcast once, n_centroids * dim floats total
+    cent_arr = cents.agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("cent_id"), F.col("cv")))
+        ).alias("cents")
     )
-    # assignment: nearest centroid per vector (broadcast nested loop over
-    # the small centroid set, one shuffle-free argmax window)
-    w_assign = Window.partitionBy(id_col).orderBy(
-        F.col("c_cos").desc(), F.col("cent_id").asc()
-    )
+
+    def scored_arr(vcol):
+        # per-centroid (cosine, -cent_id) structs; array_max / array_sort
+        # over them orders by cosine first, then SMALLER cent_id on ties
+        return F.transform(
+            F.col("cents"),
+            lambda c: F.struct(
+                (_dot(vcol, c["cv"]) / (_norm(vcol) * _norm(c["cv"])))
+                .alias("c"),
+                (-c["cent_id"]).alias("neg_id"),
+            ),
+        )
+
     assigned = (
-        embeddings.join(F.broadcast(cents))
-        .withColumn("c_cos", cos_cent)
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select(F.col(id_col).alias("m_id"), F.col(vec_col).alias("mv"),
-                F.col("cent_id").alias("m_cent"))
+        embeddings.join(F.broadcast(cent_arr))
+        .select(
+            F.col(id_col).alias("m_id"), F.col(vec_col).alias("mv"),
+            F.array_max(scored_arr(F.col(vec_col))).alias("best"),
+        )
+        .select("m_id", "mv", (-F.col("best.neg_id")).alias("m_cent"))
     )
-    # probe lists: the n_probe nearest centroids per query
+    # probe lists: the n_probe nearest centroids per query — same within-row
+    # trick (sort desc, slice) instead of a Window
     q = embeddings.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )
-    q_cos_cent = _dot(F.col("qv"), F.col("cv")) / (
-        _norm(F.col("qv")) * _norm(F.col("cv"))
-    )
-    w_probe = Window.partitionBy("query_id").orderBy(
-        F.col("qc_cos").desc(), F.col("cent_id").asc()
-    )
     probes = (
-        q.join(F.broadcast(cents))
-        .withColumn("qc_cos", q_cos_cent)
-        .withColumn("rn", F.row_number().over(w_probe))
-        .filter(F.col("rn") <= n_probe)
-        .select("query_id", "qv", F.col("cent_id").alias("p_cent"))
+        q.join(F.broadcast(cent_arr))
+        .select(
+            "query_id", "qv",
+            F.explode(
+                F.slice(F.reverse(F.array_sort(scored_arr(F.col("qv")))),
+                        1, n_probe)
+            ).alias("p"),
+        )
+        .select("query_id", "qv", (-F.col("p.neg_id")).alias("p_cent"))
     )
     # candidates = members of probed lists; exact cosine top-k among them
     cand = assigned.join(

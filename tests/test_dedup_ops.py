@@ -102,15 +102,16 @@ def test_ivf_topk_probes_subset_and_finds_neighbors(spark, vecs):
         ivf_topk,
     )
 
-    # stride 1 -> every vector is a centroid; n_probe >= #centroids ->
-    # candidates = whole corpus -> must equal brute force exactly
+    # n_centroids >= corpus -> every vector is a centroid; n_probe >=
+    # #centroids -> candidates = whole corpus -> must equal brute force
     brute = {(r["query_id"], r["rank"]): r["neighbor_id"]
              for r in cosine_topk(vecs, [0], k=3).collect()}
     full = {(r["query_id"], r["rank"]): r["neighbor_id"]
-            for r in ivf_topk(vecs, [0], k=3, stride=1, n_probe=100).collect()}
+            for r in ivf_topk(vecs, [0], k=3, n_centroids=1000,
+                              n_probe=100).collect()}
     assert full == brute
 
     # restricted probing returns a subset of the probed lists only
-    few = ivf_topk(vecs, [0], k=3, stride=2, n_probe=1).collect()
+    few = ivf_topk(vecs, [0], k=3, n_centroids=2, n_probe=1).collect()
     assert 0 < len(few) <= 3
     assert all(r["query_id"] == 0 and r["neighbor_id"] != 0 for r in few)
