@@ -188,20 +188,81 @@ def hyperplane_lsh_buckets(embeddings: DataFrame, n_planes: int = 8,
     return embeddings.withColumn("bucket", bucket)
 
 
-def lsh_cosine_pairs(embeddings: DataFrame, n_planes: int = 8,
+def hyperplane_band_keys(embeddings: DataFrame, bands: int = 8,
+                         planes_per_band: int = 8, seed: int = 11,
+                         dim: Optional[int] = None,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> DataFrame:
+    """Multi-band hyperplane LSH keys: (id, band, key) rows where key is
+    the sign-pattern of that band's ``planes_per_band`` random hyperplanes
+    (one shared seeded stream, band 0 first — the SQL oracle replays it).
+
+    Banding is what makes hyperplane LSH scale: a single sign-pattern of r
+    planes has FIXED 2^r granularity (the bucket self-join degenerates
+    toward all-pairs/2^r as N grows), whereas b bands of r planes let
+    recall (b) and bucket granularity (r) move independently — grow r with
+    corpus size to keep buckets sparse, grow b to keep recall, exactly like
+    the MinHash banding in operators/dedup.py.  Only the slim (id, band,
+    key) rows ride the candidate join; vectors re-attach post-dedup.
+    """
+    import random
+
+    if dim is None:
+        first = embeddings.select(F.size(vec_col).alias("d")).first()
+        dim = first["d"]
+    rng = random.Random(seed)
+    band_structs = []
+    for j in range(bands):
+        key = F.lit(0).cast("long")
+        for i in range(planes_per_band):
+            plane = [rng.gauss(0.0, 1.0) for _ in range(dim)]
+            proj = F.aggregate(
+                F.zip_with(
+                    F.col(vec_col),
+                    F.array(*[F.lit(x) for x in plane]),
+                    lambda v, p: (v * p).cast("double"),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            key = key.bitwiseOR(
+                F.when(proj >= 0, F.shiftleft(F.lit(1).cast("long"), i))
+                .otherwise(F.lit(0).cast("long"))
+            )
+        band_structs.append(
+            F.struct(F.lit(j).alias("band"), key.alias("key"))
+        )
+    return embeddings.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("bk")
+    ).select(id_col, "bk.band", "bk.key")
+
+
+def lsh_cosine_pairs(embeddings: DataFrame, bands: int = 8,
+                     planes_per_band: int = 8,
                      threshold: float = 0.9, seed: int = 11,
                      dim: Optional[int] = None,
                      id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """Embedding-cosine near-dup pairs: bucket equi-join candidates, then
-    exact cosine verification — the scale path for embedding dedup."""
-    b = hyperplane_lsh_buckets(embeddings, n_planes, seed, dim=dim, vec_col=vec_col)
-    a = b.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"), "bucket")
-    c = b.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"), "bucket")
-    pairs = a.join(c, ["bucket"]).filter(F.col("id_a") < F.col("id_b"))
+    """Embedding-cosine near-dup pairs: multi-band bucket equi-join
+    candidates (see hyperplane_band_keys), then exact cosine verification
+    on candidates only — the scale path for embedding dedup."""
+    b = hyperplane_band_keys(embeddings, bands, planes_per_band, seed,
+                             dim=dim, id_col=id_col, vec_col=vec_col)
+    a = b.select(F.col(id_col).alias("id_a"), "band", "key")
+    c = b.select(F.col(id_col).alias("id_b"), "band", "key")
+    cand = (
+        a.join(c, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates()
+    )
+    va = embeddings.select(F.col(id_col).alias("id_a"),
+                           F.col(vec_col).alias("v_a"))
+    vb = embeddings.select(F.col(id_col).alias("id_b"),
+                           F.col(vec_col).alias("v_b"))
+    pairs = cand.join(va, "id_a").join(vb, "id_b")
     cos = _dot(F.col("v_a"), F.col("v_b")) / (_norm(F.col("v_a")) * _norm(F.col("v_b")))
     return (
         pairs.withColumn("cosine", F.round(cos, 4))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
-        .dropDuplicates(["id_a", "id_b"])
     )

@@ -89,10 +89,44 @@ def test_cosine_topk_ranks(spark, vecs):
 
 def test_lsh_cosine_pairs(spark, vecs):
     got = {(r["id_a"], r["id_b"]) for r in
-           lsh_cosine_pairs(vecs, n_planes=4, threshold=0.9).collect()}
+           lsh_cosine_pairs(vecs, bands=2, planes_per_band=2,
+                            threshold=0.9).collect()}
     # LSH buckets are probabilistic per plane draw, but identical-direction
     # vectors always share a bucket
     assert (0, 1) in got or (2, 3) in got
+
+
+def test_lsh_cosine_planted_pair_recall(spark):
+    """Multi-band recall: a planted near-identical pair (cos ~0.999) must
+    be found, and colinear duplicates are found in EVERY band draw.  With
+    8 bands x 8 planes the planted pair's miss probability is
+    (1 - p^8)^8 with p = 1 - acos(0.999)/pi ~ 0.986 -> ~1e-8, so this is
+    deterministic in practice across seeds."""
+    import math
+    import random
+
+    rng = random.Random(3)
+    dim = 16
+    rows = []
+    for i in range(40):
+        rows.append((i, [rng.gauss(0.0, 1.0) for _ in range(dim)]))
+    base = rows[7][1]
+    # planted near-dup: tiny perturbation of vector 7
+    near = [x + rng.gauss(0.0, 0.01) for x in base]
+    rows.append((100, near))
+    # planted exact-direction dup (scaled copy): same sign pattern always
+    rows.append((101, [2.5 * x for x in base]))
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    dot = sum(a * b for a, b in zip(base, near))
+    na = math.sqrt(sum(a * a for a in base))
+    nb = math.sqrt(sum(b * b for b in near))
+    assert dot / (na * nb) > 0.99
+    for seed in (11, 12, 13):
+        got = {(r["id_a"], r["id_b"]) for r in
+               lsh_cosine_pairs(vecs, bands=8, planes_per_band=8,
+                                threshold=0.98, seed=seed, dim=dim).collect()}
+        assert (7, 100) in got, f"planted near-pair missed at seed {seed}"
+        assert (7, 101) in got  # colinear: guaranteed, not probabilistic
 
 def test_ivf_topk_probes_subset_and_finds_neighbors(spark, vecs):
     """IVF with sampled centroids: results are exact top-k within the
