@@ -62,6 +62,11 @@ BENCH_QUERIES = [
     "q18_simhash",
     "q19_lsh_cosine",
     "q21_claims_triples",
+    "q23_claims_reconcile",
+    "q27_ivf_topk",
+    # production xxhash64 LSH paths (q17/q18 time the md5 oracle twins)
+    "q28_minhash_prod",
+    "q29_simhash_prod",
 ]
 
 

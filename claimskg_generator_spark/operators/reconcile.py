@@ -78,6 +78,27 @@ def soft_jaccard(xs, ys) -> float:
     return soft_overlap(xs, ys) / denom
 
 
+def _blend_score(keyword_sim, link_sim, entity_sim, category_sim,
+                 text_sim, entity_weight=1.0, keyword_weight=1.0,
+                 link_weight=1.0, text_weight=1.0) -> float:
+    """The entity/category blending quirk + floored weighted geometric
+    mean of _claim_similarity (reference reconciler/__init__.py:201-242),
+    shared by the scalar scorer and the batched Arrow UDF."""
+    import math
+
+    if not entity_sim and category_sim:
+        entity_sim = category_sim * 0.3
+    elif entity_sim and category_sim:
+        entity_sim = entity_sim * 0.7 + category_sim + 0.3  # verbatim quirk
+
+    product = 1.0
+    for v, w in [(entity_sim, entity_weight), (keyword_sim, keyword_weight),
+                 (link_sim, link_weight), (text_sim, text_weight)]:
+        if v is not None:
+            product *= math.pow(max(v, 0.00001), w)
+    return math.pow(product, 1.0 / 4.0)
+
+
 def claim_pair_score(keywords_a, keywords_b, links_a, links_b,
                      entities_a, entities_b, cats_a, cats_b,
                      entity_weight=1.0, keyword_weight=1.0,
@@ -87,8 +108,6 @@ def claim_pair_score(keywords_a, keywords_b, links_a, links_b,
     ``text_sim`` is the embeddings cosine (None = embeddings-off path:
     the text term is absent from the product, but the geometric-mean
     length stays 4)."""
-    import math
-
     keyword_sim = (
         None if len(keywords_a) == 0 and len(keywords_b) == 0
         else soft_jaccard(keywords_a, keywords_b)
@@ -102,17 +121,9 @@ def claim_pair_score(keywords_a, keywords_b, links_a, links_b,
         None if len(cats_a) == 0 and len(cats_b) == 0
         else soft_jaccard(cats_a, cats_b)
     )
-    if not entity_sim and category_sim:
-        entity_sim = category_sim * 0.3
-    elif entity_sim and category_sim:
-        entity_sim = entity_sim * 0.7 + category_sim + 0.3  # verbatim quirk
-
-    product = 1.0
-    for v, w in [(entity_sim, entity_weight), (keyword_sim, keyword_weight),
-                 (link_sim, link_weight), (text_sim, text_weight)]:
-        if v is not None:
-            product *= math.pow(max(v, 0.00001), w)
-    return math.pow(product, 1.0 / 4.0)
+    return _blend_score(keyword_sim, link_sim, entity_sim, category_sim,
+                        text_sim, entity_weight, keyword_weight,
+                        link_weight, text_weight)
 
 
 _VEC_TYPE = T.StructType(
@@ -169,29 +180,161 @@ def with_fragment_vectors(views: DataFrame,
 _PAIR_SCORE_TYPE = T.DoubleType()
 
 
+# ---------------------------------------------------------------------------
+# Batched Levenshtein for the Arrow UDFs.  The scalar scorer above is the
+# semantic reference (and what oracle.py uses); the UDFs below produce
+# bit-identical scores but compute every unequal string pair of the whole
+# Arrow batch in one deduped vectorized pass — rapidfuzz (C) when present,
+# else a numpy column-DP that runs the classic O(La*Lb) recurrence
+# simultaneously for ALL pairs (pinned equal to the scalar path by
+# tests/test_reconcile_stats.py::test_batched_levenshtein_matches_scalar).
+# Per-term float summation order is preserved (terms are re-summed in
+# encounter order), so no 1-ulp drift vs the scalar path.
+# ---------------------------------------------------------------------------
+
+def _lev_batch_numpy(pa, pb):
+    """Normalized Levenshtein similarity for parallel string lists, all
+    pairs at once: integer DP where each (i, j) step is one numpy op over
+    the whole pair axis.  Pairs are bucketed by power-of-two max length so
+    short strings don't pay for the longest one in the batch."""
+    import numpy as np
+
+    n = len(pa)
+    out = np.zeros(n, dtype=np.float64)
+    buckets = {}
+    for idx in range(n):
+        m = max(len(pa[idx]), len(pb[idx]))
+        buckets.setdefault(max(1, (m - 1).bit_length() if m else 0),
+                           []).append(idx)
+
+    def codes(s, width):
+        a = np.zeros(width, dtype=np.uint32)
+        if s:
+            raw = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+            a[: len(raw)] = raw
+        return a
+
+    for idxs in buckets.values():
+        p = len(idxs)
+        la = np.array([len(pa[i]) for i in idxs], dtype=np.int32)
+        lb = np.array([len(pb[i]) for i in idxs], dtype=np.int32)
+        La, Lb = int(la.max()), int(lb.max())
+        if La == 0 or Lb == 0:
+            # one side empty in every pair of this bucket -> sim 0.0
+            continue
+        A = np.stack([codes(pa[i], La) for i in idxs])
+        B = np.stack([codes(pb[i], Lb) for i in idxs])
+        prev = np.tile(np.arange(Lb + 1, dtype=np.int32), (p, 1))
+        d = np.zeros(p, dtype=np.int32)
+        sel = la == 0
+        if sel.any():
+            d[sel] = lb[sel]
+        rows = np.arange(p)
+        for i in range(1, La + 1):
+            sub = prev[:, :-1] + (A[:, i - 1: i] != B)
+            dele = prev[:, 1:] + 1
+            m = np.minimum(sub, dele)
+            cur = np.empty_like(prev)
+            cur[:, 0] = i
+            run = cur[:, 0].copy()
+            for j in range(1, Lb + 1):
+                run = np.minimum(m[:, j - 1], run + 1)
+                cur[:, j] = run
+            prev = cur
+            hit = la == i
+            if hit.any():
+                d[hit] = cur[rows[hit], lb[hit]]
+        out[idxs] = 1.0 - d / np.maximum(np.maximum(la, lb), 1)
+    return out
+
+
+def _lev_batch(pa, pb):
+    try:
+        from rapidfuzz.distance import Levenshtein
+    except ImportError:
+        return _lev_batch_numpy(pa, pb)
+    import numpy as np
+
+    # same metric: 1 - dist/max(len) with unit weights
+    return np.array(
+        [Levenshtein.normalized_similarity(a, b) for a, b in zip(pa, pb)],
+        dtype=np.float64,
+    )
+
+
+def _overlap_terms(xs, ys, pa, pb, memo):
+    """Encode soft_overlap as a term list: None = equal pair (+1.0),
+    int = index of a deduped (x, y) Levenshtein job.  Preserves the
+    x-outer/y-inner term order of the scalar path."""
+    terms = []
+    for x in xs:
+        for y in ys:
+            if x == y:
+                terms.append(None)
+            else:
+                key = (x, y)
+                j = memo.get(key)
+                if j is None:
+                    j = len(pa)
+                    memo[key] = j
+                    pa.append(x)
+                    pb.append(y)
+                terms.append(j)
+    return terms
+
+
+def _sum_terms(terms, sims) -> float:
+    total = 0.0
+    for j in terms:
+        total += 1.0 if j is None else sims[j]
+    return total
+
+
 @F.pandas_udf(_PAIR_SCORE_TYPE)
 def _pair_score_udf(kw_a: pd.Series, kw_b: pd.Series, ln_a: pd.Series,
                     ln_b: pd.Series, en_a: pd.Series, en_b: pd.Series,
                     ca: pd.Series, cb: pd.Series,
                     text_sim: pd.Series) -> pd.Series:
-    out = []
+    pa, pb, memo = [], [], {}
+    rows = []
     for i in range(len(kw_a)):
-        ts = text_sim[i]
-        out.append(
-            claim_pair_score(
-                list(kw_a[i]), list(kw_b[i]), list(ln_a[i]), list(ln_b[i]),
-                list(en_a[i]), list(en_b[i]), list(ca[i]), list(cb[i]),
-                text_sim=None if ts is None or pd.isna(ts) else float(ts),
+        fields = []
+        for xs, ys in ((kw_a[i], kw_b[i]), (ln_a[i], ln_b[i]),
+                       (en_a[i], en_b[i]), (ca[i], cb[i])):
+            xs, ys = list(xs), list(ys)
+            fields.append(
+                (len(xs), len(ys), _overlap_terms(xs, ys, pa, pb, memo))
             )
-        )
+        rows.append(fields)
+    sims = _lev_batch(pa, pb) if pa else ()
+
+    def sj(na, nb, terms):
+        denom = na + nb
+        return 0.0 if denom == 0 else _sum_terms(terms, sims) / denom
+
+    out = []
+    for i, (kw, ln, en, cat) in enumerate(rows):
+        keyword_sim = (None if kw[0] == 0 and kw[1] == 0 else sj(*kw))
+        link_sim = sj(*ln)
+        entity_sim = (None if en[0] == 0 and en[1] == 0 else sj(*en))
+        category_sim = (None if cat[0] == 0 and cat[1] == 0 else sj(*cat))
+        ts = text_sim[i]
+        out.append(_blend_score(
+            keyword_sim, link_sim, entity_sim, category_sim,
+            None if ts is None or pd.isna(ts) else float(ts),
+        ))
     return pd.Series(out)
 
 
 @F.pandas_udf(T.DoubleType())
 def _entity_overlap_udf(en_a: pd.Series, en_b: pd.Series) -> pd.Series:
-    return pd.Series(
-        [soft_overlap(list(en_a[i]), list(en_b[i])) for i in range(len(en_a))]
-    )
+    pa, pb, memo = [], [], {}
+    rows = [
+        _overlap_terms(list(en_a[i]), list(en_b[i]), pa, pb, memo)
+        for i in range(len(en_a))
+    ]
+    sims = _lev_batch(pa, pb) if pa else ()
+    return pd.Series([_sum_terms(t, sims) for t in rows])
 
 
 def reconcile_pairs(views: DataFrame, theta: float,

@@ -145,3 +145,50 @@ def test_statistics_match_oracle(spark, claims_df, oracle):
             assert round(float(got[grp][col]), 4) == round(float(stats[key]), 4), (
                 grp, col, got[grp][col], stats[key]
             )
+
+
+def test_batched_levenshtein_matches_scalar():
+    """The numpy column-DP used by the Arrow UDFs must equal the scalar
+    reference implementation exactly (integer DP + same float division)."""
+    import random
+
+    from claimskg_generator_spark.operators.reconcile import (
+        _lev_batch_numpy,
+        levenshtein_similarity,
+    )
+
+    rng = random.Random(17)
+    alpha = "abcdefg -_ABC0123é中"
+    pa, pb = [], []
+    for _ in range(300):
+        pa.append("".join(rng.choice(alpha)
+                          for _ in range(rng.randrange(0, 40))))
+        pb.append("".join(rng.choice(alpha)
+                          for _ in range(rng.randrange(0, 40))))
+    # force some edge shapes
+    pa += ["", "abc", "same", "x"]
+    pb += ["nonempty", "", "same!", "y" * 120]
+    got = _lev_batch_numpy(pa, pb)
+    want = [levenshtein_similarity(a, b) for a, b in zip(pa, pb)]
+    assert list(got) == want
+
+
+def test_batched_overlap_terms_match_soft_overlap():
+    from claimskg_generator_spark.operators.reconcile import (
+        _lev_batch,
+        _overlap_terms,
+        _sum_terms,
+        soft_overlap,
+    )
+
+    cases = [
+        (["alpha", "beta"], ["beta", "gamma", "alphaa"]),
+        ([], ["x"]),
+        (["same", "same"], ["same"]),
+        (["kw one", "kw two"], ["kw two", "kw threee"]),
+    ]
+    pa, pb, memo = [], [], {}
+    term_lists = [_overlap_terms(xs, ys, pa, pb, memo) for xs, ys in cases]
+    sims = _lev_batch(pa, pb) if pa else ()
+    for (xs, ys), terms in zip(cases, term_lists):
+        assert _sum_terms(terms, sims) == soft_overlap(xs, ys)
