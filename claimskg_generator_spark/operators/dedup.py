@@ -16,6 +16,8 @@ Scale design notes (100 TB posture):
 - embedding-cosine: see operators/similarity.py.
 """
 
+from typing import Optional
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -360,25 +362,53 @@ def simhash_signatures(documents: DataFrame, n_chunks: int = 4,
 
 
 def simhash_near_dups(documents: DataFrame, max_hamming: int = 3,
-                      token_hash=None) -> DataFrame:
+                      token_hash=None,
+                      n_blocks: Optional[int] = None) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_hamming, candidates via
-    equal chunks, verified by true hamming distance (bit_count of xor).
+    equal block-combination keys, verified by true hamming distance
+    (bit_count of xor).
 
-    Recall is GUARANTEED: max_hamming+1 chunks means any pair within the
-    hamming budget leaves at least one chunk untouched (pigeonhole), so it
-    always collides on some chunk table.  Larger max_hamming -> narrower
-    chunks -> more candidates; 3 (the default, 4x16-bit chunks) is the
-    classic web-dedup operating point.
+    Recall is GUARANTEED by pigeonhole: <= max_hamming flipped bits touch
+    <= max_hamming of the ``n_blocks`` blocks, so at least
+    (n_blocks - max_hamming) blocks are untouched — and every combination
+    of that many blocks is a candidate table, so some table always
+    collides.  The default n_blocks = max_hamming+1 keys each table on a
+    SINGLE block (the classic 4x16-bit web-dedup operating point).
+
+    100 TB posture — key width vs table count (Manku et al., WWW '07):
+    single-block keys cap bucket cardinality at 2^16 = 65k for the
+    default, so at billions of documents each bucket holds ~N/65k members
+    and the per-bucket candidate join goes quadratic.  Passing a larger
+    ``n_blocks`` keys each table on (n_blocks - max_hamming) CONCATENATED
+    blocks — e.g. n_blocks=6, max_hamming=3 gives C(6,3)=20 tables with
+    ~32-bit keys (4B buckets): 5x the tables for a 65,000x bucket-
+    cardinality improvement, the standard trade at web scale.  Recall
+    stays exact either way (pinned by
+    tests/test_dedup_ops.py::test_simhash_wide_keys_exact_recall).
     """
-    n_chunks = max_hamming + 1
-    sigs = simhash_signatures(documents, n_chunks, token_hash)
+    from itertools import combinations
+
+    if n_blocks is None:
+        n_blocks = max_hamming + 1
+    if n_blocks <= max_hamming:
+        raise ValueError(
+            f"n_blocks ({n_blocks}) must exceed max_hamming ({max_hamming}) "
+            "— pigeonhole recall needs at least one untouched block"
+        )
+    if n_blocks > 64:
+        raise ValueError("n_blocks cannot exceed the 64 signature bits")
+    sigs = simhash_signatures(documents, n_blocks, token_hash)
+    key_size = n_blocks - max_hamming
     pairs = None
-    for c in range(n_chunks):
-        a = sigs.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("s_a"),
-                        F.col(f"chunk{c}").alias("k"))
-        b = sigs.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("s_b"),
-                        F.col(f"chunk{c}").alias("k"))
-        p = a.join(b, ["k"]).filter(F.col("id_a") < F.col("id_b")).drop("k")
+    for combo in combinations(range(n_blocks), key_size):
+        keys = [f"k{i}" for i in range(key_size)]
+        proj = [F.col(f"chunk{c}").alias(k) for c, k in zip(combo, keys)]
+        a = sigs.select(F.col("doc_id").alias("id_a"),
+                        F.col("simhash").alias("s_a"), *proj)
+        b = sigs.select(F.col("doc_id").alias("id_b"),
+                        F.col("simhash").alias("s_b"), *proj)
+        p = (a.join(b, keys).filter(F.col("id_a") < F.col("id_b"))
+             .drop(*keys))
         pairs = p if pairs is None else pairs.unionByName(p)
     return (
         pairs.dropDuplicates(["id_a", "id_b"])

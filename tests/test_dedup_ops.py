@@ -68,6 +68,52 @@ def test_simhash_near_dups(spark, docs):
     assert (4, 5) not in got
 
 
+def test_simhash_wide_keys_exact_recall(spark):
+    """Wide-key (block-combination) candidate generation finds EXACTLY the
+    pairs a brute-force hamming scan over the signatures finds — recall is
+    pigeonhole-guaranteed, not probabilistic — and agrees with the default
+    single-block keying."""
+    from claimskg_generator_spark.operators.dedup import simhash_signatures
+
+    # organic corpus with planted token-level perturbations so several
+    # signature pairs land within a few bits of each other
+    base_tokens = ("alpha beta gamma delta epsilon zeta eta theta iota "
+                   "kappa lambda mu nu xi omicron pi rho sigma tau").split()
+    rows = []
+    import random
+
+    rng = random.Random(5)
+    for i in range(60):
+        toks = list(base_tokens)
+        for _ in range(rng.randrange(0, 3)):
+            toks[rng.randrange(len(toks))] = f"w{rng.randrange(8)}"
+        rows.append((i, " ".join(toks)))
+    docs6 = spark.createDataFrame(rows, "doc_id long, text string")
+
+    sigs = {r["doc_id"]: r["simhash"]
+            for r in simhash_signatures(docs6, n_chunks=6).collect()}
+    brute = set()
+    ids = sorted(sigs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            if bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1") <= 3:
+                brute.add((a, b))
+
+    wide = {(r["id_a"], r["id_b"])
+            for r in simhash_near_dups(docs6, max_hamming=3,
+                                       n_blocks=6).collect()}
+    narrow = {(r["id_a"], r["id_b"])
+              for r in simhash_near_dups(docs6, max_hamming=3).collect()}
+    assert brute, "fixture produced no hamming<=3 pairs; adjust perturbation"
+    assert wide == brute
+    assert narrow == brute
+
+
+def test_simhash_n_blocks_validation(spark, docs):
+    with pytest.raises(ValueError):
+        simhash_near_dups(docs, max_hamming=3, n_blocks=3)
+
+
 @pytest.fixture(scope="module")
 def vecs(spark):
     rows = [
