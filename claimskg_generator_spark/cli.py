@@ -34,7 +34,7 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="synthesize N corpus rows instead of reading --input")
     p.add_argument("--output", required=True, help="triple table output path")
     p.add_argument("--format", default="parquet",
-                   choices=["parquet", "ntriples", "turtle"])
+                   choices=["parquet", "ntriples", "turtle", "xml"])
     p.add_argument("--model-uri", default=DEFAULT_MODEL_URI)
     p.add_argument("--threshold", type=float, default=0.3)
     p.add_argument("--include-body", action="store_true")
@@ -168,6 +168,8 @@ def main(argv=None) -> int:
                            args.pred_buckets)
     elif args.format == "turtle":
         pipe.write_turtle(triples, args.output)
+    elif args.format == "xml":
+        pipe.write_rdfxml(triples, args.output)
     else:
         pipe.write_ntriples(triples, args.output)
 

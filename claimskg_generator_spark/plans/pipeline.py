@@ -328,6 +328,64 @@ class ClaimsKGPipeline:
         (header.unionByName(body).orderBy("k", "value")
          .select("value").write.mode("overwrite").text(path))
 
+    def write_rdfxml(self, triples: DataFrame, path: str) -> None:
+        """RDF/XML sink (reference export.py:144-151 accepts any rdflib
+        format; RDF/XML is the biggest remaining one).  One flat
+        rdf:Description element per triple — valid RDF/XML, no subject
+        grouping needed — built entirely from JVM column expressions; the
+        document header/footer ride sort-key rows like the Turtle prefix
+        header.  Known-namespace predicates use prefixes declared once on
+        rdf:RDF; any other predicate splits at its last '/'/'#' and
+        declares an inline xmlns.  Round-trip equality is pinned by
+        tests/test_rdfxml_sink.py (stdlib-XML parse-back; rdflib is not
+        installed here)."""
+        decl = [(0, '<?xml version="1.0" encoding="utf-8"?>'),
+                (1, "<rdf:RDF")]
+        decl += [(2, f'   xmlns:{p}="{ns}"') for p, ns in TTL_PREFIXES]
+        decl += [(3, ">")]
+        header = self.spark.createDataFrame(decl, "k int, value string")
+        footer = self.spark.createDataFrame([(5, "</rdf:RDF>")],
+                                            "k int, value string")
+        qname, xmlns = _xml_pred_parts(F.col("pred"))
+        obj_attr = _xml_escape(F.col("obj"), attr=True)
+        obj_text = _xml_escape(F.col("obj"))
+        elem = (
+            F.when(
+                F.col("okind") == "uri",
+                F.concat(F.lit("<"), qname, xmlns,
+                         F.lit(' rdf:resource="'), obj_attr, F.lit('"/>')),
+            )
+            .when(
+                F.col("okind") == "",
+                F.concat(F.lit("<"), qname, xmlns, F.lit(">"), obj_text,
+                         F.lit("</"), qname, F.lit(">")),
+            )
+            .when(
+                F.col("okind").startswith("@"),
+                F.concat(F.lit("<"), qname, xmlns, F.lit(' xml:lang="'),
+                         F.substring(F.col("okind"), 2, 1 << 20),
+                         F.lit('">'), obj_text,
+                         F.lit("</"), qname, F.lit(">")),
+            )
+            .otherwise(
+                F.concat(F.lit("<"), qname, xmlns, F.lit(' rdf:datatype="'),
+                         _xml_escape(F.col("okind"), attr=True),
+                         F.lit('">'), obj_text,
+                         F.lit("</"), qname, F.lit(">")),
+            )
+        )
+        body = triples.select(
+            F.lit(4).alias("k"),
+            F.concat(
+                F.lit('  <rdf:Description rdf:about="'),
+                _xml_escape(F.col("subj"), attr=True),
+                F.lit('">'), elem, F.lit("</rdf:Description>"),
+            ).alias("value"),
+        )
+        (header.unionByName(body).unionByName(footer)
+         .orderBy("k", "value").select("value")
+         .write.mode("overwrite").text(path))
+
     def lineage(self, input_df: DataFrame,
                 with_triple_counts: bool = True) -> DataFrame:
         """Per-partition lineage rows (north_rule): input split id, row
@@ -455,6 +513,39 @@ def _ttl_uri(col):
             F.concat(F.lit(pfx + ":"), local),
         ).otherwise(expr)
     return expr
+
+
+# conservative XML NCName subset for predicate local parts
+_NCNAME_SAFE = "^[A-Za-z_][A-Za-z0-9_.-]*$"
+
+
+def _xml_escape(col, attr: bool = False):
+    """XML content escaping (&, <, >; plus \" in attribute values).  '&'
+    first so already-escaped output isn't double-escaped."""
+    out = F.replace(col, F.lit("&"), F.lit("&amp;"))
+    out = F.replace(out, F.lit("<"), F.lit("&lt;"))
+    out = F.replace(out, F.lit(">"), F.lit("&gt;"))
+    if attr:
+        out = F.replace(out, F.lit('"'), F.lit("&quot;"))
+    return out
+
+
+def _xml_pred_parts(col):
+    """(qname, xmlns_attr) column pair for a predicate URI: prefix-table
+    namespaces use the rdf:RDF-level declarations (empty xmlns attr);
+    anything else splits at the last '/'/'#' and declares xmlns:g inline.
+    Longest namespace tested first, like _ttl_uri."""
+    ns_part = F.regexp_extract(col, r"^(.*[/#])", 1)
+    local_part = F.regexp_extract(col, r"([^/#]+)$", 1)
+    qname = F.concat(F.lit("g:"), local_part)
+    xmlns = F.concat(F.lit(' xmlns:g="'), _xml_escape(ns_part, attr=True),
+                     F.lit('"'))
+    for pfx, ns in reversed(TTL_PREFIXES):
+        local = F.substring(col, len(ns) + 1, 1 << 20)
+        hit = col.startswith(ns) & local.rlike(_NCNAME_SAFE)
+        qname = F.when(hit, F.concat(F.lit(pfx + ":"), local)).otherwise(qname)
+        xmlns = F.when(hit, F.lit("")).otherwise(xmlns)
+    return qname, xmlns
 
 
 def _nt_escape(col):
