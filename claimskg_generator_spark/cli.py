@@ -47,9 +47,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="include the mean-BoW text-similarity term in "
                         "reconciliation scoring")
     p.add_argument("--embeddings-file", default=None,
-                   help="word-vector text file (GloVe/word2vec text format) "
-                        "for the embeddings term; default is the "
-                        "deterministic hash-vector fixture")
+                   help="word-vector file for the embeddings term: GloVe/"
+                        "word2vec text or word2vec C binary (.bin, "
+                        "auto-sniffed); default is the deterministic "
+                        "hash-vector fixture")
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--thesaurus", action="append", default=[],
                    metavar="VOCAB=PATH[,plain]",

@@ -148,7 +148,7 @@ def _make_fragment_vectors_udf(embeddings_file: Optional[str]):
             store = getattr(emb, "_WORKER_STORES", None) or {}
             emb._WORKER_STORES = store
             if embeddings_file not in store:
-                store[embeddings_file] = emb.FileEmbeddings(embeddings_file)
+                store[embeddings_file] = emb.open_embeddings(embeddings_file)
             store = store[embeddings_file]
         full, first = [], []
         for fr in fragments:

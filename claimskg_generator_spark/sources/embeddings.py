@@ -134,6 +134,88 @@ class DenseEmbeddings:
         return self._rows[i] if i is not None else [0.0] * self.dim()
 
 
+class Word2VecBinaryEmbeddings:
+    """word2vec C binary format loader (the vectors the reference's
+    MagnitudeEmbeddings wraps, vsm/embeddings.py:251-281; gensim's
+    ``load_word2vec_format(binary=True)`` is the canonical reader): ASCII
+    header ``vocab_size dim\\n``, then per entry the word bytes up to
+    b' ' followed by dim little-endian float32s (optionally a trailing
+    newline).  OOV words get the zero vector, like the text loaders."""
+
+    def __init__(self, path: str):
+        import numpy as np
+
+        with open(path, "rb") as f:
+            header = f.readline().split()
+            if len(header) != 2:
+                raise ValueError(f"{path}: not a word2vec binary header")
+            n, d = int(header[0]), int(header[1])
+            self._dim = d
+            self._vecs = {}
+            width = 4 * d
+            for _ in range(n):
+                chars = []
+                while True:
+                    c = f.read(1)
+                    if c == b" ":
+                        break
+                    if not c:
+                        raise ValueError(f"{path}: truncated word2vec binary")
+                    if c != b"\n":
+                        chars.append(c)
+                word = b"".join(chars).decode("utf-8")
+                buf = f.read(width)
+                if len(buf) != width:
+                    raise ValueError(f"{path}: truncated vector for {word!r}")
+                self._vecs[word] = [
+                    float(x) for x in np.frombuffer(buf, dtype="<f4")
+                ]
+
+    def dim(self) -> int:
+        return self._dim
+
+    def word_vector(self, word: str) -> List[float]:
+        v = self._vecs.get(word)
+        return v if v is not None else [0.0] * self._dim
+
+
+class Sent2VecEmbeddings:
+    """Sentence-level model surface (reference vsm/embeddings.py:283-301
+    Sent2VecEmbeddings).  The sent2vec native library is not installable in
+    this environment, so construction requires it and fails loudly
+    otherwise; the word-vector loaders above are the supported paths."""
+
+    def __init__(self, model_path: str):
+        try:
+            import sent2vec  # type: ignore[import-not-found]
+        except ImportError as e:
+            raise NotImplementedError(
+                "the sent2vec native library is not available; use a "
+                "GloVe/word2vec text file or a word2vec .bin instead"
+            ) from e
+        self._model = sent2vec.Sent2vecModel()
+        self._model.load_model(model_path)
+
+    def sentence_vector(self, sentence: str) -> List[float]:
+        return [float(x) for x in self._model.embed_sentence(sentence)[0]]
+
+
+def open_embeddings(path: str):
+    """Loader sniff for --embeddings-file: word2vec C binaries start with
+    an ASCII header but the packed float32 payload is not valid UTF-8, so
+    a .bin extension or a failed UTF-8 decode of the first 4 KiB selects
+    the binary loader; anything else parses as GloVe/word2vec text."""
+    if path.endswith(".bin"):
+        return Word2VecBinaryEmbeddings(path)
+    with open(path, "rb") as f:
+        head = f.read(4096)
+    try:
+        head.decode("utf-8")
+    except UnicodeDecodeError:
+        return Word2VecBinaryEmbeddings(path)
+    return FileEmbeddings(path)
+
+
 def sentence_vector(sentence: str, dim: int = DEFAULT_DIM,
                     store: "FileEmbeddings" = None) -> List[float]:
     """Arithmetic-mean bag-of-words vector (reference :62-87); an empty

@@ -155,3 +155,77 @@ def test_dense_embeddings_loader(tmp_path):
     with pytest.raises(ValueError):
         DenseEmbeddings(str(tmp_path / "vocab.txt"),
                         str(tmp_path / "short.txt"))
+
+
+def test_word2vec_binary_loader(tmp_path):
+    """S6: word2vec C binary format — exact float32 parity, OOV -> zero
+    vector, and the open_embeddings sniff picks the right loader for both
+    formats."""
+    import struct
+
+    from claimskg_generator_spark.sources.embeddings import (
+        Word2VecBinaryEmbeddings,
+        open_embeddings,
+        sentence_vector,
+    )
+
+    vecs = {
+        "climate": [1.0, 0.25, -0.5, 0.125],
+        "change": [0.0, 1.0, 0.0, 0.0],
+        "économie": [-1.5, 0.75, 2.0, -0.0625],  # multi-byte UTF-8 word
+    }
+    bin_file = tmp_path / "vectors.bin"
+    with open(bin_file, "wb") as f:
+        f.write(f"{len(vecs)} 4\n".encode())
+        for w, v in vecs.items():
+            f.write(w.encode("utf-8") + b" ")
+            f.write(struct.pack("<4f", *v))
+            f.write(b"\n")
+    store = Word2VecBinaryEmbeddings(str(bin_file))
+    assert store.dim() == 4
+    for w, v in vecs.items():
+        assert store.word_vector(w) == v  # float32-exact values chosen
+    assert store.word_vector("oov") == [0.0] * 4
+    assert sentence_vector("climate change", store=store) == \
+        [0.5, 0.625, -0.25, 0.0625]
+
+    # sniff: binary payload -> binary loader even without the .bin suffix
+    sniffed = open_embeddings(str(bin_file))
+    assert isinstance(sniffed, Word2VecBinaryEmbeddings)
+    txt_file = tmp_path / "vectors.txt"
+    txt_file.write_text("climate 1.0 0.0\n", encoding="utf-8")
+    from claimskg_generator_spark.sources.embeddings import FileEmbeddings
+
+    assert isinstance(open_embeddings(str(txt_file)), FileEmbeddings)
+
+
+def test_reconcile_with_word2vec_binary(spark, tmp_path):
+    """A .bin embeddings file flows through --embeddings-file/open_embeddings
+    into the per-worker store."""
+    import struct
+
+    from claimskg_generator_spark.operators.reconcile import reconcile_pairs
+
+    words = set()
+    for r in gen_records(60):
+        words.update(str(r.get("claimReview_claimReviewed", "")).lower().split())
+    bin_file = tmp_path / "vectors.bin"
+    with open(bin_file, "wb") as f:
+        f.write(f"{len(words)} 3\n".encode())
+        for w in sorted(words):
+            f.write(w.encode("utf-8") + b" " + struct.pack("<3f", 1.0, 0.5, 0.25))
+    pipe = ClaimsKGPipeline(spark)
+    claims = pipe.claims(spark.createDataFrame(gen_rows(60)))
+    views = logical_views(claims, pipe.config.model_uri, 0.3)
+    rows = reconcile_pairs(views, THETA, use_embeddings=True,
+                           embeddings_file=str(bin_file)).collect()
+    assert all(r["score"] > THETA for r in rows)
+
+
+def test_sent2vec_guard():
+    import pytest
+
+    from claimskg_generator_spark.sources.embeddings import Sent2VecEmbeddings
+
+    with pytest.raises(NotImplementedError):
+        Sent2VecEmbeddings("/nonexistent/model.bin")
