@@ -6,7 +6,11 @@
 2. AQE skew-join splits the hot-author partitions — shown by ``skew=true``
    on the executed SortMergeJoin when thresholds are at demo scale.
 
-Usage: python scripts/reconcile_skew_demo.py [cpus] [n_rows]
+Usage: python scripts/reconcile_skew_demo.py [cpus] [n_rows] [head_pct]
+
+``head_pct`` (default 25): percentage of the corpus rewritten to a single
+hot creative-work author ("Viral image" — the real ClaimsKG head key, see
+reference corpus), the classic blocked-self-join skew case.
 """
 
 import os
@@ -45,27 +49,55 @@ def main():
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    from pyspark.sql import functions as F
+
     from claimskg_generator_spark.operators.reconcile import _reconcile_scored
     from claimskg_generator_spark.operators.views import logical_views
     from claimskg_generator_spark.plans.pipeline import ClaimsKGPipeline
     from claimskg_generator_spark.sources.synth import synthesize_corpus
+
+    head_pct = int(sys.argv[3]) if len(sys.argv) > 3 else 25
 
     corpus_path = f"/tmp/claimskg_bench_corpus_{n_rows}"
     if not os.path.exists(corpus_path + "/_SUCCESS"):
         synthesize_corpus(spark, n_rows, 42).write.mode("overwrite").parquet(
             corpus_path
         )
+    corpus = spark.read.parquet(corpus_path)
+    if head_pct:
+        # head-author injection: rewrite head_pct% of the records' creative-
+        # work author to one hot key, like "Viral image" dominating real
+        # fact-check corpora — the worst case for the author-blocked
+        # self-join
+        hot = F.xxhash64("path") % 100 < head_pct
+        corpus = corpus.withColumn(
+            "content",
+            F.when(
+                hot,
+                F.regexp_replace(
+                    "content",
+                    r'"creativeWork_author_name":\s*"[^"]*"',
+                    '"creativeWork_author_name": "Viral image"',
+                ),
+            ).otherwise(F.col("content")),
+        )
     pipe = ClaimsKGPipeline(spark)
-    claims = pipe.claims(spark.read.parquet(corpus_path))
+    claims = pipe.claims(corpus)
     views = logical_views(claims, pipe.config.model_uri, 0.3)
     scored = _reconcile_scored(views, theta=0.25, sample_fraction=0.005,
                                seed=7)
 
+    # IMPORTANT: inspect the plan of the EXECUTED action.  scored.count()
+    # compiles a separate query; scored's own queryExecution stays
+    # isFinalPlan=false and shows no AQE rewrites (this script originally
+    # made that mistake and reported zero skew markers).
+    agg = scored.agg(F.count("*").alias("n"))
     t0 = time.time()
-    n = scored.count()
+    n = agg.collect()[0]["n"]
     wall = time.time() - t0
 
-    executed = scored._jdf.queryExecution().executedPlan().toString()
+    full_plan = agg._jdf.queryExecution().executedPlan().toString()
+    executed = full_plan.split("== Initial Plan ==")[0]  # final plan only
     skew_markers = [
         l.strip()[:160] for l in executed.splitlines()
         if "skew" in l.lower()
