@@ -169,6 +169,17 @@ def run_pipeline_throughput(sf_dir: str, cpus: int, n_rows: int) -> dict:
         )
     corpus = spark.read.parquet(corpus_path)
     ckpt = tempfile.mkdtemp(prefix=f"claimskg_ck_{cpus}_")
+    # Floor decomposition: logical-plan construction (py4j round trips) is
+    # data-independent per-run overhead.  Measured on a fully-lazy twin
+    # pipeline (no checkpoint, no parsed cache -> zero jobs run), OUTSIDE
+    # the timed window, since the real run pays it interleaved with work.
+    lazy = ClaimsKGPipeline(
+        spark, PipelineConfig(materialize_parsed=False)
+    )
+    tp = time.time()
+    lazy.triples(corpus)
+    t_plan = time.time() - tp
+
     pipe = ClaimsKGPipeline(spark, PipelineConfig(checkpoint_dir=ckpt))
     cal_before = _calibrate()
     t0 = time.time()
@@ -188,6 +199,7 @@ def run_pipeline_throughput(sf_dir: str, cpus: int, n_rows: int) -> dict:
         "n_triples": n_triples,
         "wall_s": round(dt, 3),
         "parse_s": round(t_parse, 3),
+        "plan_build_s": round(t_plan, 3),
         "triples_s": round(t_triples, 3),
         "rows_per_s": round(n_rows / dt, 1),
         "triples_per_s": round(n_triples / dt, 1),
