@@ -34,7 +34,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="synthesize N corpus rows instead of reading --input")
     p.add_argument("--output", required=True, help="triple table output path")
     p.add_argument("--format", default="parquet",
-                   choices=["parquet", "ntriples", "turtle", "xml"])
+                   choices=["parquet", "ntriples", "turtle", "xml",
+                            "json-ld", "n3"])
     p.add_argument("--model-uri", default=DEFAULT_MODEL_URI)
     p.add_argument("--threshold", type=float, default=0.3)
     p.add_argument("--include-body", action="store_true")
@@ -167,10 +168,13 @@ def main(argv=None) -> int:
     if args.format == "parquet":
         pipe.write_triples(triples, args.output, args.output_partitions,
                            args.pred_buckets)
-    elif args.format == "turtle":
+    elif args.format in ("turtle", "n3"):
+        # every Turtle document is valid N3, mirroring rdflib's aliasing
         pipe.write_turtle(triples, args.output)
     elif args.format == "xml":
         pipe.write_rdfxml(triples, args.output)
+    elif args.format == "json-ld":
+        pipe.write_jsonld(triples, args.output)
     else:
         pipe.write_ntriples(triples, args.output)
 

@@ -20,7 +20,6 @@ from typing import Optional
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 
 def exact_duplicates(documents: DataFrame) -> DataFrame:
@@ -168,37 +167,47 @@ def _verify_candidate_jaccard(documents: DataFrame, candidates: DataFrame,
     )
 
 
-def minhash_lsh_pairs_checkable(documents: DataFrame, n: int = 3,
-                                num_hashes: int = 32, bands: int = 8,
-                                verify_threshold: float = 0.5,
-                                seed: int = 7) -> DataFrame:
-    """MinHash+LSH with md5-mod-p shingle hashes and the signature computed
-    as pure JVM array expressions (array_min over transform) — zero Python
-    in the plan AND reproducible by a SQL oracle.  Same banding/bucketing/
-    candidates-only-verify shape as minhash_lsh_pairs."""
+def _minhash_banded_pairs(documents: DataFrame, shingle_hash_mod_p, n: int,
+                          num_hashes: int, bands: int,
+                          verify_threshold: float, seed: int,
+                          compact_keys: bool) -> DataFrame:
+    """Shared MinHash+LSH core: shingle -> hash mod p (materialized ONCE
+    behind a column alias — Spark performs no CSE inside higher-order-
+    function lambda bodies, so inlining the hash chain into all
+    ``num_hashes`` signature expressions re-derives it per hash: measured
+    206 s -> seconds at sf0.1 for the md5 variant) -> array_min universal-
+    hash signatures (pure JVM, whole-stage codegen) -> per-band keys ->
+    bucket equi-join -> exact n-gram-Jaccard verify on candidates only.
+
+    ``compact_keys``: xxhash64 the band key string down to 8 bytes for the
+    candidate shuffle (production; a key collision at worst adds a
+    candidate that exact verification then scores honestly).  False keeps
+    the raw signature strings so an external SQL engine can replay the
+    join byte-for-byte (the q17 oracle twin).
+    """
     rows_per_band = num_hashes // bands
     coeffs = minhash_coefficients(num_hashes, seed)
     p = F.lit(MINHASH_P)
-    # Materialize the md5-mod-p shingle hashes ONCE per document: the 32
-    # signature expressions below reference the alias, not the md5 chain —
-    # inlining the chain 32x (64 md5 calls per shingle; no CSE inside
-    # lambda bodies) measured 206 s at sf0.1 vs seconds this way.
     hashed = documents.select(
         "doc_id",
-        F.transform(_shingles(F.col("text"), n), md5_hash_mod_p).alias("xs"),
+        F.transform(_shingles(F.col("text"), n), shingle_hash_mod_p)
+        .alias("xs"),
     )
 
     def _minexpr(a, b):
         return F.array_min(F.transform(F.col("xs"), lambda x: (x * a + b) % p))
 
     sig_cols = [_minexpr(a, b) for a, b in coeffs]
-    doc_sigs = hashed.select("doc_id", *[
-        F.concat_ws(",", *[s.cast("string")
-                           for s in sig_cols[j * rows_per_band:
-                                             (j + 1) * rows_per_band]])
-        .alias(f"band{j}")
-        for j in range(bands)
-    ])
+    band_keys = []
+    for j in range(bands):
+        key = F.concat_ws(",", *[
+            s.cast("string")
+            for s in sig_cols[j * rows_per_band:(j + 1) * rows_per_band]
+        ])
+        band_keys.append(F.xxhash64(key) if compact_keys else key)
+    doc_sigs = hashed.select(
+        "doc_id", *[k.alias(f"band{j}") for j, k in enumerate(band_keys)]
+    )
     banded = doc_sigs.select(
         "doc_id",
         F.explode(F.array(*[
@@ -220,89 +229,39 @@ def minhash_lsh_pairs_checkable(documents: DataFrame, n: int = 3,
     return _verify_candidate_jaccard(documents, candidates, n, verify_threshold)
 
 
-_SIG_TYPE = T.ArrayType(T.LongType())
-
-
-def _make_minhash_udf(num_hashes: int, seed: int = 7):
-    import numpy as np
-    import pandas as pd
-
-    rng = np.random.RandomState(seed)
-    # Universal hashing h_i(x) = (a_i*x + b_i) mod p with p = 2^31-1
-    # (Mersenne).  Inputs are first reduced mod p, so a*x < 2^62 fits
-    # uint64 exactly — the whole signature is one vectorized numpy
-    # broadcast per document, no Python-int arithmetic.
-    p = np.uint64((1 << 31) - 1)
-    a = rng.randint(1, int(p), size=num_hashes).astype(np.uint64)
-    b = rng.randint(0, int(p), size=num_hashes).astype(np.uint64)
-
-    @F.pandas_udf(_SIG_TYPE)
-    def minhash_sig(shingle_hashes: pd.Series) -> pd.Series:
-        out = []
-        for hs in shingle_hashes:
-            if hs is None or len(hs) == 0:
-                out.append([0] * num_hashes)
-                continue
-            x = np.asarray(hs, dtype=np.int64).astype(np.uint64) % p
-            # (H, S) broadcast: rows = hash fns, cols = shingles
-            sig = ((a[:, None] * x[None, :] + b[:, None]) % p).min(axis=1)
-            out.append([int(v) for v in sig])
-        return pd.Series(out)
-
-    return minhash_sig
+def minhash_lsh_pairs_checkable(documents: DataFrame, n: int = 3,
+                                num_hashes: int = 32, bands: int = 8,
+                                verify_threshold: float = 0.5,
+                                seed: int = 7) -> DataFrame:
+    """MinHash+LSH with md5-mod-p shingle hashes — zero Python in the plan
+    AND reproducible by a SQL oracle (md5 + 64-bit integer arithmetic);
+    raw string band keys so the join replays byte-for-byte in DuckDB."""
+    return _minhash_banded_pairs(documents, md5_hash_mod_p, n, num_hashes,
+                                 bands, verify_threshold, seed,
+                                 compact_keys=False)
 
 
 def minhash_lsh_pairs(documents: DataFrame, n: int = 3, num_hashes: int = 32,
-                      bands: int = 8,
-                      verify_threshold: float = 0.5) -> DataFrame:
-    """MinHash+LSH near-dup candidates, verified with true n-gram Jaccard.
+                      bands: int = 8, verify_threshold: float = 0.5,
+                      seed: int = 7) -> DataFrame:
+    """Production MinHash+LSH near-dup pairs, verified with true n-gram
+    Jaccard on candidates only.
 
-    shingle -> xxhash64 -> minhash signature (vectorized pandas UDF) ->
-    band slices -> bucket groupBy join -> verify on candidates only.
-    (Verification is UNCAPPED exact Jaccard over the candidate pairs —
-    hot-shingle df caps only matter for the full-corpus shingle self-join
-    in ngram_jaccard_pairs, which LSH exists to avoid.)
+    Round 3: the signature is pure JVM column expressions over
+    xxhash64-mod-p shingle hashes (the round-1 Arrow UDF shipped every
+    document's shingle-hash array through Arrow per batch; the column
+    expression stays inside whole-stage codegen with no Python workers in
+    the hot path) and band keys compact to 8-byte xxhash64 values for the
+    candidate shuffle.  Verification is UNCAPPED exact Jaccard over the
+    candidate pairs — hot-shingle df caps only matter for the full-corpus
+    shingle self-join in ngram_jaccard_pairs, which LSH exists to avoid.
     """
-    rows_per_band = num_hashes // bands
-    sh = documents.select(
-        "doc_id",
-        F.transform(_shingles(F.col("text"), n), lambda s: F.xxhash64(s)).alias("hs"),
-    )
-    sig = sh.withColumn("sig", _make_minhash_udf(num_hashes)(F.col("hs"))).select(
-        "doc_id", "sig"
-    )
-    banded = sig.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda i: F.struct(
-                    i.alias("band"),
-                    F.xxhash64(
-                        F.array_join(
-                            F.transform(
-                                F.slice("sig", i * rows_per_band + 1, rows_per_band),
-                                lambda v: v.cast("string"),
-                            ),
-                            ",",
-                        )
-                    ).alias("bucket"),
-                ),
-            )
-        ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bucket")
-    a, b = banded.alias("a"), banded.alias("b")
-    candidates = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .dropDuplicates()
-    )
-    return _verify_candidate_jaccard(documents, candidates, n, verify_threshold)
+    def xx_mod_p(col):
+        h = F.xxhash64(col)
+        return (h % MINHASH_P + MINHASH_P) % MINHASH_P
+
+    return _minhash_banded_pairs(documents, xx_mod_p, n, num_hashes, bands,
+                                 verify_threshold, seed, compact_keys=True)
 
 
 def _bit_mask(i: int) -> int:

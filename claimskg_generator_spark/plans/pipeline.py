@@ -328,6 +328,43 @@ class ClaimsKGPipeline:
         (header.unionByName(body).orderBy("k", "value")
          .select("value").write.mode("overwrite").text(path))
 
+    def write_jsonld(self, triples: DataFrame, path: str) -> None:
+        """JSON-LD sink (expanded form): a JSON array with one node object
+        per triple — expanded JSON-LD merges repeated @id entries, so the
+        flat layout is shuffle-free like the N-Triples sink.  Object kinds
+        map to {"@id"}, {"@value"}, {"@value","@language"},
+        {"@value","@type"}.  The closing element is an empty node object
+        (zero triples) so every body line can carry a trailing comma —
+        no global last-row bookkeeping.  Parse-back equality pinned by
+        tests/test_jsonld_sink.py."""
+        header = self.spark.createDataFrame([(0, "[")], "k int, value string")
+        footer = self.spark.createDataFrame([(2, "{}]")], "k int, value string")
+        subj = _json_escape(F.col("subj"))
+        pred = _json_escape(F.col("pred"))
+        obj = _json_escape(F.col("obj"))
+        node = (
+            F.when(F.col("okind") == "uri",
+                   F.concat(F.lit('{"@id":"'), obj, F.lit('"}')))
+            .when(F.col("okind") == "",
+                  F.concat(F.lit('{"@value":"'), obj, F.lit('"}')))
+            .when(F.col("okind").startswith("@"),
+                  F.concat(F.lit('{"@value":"'), obj,
+                           F.lit('","@language":"'),
+                           F.substring(F.col("okind"), 2, 1 << 20),
+                           F.lit('"}')))
+            .otherwise(F.concat(F.lit('{"@value":"'), obj,
+                                F.lit('","@type":"'),
+                                _json_escape(F.col("okind")), F.lit('"}')))
+        )
+        body = triples.select(
+            F.lit(1).alias("k"),
+            F.concat(F.lit('{"@id":"'), subj, F.lit('","'), pred,
+                     F.lit('":['), node, F.lit("]},")).alias("value"),
+        )
+        (header.unionByName(body).unionByName(footer)
+         .orderBy("k", "value").select("value")
+         .write.mode("overwrite").text(path))
+
     def write_rdfxml(self, triples: DataFrame, path: str) -> None:
         """RDF/XML sink (reference export.py:144-151 accepts any rdflib
         format; RDF/XML is the biggest remaining one).  One flat
@@ -513,6 +550,20 @@ def _ttl_uri(col):
             F.concat(F.lit(pfx + ":"), local),
         ).otherwise(expr)
     return expr
+
+
+def _json_escape(col):
+    """JSON string escaping as a JVM replace chain: backslash and quote,
+    then every control char < 0x20 to its \\uXXXX (or short) escape."""
+    out = F.replace(col, F.lit("\\"), F.lit("\\\\"))
+    out = F.replace(out, F.lit('"'), F.lit('\\"'))
+    short = {"\n": "\\n", "\r": "\\r", "\t": "\\t",
+             "\b": "\\b", "\f": "\\f"}
+    for code in range(0x20):
+        ch = chr(code)
+        out = F.replace(out, F.lit(ch),
+                        F.lit(short.get(ch, "\\u%04x" % code)))
+    return out
 
 
 # conservative XML NCName subset for predicate local parts
