@@ -154,40 +154,6 @@ def ivf_topk(embeddings: DataFrame, query_ids: List[int], k: int = 5,
     )
 
 
-def hyperplane_lsh_buckets(embeddings: DataFrame, n_planes: int = 8,
-                           seed: int = 11, dim: Optional[int] = None,
-                           vec_col: str = "embedding") -> DataFrame:
-    """Sign-pattern bucket id per vector: bit i = (v . r_i) >= 0, random
-    hyperplanes fixed by seed (deterministic, JVM-side).
-
-    Pass ``dim`` explicitly in production plans — the fallback runs a
-    driver-side ``.first()`` action while building the plan, a hidden job
-    you don't want at scale."""
-    import random
-
-    if dim is None:
-        first = embeddings.select(F.size(vec_col).alias("d")).first()
-        dim = first["d"]
-    rng = random.Random(seed)
-    bucket = F.lit(0).cast("long")
-    for i in range(n_planes):
-        plane = [rng.gauss(0.0, 1.0) for _ in range(dim)]
-        proj = F.aggregate(
-            F.zip_with(
-                F.col(vec_col),
-                F.array(*[F.lit(x) for x in plane]),
-                lambda v, p: (v * p).cast("double"),
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        bucket = bucket.bitwiseOR(
-            F.when(proj >= 0, F.shiftleft(F.lit(1).cast("long"), i))
-            .otherwise(F.lit(0).cast("long"))
-        )
-    return embeddings.withColumn("bucket", bucket)
-
-
 def hyperplane_band_keys(embeddings: DataFrame, bands: int = 8,
                          planes_per_band: int = 8, seed: int = 11,
                          dim: Optional[int] = None,
@@ -202,8 +168,13 @@ def hyperplane_band_keys(embeddings: DataFrame, bands: int = 8,
     toward all-pairs/2^r as N grows), whereas b bands of r planes let
     recall (b) and bucket granularity (r) move independently — grow r with
     corpus size to keep buckets sparse, grow b to keep recall, exactly like
-    the MinHash banding in operators/dedup.py.  Only the slim (id, band,
+    the MinHash banding in operators/dedup.py.  (bands=1 degenerates to a
+    plain single-table sign-pattern bucketing.)  Only the slim (id, band,
     key) rows ride the candidate join; vectors re-attach post-dedup.
+
+    Pass ``dim`` explicitly in production plans — the fallback runs a
+    driver-side ``.first()`` action while building the plan, a hidden job
+    you don't want at scale.
     """
     import random
 
