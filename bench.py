@@ -44,6 +44,13 @@ def build_session(cpus: int):
         .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_MEM", "48g"))
+        # Shuffle/spill scratch.  The sandbox /tmp disk is SHARED and its
+        # bursts stall multi-threaded stages while CPU capacity probes stay
+        # clean (observed: 4N triples stage 99 s -> 277 s at constant
+        # single-thread cal); pointing scratch at tmpfs isolates the
+        # compute-scaling measurement from foreign disk traffic.
+        .config("spark.local.dir",
+                os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/tmp"))
         .getOrCreate()
     )
 
@@ -162,13 +169,15 @@ def run_pipeline_throughput(sf_dir: str, cpus: int, n_rows: int) -> dict:
 
     spark = build_session(cpus)
     spark.sparkContext.setLogLevel("ERROR")
-    corpus_path = f"/tmp/claimskg_bench_corpus_{n_rows}"
+    workdir = os.environ.get("SPARK_GRAFT_WORKDIR", "/tmp")
+    os.makedirs(workdir, exist_ok=True)
+    corpus_path = f"{workdir}/claimskg_bench_corpus_{n_rows}"
     if not os.path.exists(corpus_path + "/_SUCCESS"):
         synthesize_corpus(spark, n_rows, seed=42).write.mode("overwrite").parquet(
             corpus_path
         )
     corpus = spark.read.parquet(corpus_path)
-    ckpt = tempfile.mkdtemp(prefix=f"claimskg_ck_{cpus}_")
+    ckpt = tempfile.mkdtemp(prefix=f"claimskg_ck_{cpus}_", dir=workdir)
     # Floor decomposition: logical-plan construction (py4j round trips) is
     # data-independent per-run overhead.  Measured on a fully-lazy twin
     # pipeline (no checkpoint, no parsed cache -> zero jobs run), OUTSIDE

@@ -42,6 +42,15 @@ def run_level(cpus: int, n_rows: int) -> dict:
 
 
 def main():
+    # Default all bench I/O (corpus, stage checkpoints, shuffle scratch) to
+    # tmpfs: collapsed pairs at full CPU grant traced to SHARED-DISK bursts
+    # stalling the 4N triples stage (write-heavy) while capacity probes
+    # stayed clean.  tmpfs isolates compute scaling from foreign disk load.
+    if os.path.isdir("/dev/shm"):
+        os.environ.setdefault("SPARK_GRAFT_WORKDIR", "/dev/shm/claimskg_bench")
+        os.environ.setdefault("SPARK_GRAFT_LOCAL_DIR",
+                              "/dev/shm/claimskg_bench/spark-local")
+        os.makedirs(os.environ["SPARK_GRAFT_LOCAL_DIR"], exist_ok=True)
     target = float(os.environ.get("HUNT_TARGET", "0.8"))
     min_cap = float(os.environ.get("HUNT_MIN_CAPACITY", "3.5"))
     max_minutes = float(os.environ.get("HUNT_MAX_MINUTES", "40"))
