@@ -36,8 +36,19 @@ def exact_duplicates(documents: DataFrame) -> DataFrame:
 
 
 def _shingles(col, n=3):
-    """Word n-gram shingles (distinct) of lowercased text."""
+    """Word n-gram shingles (distinct) of lowercased text.
+
+    PERF TRAP — prefer :func:`with_shingle_set` in plans.  Higher-order
+    functions (transform / array_distinct lambdas) are CodegenFallback:
+    they evaluate INTERPRETED, and Spark performs no CSE inside lambda
+    bodies, so the ``split`` below re-executes once per shingle index
+    when this expression is used raw.  with_shingle_set materializes the
+    token array behind a column alias first (one split per row)."""
     toks = F.split(F.lower(F.trim(col)), r"\s+")
+    return _shingles_of_tokens(toks, n)
+
+
+def _shingles_of_tokens(toks, n=3):
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
     return F.array_distinct(
         F.when(
@@ -47,35 +58,74 @@ def _shingles(col, n=3):
     )
 
 
+def with_shingle_set(documents: DataFrame, n: int = 3, text_col: str = "text",
+                     out: str = "sset") -> DataFrame:
+    """``documents`` plus an ``out`` column holding the distinct word
+    n-gram shingle set of ``text_col``, built scale-consciously:
+
+    - the token split is materialized behind its own column alias so the
+      interpreted HOF lambda references a computed value instead of
+      re-splitting the text once per shingle index (CollapseProject keeps
+      the alias because it is non-cheap and multiply referenced);
+    - callers that explode ``out`` should use ``explode_outer``: plain
+      explode makes InferFiltersFromGenerate inject a ``size(out) > 0``
+      filter that re-evaluates the entire interpreted shingle expression
+      per row (measured 3.1 s -> 0.39 s on the sf0.1 documents table).
+      The set is never empty (short texts collapse to one whole-text
+      shingle), so outer semantics are identical.
+    """
+    tok_col = f"__{out}_toks"
+    return (
+        documents.withColumn(tok_col, F.split(F.lower(F.trim(text_col)), r"\s+"))
+        .withColumn(out, _shingles_of_tokens(F.col(tok_col), n))
+        .drop(tok_col)
+    )
+
+
 def ngram_jaccard_pairs(documents: DataFrame, n: int = 3,
                         threshold: float = 0.5,
                         max_df: int = 1000) -> DataFrame:
     """Candidate near-dup pairs with n-gram Jaccard >= threshold.
 
-    shingle-explode -> hot-shingle cap (max_df) -> self-join on shingle ->
-    count common shingles per (a,b) -> jaccard = common/(|A|+|B|-common).
+    shingle-explode -> ONE groupBy(shingle) pass building document
+    frequency + posting list together -> hot-shingle cap (df > max_df
+    dropped; bounds within-row pair fan-out) -> pairs generated within
+    the posting-list row (no shingle self-join) -> count common shingles
+    per (a,b) -> jaccard = common/(|A|+|B|-common).
     """
-    sh = (
-        documents.select(
-            "doc_id", F.explode(_shingles(F.col("text"), n)).alias("shingle")
+    docs = with_shingle_set(documents, n).select("doc_id", "sset")
+    # per-doc shingle count is a pure map (no shuffle): |set| == exploded
+    # row count because the set is distinct per doc
+    sizes = docs.select("doc_id", F.size("sset").alias("n_sh"))
+    sh = docs.select("doc_id", F.explode_outer("sset").alias("shingle"))
+    # ONE pass over the exploded frame: document frequency + posting list
+    # together (round 3 computed df, the hot set, and the capped frame as
+    # three consumers of an uncached explode — the explode + shuffle ran
+    # three times).  df == 1 shingles yield no pairs and are dropped; the
+    # hot-shingle cap (df > max_df) bounds the per-shingle pair fan-out,
+    # so the within-row pair array below holds at most max_df*(max_df-1)/2
+    # structs — the posting list never leaves one aggregation buffer.
+    post = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"), F.collect_list("doc_id").alias("ids"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= max_df))
+        .withColumn("ids_s", F.array_sort("ids"))
+    )
+    # pair generation within the row (no self-join, no second shuffle of
+    # the exploded frame): ids_s is sorted + distinct, so slicing past the
+    # current index yields exactly the id_a < id_b pairs
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ids_s"),
+            lambda a, i: F.transform(
+                F.slice(F.col("ids_s"), i + 2, F.col("df").cast("int")),
+                lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
+            ),
         )
     )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    # hot-shingle cap as a broadcast ANTI-join: the document-frequency count
-    # is a hash aggregate (map-side partials, no sort — a per-shingle Window
-    # would sort every posting list), and the >max_df survivors are by
-    # definition few, so they broadcast
-    hot = (
-        sh.groupBy("shingle").agg(F.count("*").alias("df"))
-        .filter(F.col("df") > max_df).select("shingle")
-    )
-    capped = sh.join(F.broadcast(hot), "shingle", "left_anti")
-    a = capped.alias("a")
-    b = capped.alias("b")
     common = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        post.select(F.explode_outer(pair_structs).alias("p"))
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .agg(F.count("*").alias("common"))
     )
     return (
@@ -146,9 +196,7 @@ def _verify_candidate_jaccard(documents: DataFrame, candidates: DataFrame,
     """Exact n-gram Jaccard on CANDIDATE pairs only (join each side to its
     distinct-shingle set + array_intersect) — never the full-corpus shingle
     self-join LSH exists to avoid."""
-    shingle_sets = documents.select(
-        "doc_id", _shingles(F.col("text"), n).alias("sset")
-    )
+    shingle_sets = with_shingle_set(documents, n).select("doc_id", "sset")
     return (
         candidates
         .join(shingle_sets.select(F.col("doc_id").alias("id_a"),
@@ -188,10 +236,13 @@ def _minhash_banded_pairs(documents: DataFrame, shingle_hash_mod_p, n: int,
     rows_per_band = num_hashes // bands
     coeffs = minhash_coefficients(num_hashes, seed)
     p = F.lit(MINHASH_P)
-    hashed = documents.select(
+    # shingle set materialized behind its own alias (with_shingle_set)
+    # BEFORE the per-shingle hash transform: the interpreted hash lambda
+    # then maps over a computed array instead of re-deriving split/slice
+    # chains per element (same CSE trap as the signature fan-out below)
+    hashed = with_shingle_set(documents, n).select(
         "doc_id",
-        F.transform(_shingles(F.col("text"), n), shingle_hash_mod_p)
-        .alias("xs"),
+        F.transform(F.col("sset"), shingle_hash_mod_p).alias("xs"),
     )
 
     def _minexpr(a, b):
@@ -210,7 +261,7 @@ def _minhash_banded_pairs(documents: DataFrame, shingle_hash_mod_p, n: int,
     )
     banded = doc_sigs.select(
         "doc_id",
-        F.explode(F.array(*[
+        F.explode_outer(F.array(*[
             F.struct(F.lit(j).alias("band"), F.col(f"band{j}").alias("key"))
             for j in range(bands)
         ])).alias("bb"),
@@ -293,9 +344,16 @@ def simhash_signatures(documents: DataFrame, n_chunks: int = 4,
     """
     if token_hash is None:
         token_hash = lambda c: F.xxhash64(c)  # noqa: E731
+    # token array materialized behind an alias so the size()>0 filter that
+    # InferFiltersFromGenerate injects references the computed column
+    # instead of re-running split+array_distinct per row (plain explode is
+    # kept deliberately: a NULL text yields a NULL array and the doc gets
+    # no signature, which explode_outer would change)
     toks = F.array_distinct(F.split(F.lower(F.trim("text")), r"\s+"))
-    ex = documents.select("doc_id", F.explode(toks).alias("tok")).withColumn(
-        "h", token_hash(F.col("tok"))
+    ex = (
+        documents.withColumn("_toks", toks)
+        .select("doc_id", F.explode("_toks").alias("tok"))
+        .withColumn("h", token_hash(F.col("tok")))
     )
     votes = [
         F.sum(

@@ -195,3 +195,83 @@ def test_ivf_topk_probes_subset_and_finds_neighbors(spark, vecs):
     few = ivf_topk(vecs, [0], k=3, n_centroids=2, n_probe=1).collect()
     assert 0 < len(few) <= 3
     assert all(r["query_id"] == 0 and r["neighbor_id"] != 0 for r in few)
+
+
+@pytest.fixture(scope="module")
+def planted_corpus(spark):
+    """Bimodal corpus for prod-vs-twin pinning: 20 base docs with disjoint
+    random vocab (cross-pair jaccard ~0, simhash hamming ~32), each with an
+    exact duplicate, and 6 with a heavy near-duplicate (2 tokens swapped of
+    60 -> 3-gram jaccard ~0.9, candidate-miss probability < 1e-2 per band
+    family at 8x4 banding; seeds are fixed so the outcome is deterministic)."""
+    import random
+
+    rng = random.Random(42)
+    rows, planted = [], set()
+    did = 0
+    for b in range(20):
+        toks = [f"b{b}w{rng.randrange(10**6)}" for _ in range(60)]
+        base_id = did
+        rows.append((did, " ".join(toks))); did += 1
+        rows.append((did, " ".join(toks)))  # exact dup
+        planted.add((base_id, did)); did += 1
+        if b < 6:
+            near = list(toks)
+            near[10] = "swapped"
+            near[40] = "tokens"
+            rows.append((did, " ".join(near)))
+            planted.add((base_id, did)); did += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    return docs, planted
+
+
+def test_minhash_prod_recalls_and_matches_twin(spark, planted_corpus):
+    """VERDICT r3 item 3: the production xxhash64 MinHash path (q28) (a)
+    recalls every planted duplicate pair and (b) produces the SAME accepted
+    pair set as the md5 checkable twin (q17) at equal thresholds — both
+    verify candidates with hash-independent exact n-gram Jaccard, so any
+    divergence would be a candidate-generation bug, not hash noise."""
+    from claimskg_generator_spark.operators.dedup import (
+        minhash_lsh_pairs_checkable,
+    )
+
+    docs, planted = planted_corpus
+    prod = {(r["id_a"], r["id_b"]): r["jaccard"]
+            for r in minhash_lsh_pairs(docs, verify_threshold=0.5).collect()}
+    twin = {(r["id_a"], r["id_b"]): r["jaccard"]
+            for r in minhash_lsh_pairs_checkable(
+                docs, verify_threshold=0.5).collect()}
+    missing = planted - set(prod)
+    assert not missing, f"prod path missed planted pairs: {missing}"
+    assert prod == twin  # same pairs AND same verified jaccard values
+
+
+def test_simhash_prod_recalls_and_matches_twin(spark, planted_corpus):
+    """VERDICT r3 item 3, SimHash (q29 vs q18): exact duplicates hash to
+    hamming 0 under ANY token hash and unrelated disjoint-vocab docs sit
+    ~32 bits apart, so at max_hamming=3 the prod xxhash64 path and the md5
+    twin must accept exactly the planted exact-duplicate pairs."""
+    from claimskg_generator_spark.operators.dedup import md5_token_hash64
+
+    docs, planted = planted_corpus
+    exact_planted = {
+        (a, b) for a, b in planted
+        if docs.filter(F.col("doc_id").isin([a, b]))
+               .select("text").distinct().count() == 1
+    }
+    # drop the token-swap near-dups: they sit AT the hamming boundary where
+    # the two hash families legitimately disagree (e.g. hamming 3 under md5
+    # vs 4 under xxhash64); the equality claim is about the path, not about
+    # hash-family agreement on boundary pairs
+    near_ids = {i for p in (planted - exact_planted) for i in p} - {
+        i for p in exact_planted for i in p
+    }
+    bimodal = docs.filter(~F.col("doc_id").isin(list(near_ids)))
+    prod = {(r["id_a"], r["id_b"]): r["hamming"]
+            for r in simhash_near_dups(bimodal, max_hamming=3).collect()}
+    twin = {(r["id_a"], r["id_b"]): r["hamming"]
+            for r in simhash_near_dups(
+                bimodal, max_hamming=3, token_hash=md5_token_hash64).collect()}
+    assert exact_planted <= set(prod)
+    assert all(prod[p] == 0 for p in exact_planted)
+    assert prod == twin
