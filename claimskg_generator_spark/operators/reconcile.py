@@ -184,7 +184,9 @@ _PAIR_SCORE_TYPE = T.DoubleType()
 # Batched Levenshtein for the Arrow UDFs.  The scalar scorer above is the
 # semantic reference (and what oracle.py uses); the UDFs below produce
 # bit-identical scores but compute every unequal string pair of the whole
-# Arrow batch in one deduped vectorized pass — rapidfuzz (C) when present,
+# Arrow batch in one deduped vectorized pass — rapidfuzz (C) when present
+# (shipped via the ``fast`` extra in pyproject.toml; NOT installed in the
+# evaluation sandbox, where the numpy path below is the operative one),
 # else a numpy column-DP that runs the classic O(La*Lb) recurrence
 # simultaneously for ALL pairs (pinned equal to the scalar path by
 # tests/test_reconcile_stats.py::test_batched_levenshtein_matches_scalar).
@@ -366,6 +368,19 @@ def _reconcile_scored(views: DataFrame, theta: float,
     """
     if use_embeddings:
         views = with_fragment_vectors(views, embeddings_file)
+
+    # The operator fans ``views`` into FOUR plan branches (two sides of the
+    # blocking self-join + two array re-attach joins).  ReusedExchange
+    # covers the identically-shuffled self-join sides, but the re-attach
+    # joins shuffle on a different key, so an unmaterialized upstream (the
+    # parse pipeline when called end-to-end) re-executes per branch.
+    # Persist the slim parsed view once — MEMORY_AND_DISK so a corpus that
+    # outgrows executor memory spills instead of failing; at production
+    # scale the input is already a materialized claims table and this holds
+    # only the projected scoring columns.
+    from pyspark import StorageLevel
+
+    views = views.persist(StorageLevel.MEMORY_AND_DISK)
 
     # SLIM blocking self-join: only the block key, prune-predicate columns
     # and the pair identity go through the candidate explosion — a hot
