@@ -59,7 +59,14 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         "per vocabulary; append ',plain' for plain-SKOS "
                         "labels instead of SKOS-XL); replaces the built-in "
                         "fixture entries")
-    p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--checkpoint-dir", default=None,
+                   help="stage-boundary checkpoint/resume directory; "
+                        "staleness detection hashes the input file listing "
+                        "(path, size, mtime), so an in-place same-size "
+                        "overwrite within the filesystem's mtime "
+                        "granularity (~1-2 s) is not detected — use a "
+                        "fresh directory when regenerating inputs in "
+                        "place")
     p.add_argument("--mappings-output", default=None,
                    help="write the reconciliation mappings CSV (the "
                         "reference's per-side feature columns); requires "

@@ -32,7 +32,15 @@ def input_fingerprint(spark: SparkSession, path: str) -> str:
     the checkpoint token means overwriting the input files at the SAME path
     invalidates old checkpoints — a bare path string would silently resume
     stale stages.  Listing-level (not byte-level) so it stays O(#files) on
-    HDFS/S3/GCS; object stores change mtime on every overwrite."""
+    HDFS/S3/GCS; object stores change mtime on every overwrite.
+
+    Granularity caveat (documented tradeoff): an overwrite with SAME-SIZE
+    content inside the filesystem's mtime resolution (1 s on ext3/HFS+,
+    2 s on FAT; coarser on some object-store emulations) is invisible to
+    this fingerprint and would silently resume a stale checkpoint.  Byte
+    sampling would close the window at the cost of opening every input
+    file; pass a fresh --checkpoint-dir when regenerating inputs in-place
+    within the same second (also called out in the CLI help)."""
     jvm = spark._jvm
     jp = jvm.org.apache.hadoop.fs.Path(path)
     fs = jp.getFileSystem(spark._jsc.hadoopConfiguration())

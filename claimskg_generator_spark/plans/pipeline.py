@@ -572,12 +572,29 @@ _NCNAME_SAFE = "^[A-Za-z_][A-Za-z0-9_.-]*$"
 
 def _xml_escape(col, attr: bool = False):
     """XML content escaping (&, <, >; plus \" in attribute values).  '&'
-    first so already-escaped output isn't double-escaped."""
+    first so already-escaped output isn't double-escaped.
+
+    C0 control characters: XML 1.0 can carry only \\t/\\n/\\r.  Those
+    three become numeric character references in attribute values (bare
+    tab/newline/cr are normalized to spaces by attribute-value
+    normalization) and \\r becomes &#13; in content (a conforming parser
+    rewrites a literal \\r to \\n); the other control chars < 0x20 are not
+    representable in XML 1.0 AT ALL — not even as character references —
+    so they are substituted with U+FFFD, matching this sink's documented
+    lossy-but-well-formed contract (the N-Triples/Turtle/JSON-LD sinks
+    remain lossless)."""
     out = F.replace(col, F.lit("&"), F.lit("&amp;"))
     out = F.replace(out, F.lit("<"), F.lit("&lt;"))
     out = F.replace(out, F.lit(">"), F.lit("&gt;"))
     if attr:
         out = F.replace(out, F.lit('"'), F.lit("&quot;"))
+    for code in range(0x20):
+        ch = chr(code)
+        if ch in "\t\n\r":
+            if attr or ch == "\r":
+                out = F.replace(out, F.lit(ch), F.lit("&#%d;" % code))
+        else:
+            out = F.replace(out, F.lit(ch), F.lit("�"))
     return out
 
 
@@ -585,12 +602,25 @@ def _xml_pred_parts(col):
     """(qname, xmlns_attr) column pair for a predicate URI: prefix-table
     namespaces use the rdf:RDF-level declarations (empty xmlns attr);
     anything else splits at the last '/'/'#' and declares xmlns:g inline.
-    Longest namespace tested first, like _ttl_uri."""
+    Longest namespace tested first, like _ttl_uri.
+
+    A predicate with no '/'/'#' split point (e.g. ``urn:x``) or a local
+    part that is not a valid NCName cannot be expressed as an RDF/XML
+    property element; emitting it would bind an empty/illegal namespace
+    and produce malformed XML, so the job fails with a clear error
+    instead (use the N-Triples/Turtle/JSON-LD sinks for such graphs)."""
     ns_part = F.regexp_extract(col, r"^(.*[/#])", 1)
     local_part = F.regexp_extract(col, r"([^/#]+)$", 1)
-    qname = F.concat(F.lit("g:"), local_part)
-    xmlns = F.concat(F.lit(' xmlns:g="'), _xml_escape(ns_part, attr=True),
-                     F.lit('"'))
+    expressible = (ns_part != F.lit("")) & local_part.rlike(_NCNAME_SAFE)
+    err = F.raise_error(F.concat(
+        F.lit("RDF/XML sink: predicate URI not expressible as a QName "
+              "property element: "), col))
+    qname = F.when(expressible, F.concat(F.lit("g:"), local_part)) \
+        .otherwise(err)
+    xmlns = F.when(
+        expressible,
+        F.concat(F.lit(' xmlns:g="'), _xml_escape(ns_part, attr=True),
+                 F.lit('"'))).otherwise(err)
     for pfx, ns in reversed(TTL_PREFIXES):
         local = F.substring(col, len(ns) + 1, 1 << 20)
         hit = col.startswith(ns) & local.rlike(_NCNAME_SAFE)

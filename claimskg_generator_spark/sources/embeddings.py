@@ -211,7 +211,13 @@ def open_embeddings(path: str):
         head = f.read(4096)
     try:
         head.decode("utf-8")
-    except UnicodeDecodeError:
+    except UnicodeDecodeError as e:
+        # a valid text file whose 4 KiB sniff window splits a multi-byte
+        # character raises with e.start in the last 3 bytes — that's an
+        # incomplete TRAILING sequence, not binary content (a UTF-8
+        # sequence is at most 4 bytes, so a split one starts >= len-3)
+        if len(head) == 4096 and e.start >= len(head) - 3:
+            return FileEmbeddings(path)
         return Word2VecBinaryEmbeddings(path)
     return FileEmbeddings(path)
 

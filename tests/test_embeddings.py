@@ -229,3 +229,26 @@ def test_sent2vec_guard():
 
     with pytest.raises(NotImplementedError):
         Sent2VecEmbeddings("/nonexistent/model.bin")
+
+
+def test_open_embeddings_multibyte_sniff_boundary(tmp_path):
+    """ADVICE r3: a valid TEXT vectors file whose 4096-byte sniff window
+    splits a multi-byte UTF-8 character must still route to the text
+    loader (the truncated trailing sequence is not binary content)."""
+    from claimskg_generator_spark.sources.embeddings import (
+        FileEmbeddings,
+        open_embeddings,
+    )
+
+    path = tmp_path / "vectors_mb.txt"
+    with open(path, "wb") as f:
+        # pad with ascii word lines up to byte 4094, then a 3-byte char
+        # ('€' = e2 82 ac) straddling the 4096 boundary
+        line = b"word 1.0 0.5 0.25\n"
+        while f.tell() + len(line) <= 4094:
+            f.write(line)
+        f.write(b"w" * (4094 - f.tell()))
+        f.write("€ 1.0 0.5 0.25\n".encode("utf-8"))
+        assert f.tell() > 4096
+    sniffed = open_embeddings(str(path))
+    assert isinstance(sniffed, FileEmbeddings)

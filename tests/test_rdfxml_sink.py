@@ -79,6 +79,47 @@ def test_rdfxml_escaping_and_unknown_namespaces(spark):
     assert got == {tuple(r) for r in rows}
 
 
+def test_rdfxml_control_chars(spark):
+    """XML 1.0 can carry only tab/newline/cr of the C0 range: \\r must
+    survive parse-back via &#13; (a literal \\r is normalized to \\n by
+    conforming parsers), \\t and \\n survive literally in content, and the
+    unrepresentable controls (\\x01, \\x1f) are substituted with U+FFFD so
+    the document stays well-formed."""
+    rows = [
+        ("http://ex.org/s", "http://schema.org/text",
+         "line1\rline2\twith\ntab", ""),
+        ("http://ex.org/s", "http://schema.org/name",
+         "bad\x01ctl\x1fchars", "@en"),
+    ]
+    df = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, okind string"
+    )
+    pipe = ClaimsKGPipeline(spark, PipelineConfig())
+    out = tempfile.mkdtemp(prefix="claimskg_xml_ctl_") + "/graph"
+    pipe.write_rdfxml(df, out)
+    got = _triples_from_xml(_read_document(out))
+    assert ("http://ex.org/s", "http://schema.org/text",
+            "line1\rline2\twith\ntab", "") in got
+    assert ("http://ex.org/s", "http://schema.org/name",
+            "bad�ctl�chars", "@en") in got
+
+
+def test_rdfxml_inexpressible_predicate_fails_clearly(spark):
+    """A predicate with no '/'/'#' namespace split (e.g. urn:x) cannot be
+    a QName property element; the sink must fail with a clear error, not
+    emit malformed XML."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [("http://ex.org/s", "urn:x", "v", "")],
+        "subj string, pred string, obj string, okind string",
+    )
+    pipe = ClaimsKGPipeline(spark, PipelineConfig())
+    out = tempfile.mkdtemp(prefix="claimskg_xml_bad_") + "/graph"
+    with pytest.raises(Exception, match="not expressible"):
+        pipe.write_rdfxml(df, out)
+
+
 def test_cli_xml_sink(spark):
     import tempfile as tf
 
