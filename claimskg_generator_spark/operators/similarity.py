@@ -172,15 +172,21 @@ def hyperplane_band_keys(embeddings: DataFrame, bands: int = 8,
     plain single-table sign-pattern bucketing.)  Only the slim (id, band,
     key) rows ride the candidate join; vectors re-attach post-dedup.
 
-    Pass ``dim`` explicitly in production plans — the fallback runs a
-    driver-side ``.first()`` action while building the plan, a hidden job
-    you don't want at scale.
+    ``dim`` is REQUIRED: the hyperplane coefficients are plan-time
+    literals of that length.  Earlier revisions inferred it with a
+    driver-side ``.first()`` during plan construction — a hidden job that
+    scanned input before the query even ran — so the parameter is now
+    explicit (the caller always knows its embedding dimensionality; read
+    it from the model card / table spec, not from the data).
     """
     import random
 
     if dim is None:
-        first = embeddings.select(F.size(vec_col).alias("d")).first()
-        dim = first["d"]
+        raise TypeError(
+            "hyperplane_band_keys: dim is required (the embedding "
+            "dimensionality); inferring it would run a hidden driver-side "
+            "job during plan construction"
+        )
     rng = random.Random(seed)
     band_structs = []
     for j in range(bands):

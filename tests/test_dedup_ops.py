@@ -136,7 +136,7 @@ def test_cosine_topk_ranks(spark, vecs):
 def test_lsh_cosine_pairs(spark, vecs):
     got = {(r["id_a"], r["id_b"]) for r in
            lsh_cosine_pairs(vecs, bands=2, planes_per_band=2,
-                            threshold=0.9).collect()}
+                            threshold=0.9, dim=3).collect()}
     # LSH buckets are probabilistic per plane draw, but identical-direction
     # vectors always share a bucket
     assert (0, 1) in got or (2, 3) in got
@@ -275,3 +275,10 @@ def test_simhash_prod_recalls_and_matches_twin(spark, planted_corpus):
     assert exact_planted <= set(prod)
     assert all(prod[p] == 0 for p in exact_planted)
     assert prod == twin
+
+
+def test_lsh_cosine_dim_required(spark, vecs):
+    """dim=None must fail fast instead of running a hidden driver-side
+    job during plan construction (VERDICT r3 latent-trap fix)."""
+    with pytest.raises(TypeError, match="dim is required"):
+        lsh_cosine_pairs(vecs, bands=2, planes_per_band=2, threshold=0.9)
