@@ -196,9 +196,105 @@ _PAIR_SCORE_TYPE = T.DoubleType()
 
 def _lev_batch_numpy(pa, pb):
     """Normalized Levenshtein similarity for parallel string lists, all
-    pairs at once: integer DP where each (i, j) step is one numpy op over
-    the whole pair axis.  Pairs are bucketed by power-of-two max length so
-    short strings don't pay for the longest one in the batch."""
+    pairs at once, via Myers' bit-parallel algorithm (Hyyrö's variant)
+    vectorized over the pair axis: the pattern (always the shorter string;
+    distance is symmetric) is encoded as bit-vectors in one uint64, so a
+    pair costs O(longer_len) word operations instead of the O(la*lb) cell
+    recurrence.  The distance is the exact integer unit-cost Levenshtein
+    distance, so results are bit-identical to the classic DP (pinned by
+    tests/test_reconcile_stats.py).  Pairs whose SHORTER side exceeds 63
+    chars fall back to the column-DP kernel below.  Pairs are bucketed by
+    power-of-two max length so short strings don't pay for the longest in
+    the batch."""
+    import numpy as np
+
+    n = len(pa)
+    out = np.zeros(n, dtype=np.float64)
+    buckets = {}
+    fallback = []
+    for idx in range(n):
+        la, lb = len(pa[idx]), len(pb[idx])
+        if min(la, lb) > 63:
+            fallback.append(idx)
+            continue
+        m = max(la, lb)
+        buckets.setdefault(max(1, (m - 1).bit_length() if m else 0),
+                           []).append(idx)
+    if fallback:
+        sub = _lev_batch_numpy_dp([pa[i] for i in fallback],
+                                  [pb[i] for i in fallback])
+        out[fallback] = sub
+
+    one = np.uint64(1)
+
+    for idxs in buckets.values():
+        # swap so a-side is the pattern (shorter, <= 63 bits)
+        sw = [(pa[i], pb[i]) if len(pa[i]) <= len(pb[i]) else (pb[i], pa[i])
+              for i in idxs]
+        la = np.array([len(a) for a, _ in sw], dtype=np.int64)
+        lb = np.array([len(b) for _, b in sw], dtype=np.int64)
+        orig_max = np.maximum(la, lb)
+        d = np.zeros(len(idxs), dtype=np.int64)
+        empty = la == 0
+        if empty.any():
+            d[empty] = lb[empty]
+        live = ~empty
+        if live.any():
+            Wa, Wb = int(la.max()), int(lb.max())
+
+            def codes(s, width):
+                a = np.zeros(width, dtype=np.uint32)
+                if s:
+                    raw = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+                    a[: len(raw)] = raw
+                return a
+
+            A = np.stack([codes(a, Wa) for a, _ in sw])
+            B = np.stack([codes(b, Wb) for _, b in sw])
+            w = (one << np.arange(Wa, dtype=np.uint64))
+            pmask = np.where(la > 0, (one << la.astype(np.uint64)) - one,
+                             np.uint64(0))
+            hbit = np.where(
+                la > 0, one << np.maximum(la - 1, 0).astype(np.uint64),
+                np.uint64(0))
+            score = la.copy()
+            VP = pmask.copy()
+            VN = np.zeros(len(idxs), dtype=np.uint64)
+            # Eq_all[p, j]: pattern-position equality bitmask for text char
+            # j, precomputed as a (pairs, Wb, Wa) comparison + matvec.  The
+            # comparison intermediate is Wa*Wb*8 bytes per pair, so it is
+            # built in ~32 MB chunks (the result itself is only Wb words
+            # per pair)
+            P = len(idxs)
+            Eq_all = np.empty((P, Wb), dtype=np.uint64)
+            step = max(1, (1 << 25) // max(1, Wa * Wb * 8))
+            for s in range(0, P, step):
+                cmp = A[s:s + step, None, :] == B[s:s + step, :, None]
+                Eq_all[s:s + step] = cmp.astype(np.uint64) @ w
+            Eq_all &= pmask[:, None]
+            for j in range(Wb):
+                Eq = Eq_all[:, j]
+                D0 = (((Eq & VP) + VP) ^ VP) | Eq | VN
+                HP = VN | ~(D0 | VP)
+                HN = VP & D0
+                score += ((HP & hbit) != 0).astype(np.int64)
+                score -= ((HN & hbit) != 0).astype(np.int64)
+                HP = ((HP << one) | one) & pmask
+                HN = (HN << one) & pmask
+                VP = (HN | ~(D0 | HP)) & pmask
+                VN = HP & D0
+                hit = live & (lb == j + 1)
+                if hit.any():
+                    d[hit] = score[hit]
+        out[idxs] = 1.0 - d / np.maximum(orig_max, 1)
+    return out
+
+
+def _lev_batch_numpy_dp(pa, pb):
+    """Classic column-DP kernel (the pre-Myers implementation), kept as
+    the exact-fallback for patterns longer than one 64-bit word and as the
+    parity reference in tests: each (i, j) step is one numpy op over the
+    whole pair axis."""
     import numpy as np
 
     n = len(pa)
@@ -264,17 +360,35 @@ def _lev_batch(pa, pb):
     )
 
 
+# Process-level normalized-Levenshtein memo: python workers are reused
+# across Arrow batches (and queries) within one executor, and the claim
+# vocabulary repeats heavily across same-author pairs, so caching the
+# SIMILARITY (not the job) turns most terms into dictionary hits.  The
+# cached float is exactly the value _lev_batch would return (the batch DP
+# is deterministic and pinned bit-identical to the scalar scorer), so
+# summation results are unchanged.  Bounded: cleared wholesale past
+# _SIM_CACHE_MAX entries (~2M pairs of short strings).
+_SIM_CACHE: dict = {}
+_SIM_CACHE_MAX = 1 << 21
+
+
 def _overlap_terms(xs, ys, pa, pb, memo):
-    """Encode soft_overlap as a term list: None = equal pair (+1.0),
-    int = index of a deduped (x, y) Levenshtein job.  Preserves the
-    x-outer/y-inner term order of the scalar path."""
+    """Encode soft_overlap as a term list: float = resolved value (equal
+    pair -> 1.0, or a process-cache hit), int = index of a deduped (x, y)
+    Levenshtein job.  Preserves the x-outer/y-inner term order of the
+    scalar path."""
     terms = []
+    cache = _SIM_CACHE
     for x in xs:
         for y in ys:
             if x == y:
-                terms.append(None)
+                terms.append(1.0)
             else:
                 key = (x, y)
+                v = cache.get(key)
+                if v is not None:
+                    terms.append(v)
+                    continue
                 j = memo.get(key)
                 if j is None:
                     j = len(pa)
@@ -285,10 +399,19 @@ def _overlap_terms(xs, ys, pa, pb, memo):
     return terms
 
 
+def _fill_sim_cache(memo, sims) -> None:
+    if len(_SIM_CACHE) + len(memo) > _SIM_CACHE_MAX:
+        _SIM_CACHE.clear()
+    for key, j in memo.items():
+        # plain float, not numpy.float64: _sum_terms discriminates resolved
+        # terms by `type(t) is float` (value is identical either way)
+        _SIM_CACHE[key] = float(sims[j])
+
+
 def _sum_terms(terms, sims) -> float:
     total = 0.0
-    for j in terms:
-        total += 1.0 if j is None else sims[j]
+    for t in terms:
+        total += t if type(t) is float else sims[t]
     return total
 
 
@@ -296,26 +419,54 @@ def _sum_terms(terms, sims) -> float:
 def _pair_score_udf(kw_a: pd.Series, kw_b: pd.Series, ln_a: pd.Series,
                     ln_b: pd.Series, en_a: pd.Series, en_b: pd.Series,
                     ca: pd.Series, cb: pd.Series,
-                    text_sim: pd.Series) -> pd.Series:
+                    text_sim: pd.Series, ent_overlap: pd.Series) -> pd.Series:
+    """``ent_overlap``: the entity soft-overlap already computed by
+    _entity_overlap_udf for the prune filter (null when either side is
+    empty) — reused here so the entity field's Levenshtein jobs are not
+    re-run per pair.  Identical float: same term order, same batch DP."""
+    # plain lists once per batch: pandas Series.__getitem__ per row was
+    # ~35% of scorer CPU (900k indexer calls per 100k-pair batch)
+    kw_a, kw_b = kw_a.tolist(), kw_b.tolist()
+    ln_a, ln_b = ln_a.tolist(), ln_b.tolist()
+    en_a, en_b = en_a.tolist(), en_b.tolist()
+    ca, cb = ca.tolist(), cb.tolist()
+    text_sim = text_sim.tolist()
+    ent_overlap = ent_overlap.tolist()
     pa, pb, memo = [], [], {}
     rows = []
     for i in range(len(kw_a)):
         fields = []
         for xs, ys in ((kw_a[i], kw_b[i]), (ln_a[i], ln_b[i]),
-                       (en_a[i], en_b[i]), (ca[i], cb[i])):
+                       (ca[i], cb[i])):
             xs, ys = list(xs), list(ys)
             fields.append(
                 (len(xs), len(ys), _overlap_terms(xs, ys, pa, pb, memo))
             )
+        ov = ent_overlap[i]
+        na, nb = len(en_a[i]), len(en_b[i])
+        if ov is None or ov != ov:
+            if na > 0 and nb > 0:
+                # defensive: prune normally guarantees the column here
+                fields.append((na, nb, _overlap_terms(
+                    list(en_a[i]), list(en_b[i]), pa, pb, memo)))
+            else:
+                # one or both sides empty: soft_overlap == 0.0
+                fields.append((na, nb, ()))
+        else:
+            fields.append((na, nb, float(ov)))
         rows.append(fields)
     sims = _lev_batch(pa, pb) if pa else ()
+    _fill_sim_cache(memo, sims)
 
     def sj(na, nb, terms):
         denom = na + nb
-        return 0.0 if denom == 0 else _sum_terms(terms, sims) / denom
+        if denom == 0:
+            return 0.0
+        ov = terms if type(terms) is float else _sum_terms(terms, sims)
+        return ov / denom
 
     out = []
-    for i, (kw, ln, en, cat) in enumerate(rows):
+    for i, (kw, ln, cat, en) in enumerate(rows):
         keyword_sim = (None if kw[0] == 0 and kw[1] == 0 else sj(*kw))
         link_sim = sj(*ln)
         entity_sim = (None if en[0] == 0 and en[1] == 0 else sj(*en))
@@ -323,19 +474,21 @@ def _pair_score_udf(kw_a: pd.Series, kw_b: pd.Series, ln_a: pd.Series,
         ts = text_sim[i]
         out.append(_blend_score(
             keyword_sim, link_sim, entity_sim, category_sim,
-            None if ts is None or pd.isna(ts) else float(ts),
+            None if ts is None or ts != ts else float(ts),
         ))
     return pd.Series(out)
 
 
 @F.pandas_udf(T.DoubleType())
 def _entity_overlap_udf(en_a: pd.Series, en_b: pd.Series) -> pd.Series:
+    en_a, en_b = en_a.tolist(), en_b.tolist()
     pa, pb, memo = [], [], {}
     rows = [
         _overlap_terms(list(en_a[i]), list(en_b[i]), pa, pb, memo)
         for i in range(len(en_a))
     ]
     sims = _lev_batch(pa, pb) if pa else ()
+    _fill_sim_cache(memo, sims)
     return pd.Series([_sum_terms(t, sims) for t in rows])
 
 
@@ -473,7 +626,7 @@ def _reconcile_scored(views: DataFrame, theta: float,
         _pair_score_udf(
             "keywords_a", "keywords_b", "links_a", "links_b",
             "entities_a", "entities_b", "categories_a", "categories_b",
-            "text_sim",
+            "text_sim", "entity_overlap",
         ),
     )
     return scored.filter(F.col("score") > theta).select(

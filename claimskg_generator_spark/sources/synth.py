@@ -299,15 +299,16 @@ def synthesize_corpus(spark: SparkSession, n: int, seed: int = 42,
     import pandas as pd
 
     if partitions is None:
-        # size the fan-out to the data: ~2000 rows per partition, capped at
-        # the session parallelism.  Every downstream map stage fans out per
-        # corpus partition across ~3 plan branches, and at small scale the
-        # per-task overhead (Arrow batch + python UDF setup) dominates —
-        # a 5k-row corpus wants ~3 partitions, not 32; a 640k-row corpus
-        # still gets the full session width.  Rows are pure functions of
-        # (seed, i), so the split never changes results.
+        # size the fan-out to the data: ~500 rows per partition, capped at
+        # the session parallelism.  make_row costs ~1 ms of pure Python per
+        # row, so generation parallelism is what bounds the corpus stage;
+        # per-task overhead (Arrow batch + python worker reuse) is ~50 ms,
+        # well under a 500-row slice (measured at 5k rows: 3 partitions
+        # 3.0 s -> 8 partitions 0.9 s).  A 640k-row corpus still gets the
+        # full session width.  Rows are pure functions of (seed, i), so
+        # the split never changes results.
         dp = max(spark.sparkContext.defaultParallelism, 8)
-        partitions = max(1, min(dp, -(-n // 2000)))
+        partitions = max(1, min(dp, -(-n // 500)))
 
     def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for batch in batches:

@@ -192,3 +192,57 @@ def test_batched_overlap_terms_match_soft_overlap():
     sims = _lev_batch(pa, pb) if pa else ()
     for (xs, ys), terms in zip(cases, term_lists):
         assert _sum_terms(terms, sims) == soft_overlap(xs, ys)
+
+
+def test_myers_kernel_matches_dp_and_scalar():
+    """The Myers bit-parallel kernel must equal BOTH the column-DP
+    fallback and the scalar reference on every pair, across the word-size
+    boundary (min-len > 63 routes to the DP), empties, NUL bytes and
+    non-ASCII code points."""
+    import random
+
+    from claimskg_generator_spark.operators.reconcile import (
+        _lev_batch_numpy,
+        _lev_batch_numpy_dp,
+        levenshtein_similarity,
+    )
+
+    rng = random.Random(99)
+    alpha = "abcXYZ 123éü中\x00"
+    pa, pb = [], []
+    for _ in range(800):
+        la = rng.choice([0, 1, 2, 3, 5, 8, 13, 21, 38, 63, 64, 70, 80])
+        lb = rng.choice([0, 1, 2, 3, 5, 8, 13, 21, 38, 63, 64, 70, 80])
+        a = "".join(rng.choice(alpha) for _ in range(la))
+        b = "".join(rng.choice(alpha) for _ in range(lb))
+        if a == b:
+            b = b + "x"
+        pa.append(a)
+        pb.append(b)
+    myers = _lev_batch_numpy(pa, pb)
+    dp = _lev_batch_numpy_dp(pa, pb)
+    for i, (a, b) in enumerate(zip(pa, pb)):
+        want = levenshtein_similarity(a, b)
+        assert myers[i] == want and dp[i] == want, (repr(a), repr(b))
+
+
+def test_sim_cache_resolves_terms_identically():
+    """Process-level similarity cache: a second _overlap_terms pass over
+    the same vocabulary must resolve every unequal pair from the cache
+    (no new jobs) with identical summed overlap."""
+    from claimskg_generator_spark.operators import reconcile as R
+
+    xs = ["alpha one", "beta two"]
+    ys = ["beta two", "gamma threee"]
+    R._SIM_CACHE.clear()
+    pa, pb, memo = [], [], {}
+    t1 = R._overlap_terms(xs, ys, pa, pb, memo)
+    sims = R._lev_batch(pa, pb)
+    R._fill_sim_cache(memo, sims)
+    first = R._sum_terms(t1, sims)
+
+    pa2, pb2, memo2 = [], [], {}
+    t2 = R._overlap_terms(xs, ys, pa2, pb2, memo2)
+    assert not pa2, "cache miss: jobs were re-enqueued"
+    assert R._sum_terms(t2, ()) == first == R.soft_overlap(xs, ys)
+    R._SIM_CACHE.clear()
