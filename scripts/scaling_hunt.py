@@ -69,9 +69,23 @@ def main():
             continue
         pair = {"capacity_before": round(cap, 2),
                 "ts": time.strftime("%Y-%m-%dT%H:%M:%S")}
+        repeats = int(os.environ.get("HUNT_REPEATS", "1"))
         try:
-            pair["4N"] = run_level(4 * n_level, n_rows)
-            pair["N"] = run_level(n_level, n_rows)
+            # alternate levels, keep the min wall per level: a foreign
+            # burst lands in ONE run; min-of-k within the adjacent window
+            # recovers the level's unloaded wall (endpoint capacity probes
+            # repeatedly bracketed collapsed pairs — bursts hit BETWEEN
+            # probes, so per-run mins are the only robust filter)
+            runs4, runs1 = [], []
+            for _ in range(repeats):
+                runs4.append(run_level(4 * n_level, n_rows))
+                runs1.append(run_level(n_level, n_rows))
+            pair["4N"] = min(runs4, key=lambda r: r["wall_s"])
+            pair["N"] = min(runs1, key=lambda r: r["wall_s"])
+            if repeats > 1:
+                pair["repeats"] = repeats
+                pair["walls_4N"] = [r["wall_s"] for r in runs4]
+                pair["walls_N"] = [r["wall_s"] for r in runs1]
         except RuntimeError as e:
             print(f"# pair failed: {e}", flush=True)
             continue
