@@ -64,6 +64,13 @@ def build_session(cpus: int):
         # compute-scaling measurement from foreign disk traffic.
         .config("spark.local.dir",
                 os.environ.get("SPARK_GRAFT_LOCAL_DIR", _default_scratch()))
+        # Shuffle/spill block codec.  The triples stage is memory-
+        # bandwidth-bound (BENCH.md round-4 decomposition); a stronger
+        # codec trades CPU for shuffle bytes, which is the right trade
+        # both on this bandwidth-contended host and on a real cluster's
+        # network.  Default lz4; set SPARK_GRAFT_CODEC=zstd to compare.
+        .config("spark.io.compression.codec",
+                os.environ.get("SPARK_GRAFT_CODEC", "lz4"))
         .getOrCreate()
     )
 

@@ -416,19 +416,33 @@ def simhash_near_dups(documents: DataFrame, max_hamming: int = 3,
         raise ValueError("n_blocks cannot exceed the 64 signature bits")
     sigs = simhash_signatures(documents, n_blocks, token_hash)
     key_size = n_blocks - max_hamming
-    pairs = None
-    for combo in combinations(range(n_blocks), key_size):
-        keys = [f"k{i}" for i in range(key_size)]
-        proj = [F.col(f"chunk{c}").alias(k) for c, k in zip(combo, keys)]
-        a = sigs.select(F.col("doc_id").alias("id_a"),
-                        F.col("simhash").alias("s_a"), *proj)
-        b = sigs.select(F.col("doc_id").alias("id_b"),
-                        F.col("simhash").alias("s_b"), *proj)
-        p = (a.join(b, keys).filter(F.col("id_a") < F.col("id_b"))
-             .drop(*keys))
-        pairs = p if pairs is None else pairs.unionByName(p)
+    # ONE banded frame + ONE self-join (the minhash-banding shape) instead
+    # of one join per block combination: the per-combination version
+    # consumed the 64-way signature aggregate through 2 x C(n, k) plan
+    # branches, re-running it per branch.  Each combination becomes a
+    # (table, key) row; the combination's concatenated chunks compact to
+    # an 8-byte xxhash64 key (a key collision at worst adds a candidate
+    # pair that the exact hamming verification below then filters — and
+    # equal blocks still always collide, so pigeonhole recall is intact).
+    # The signature rides along (8 bytes) so no re-attach join is needed.
+    key_structs = []
+    for t, combo in enumerate(combinations(range(n_blocks), key_size)):
+        key = F.xxhash64(F.concat_ws(
+            ",", *[F.col(f"chunk{c}").cast("string") for c in combo]))
+        key_structs.append(F.struct(F.lit(t).alias("t"), key.alias("k")))
+    banded = sigs.select(
+        "doc_id", "simhash",
+        F.explode_outer(F.array(*key_structs)).alias("bk"),
+    ).select("doc_id", "simhash", F.col("bk.t").alias("t"),
+             F.col("bk.k").alias("k"))
+    a = banded.select(F.col("doc_id").alias("id_a"),
+                      F.col("simhash").alias("s_a"), "t", "k")
+    b = banded.select(F.col("doc_id").alias("id_b"),
+                      F.col("simhash").alias("s_b"), "t", "k")
     return (
-        pairs.dropDuplicates(["id_a", "id_b"])
+        a.join(b, ["t", "k"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
         .withColumn("hamming", F.bit_count(F.col("s_a").bitwiseXOR(F.col("s_b"))))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
