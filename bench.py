@@ -96,6 +96,16 @@ BENCH_QUERIES = [
     "q29_simhash_prod",
 ]
 
+# The 13-query round-2 headline set: its subtotal is reported alongside the
+# full headline so round-over-round comparisons don't need hand arithmetic
+# (the r3 headline grew to 17 queries, making raw totals incomparable).
+COMMON_R2_QUERIES = [
+    "q01_pricing_summary", "q02_revenue_by_nation", "q05_triple_dedup",
+    "q07_blocked_pairs", "q08_exact_dedup", "q09_token_stats",
+    "q11_cosine_topk", "q12_ngram_jaccard", "q13_sessionize",
+    "q17_minhash_lsh", "q18_simhash", "q19_lsh_cosine", "q21_claims_triples",
+]
+
 
 def run_bench(sf_dir: str, cpus: int) -> dict:
     import __spark_entry__ as entry_mod
@@ -119,6 +129,9 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     return {
         "metric": "headline_query_wall_clock",
         "value": round(total, 3),
+        "value_common_r2": round(
+            sum(timings[q] for q in COMMON_R2_QUERIES if q in timings), 3
+        ),
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

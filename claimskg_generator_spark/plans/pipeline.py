@@ -82,6 +82,19 @@ class PipelineConfig:
     # real word-vector text file for the embeddings term (None -> the
     # deterministic hash-vector fixture)
     embeddings_file: Optional[str] = None
+    # graph-set dedup plan: "wide" (plain dropDuplicates) or "two_phase"
+    # (narrow 128-bit-key shuffle + broadcast duplicate keyspace —
+    # operators/dedup.py two_phase_distinct).  MEASURED default: at the
+    # triples stage's 27% duplicate rate the duplicates are overwhelmingly
+    # intra-partition (one claim re-emitting a triple), so dropDuplicates'
+    # map-side combine removes them before the exchange and the wide
+    # shuffle adds only ~8% to the stage (raw-union count 36.5 s vs
+    # dedup'd count 39.7 s at 320k rows / 4 cores), while two_phase pays a
+    # full cache materialization of the raw 16.7M-triple frame (68 s vs
+    # 54 s end-to-end).  two_phase is the right plan for LOW-dup-rate
+    # wide-row corpora where the dup keyspace is broadcastable; here it
+    # is not the bottleneck.
+    dedup_strategy: str = "wide"
 
 
 class ClaimsKGPipeline:
@@ -140,8 +153,9 @@ class ClaimsKGPipeline:
             "citations", clean_citations(F.col("links"), F.col("source"))
         )
 
-    def triples(self, input_df: DataFrame) -> DataFrame:
-        """Stage 2: all triple families, deduplicated (graph set semantics)."""
+    def triples_raw(self, input_df: DataFrame) -> DataFrame:
+        """Stage 2a: union of all triple families, PRE-dedup (exposed so
+        the dedup strategy can be measured/swapped; not a user surface)."""
         cfg = self.config
         claims = self.claims(input_df)
 
@@ -199,7 +213,23 @@ class ClaimsKGPipeline:
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
-        deduped = out.dropDuplicates(["subj", "pred", "obj", "okind"])
+        return out
+
+    def triples(self, input_df: DataFrame) -> DataFrame:
+        """Stage 2: all triple families, deduplicated (graph set semantics,
+        A3).  Dedup plan per config.dedup_strategy — two_phase shuffles a
+        128-bit key per triple instead of the full-width row (see
+        operators/dedup.py two_phase_distinct)."""
+        out = self.triples_raw(input_df)
+        dedup_cols = ["subj", "pred", "obj", "okind"]
+        if self.config.dedup_strategy == "two_phase":
+            from claimskg_generator_spark.operators.dedup import (
+                two_phase_distinct,
+            )
+
+            deduped = two_phase_distinct(out, dedup_cols)
+        else:
+            deduped = out.dropDuplicates(dedup_cols)
         # Derive the token from the parsed-stage token, NOT the triples plan:
         # plans holding pandas UDFs don't hash stably across instances, and
         # triples are a pure function of (parsed data, config, code) anyway.
@@ -208,7 +238,15 @@ class ClaimsKGPipeline:
             token = hashlib.sha256(
                 (self._input_token + "\x00" + self._config_blob()).encode()
             ).hexdigest()[:16]
-        return self.checkpoints.materialize("triples", deduped, token)
+        result = self.checkpoints.materialize("triples", deduped, token)
+        if self.config.checkpoint_dir:
+            # materialize() above was eager (checkpoint write): the stage
+            # caches feeding it (two_phase_distinct's persisted raw-triples
+            # frame, the exploded-keywords cache) are spent — free them so
+            # long-lived drivers don't accumulate per-run caches.  The
+            # result itself is a fresh parquet scan, unaffected.
+            self.spark.catalog.clearCache()
+        return result
 
     # -- sinks ---------------------------------------------------------------
     def write_triples(self, triples: DataFrame, path: str,
