@@ -44,6 +44,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="reconciliation theta; <=0 disables (reference default)")
     p.add_argument("--sample", type=float, default=None,
                    help="pair sampling fraction for reconciliation")
+    p.add_argument("--samples", type=int, default=None,
+                   help="EXACT seeded pair-sample count for reconciliation "
+                        "(reference --samples parity: the same numpy pair "
+                        "stream, driver-side O(C(n,2)) mask — reference-"
+                        "matching runs, not the scale path); mutually "
+                        "exclusive with --sample")
     p.add_argument("--embeddings", action="store_true",
                    help="include the mean-BoW text-similarity term in "
                         "reconciliation scoring")
@@ -115,6 +121,9 @@ def main(argv=None) -> int:
     if args.mappings_output and args.reconcile <= 0:
         parser.error("--mappings-output requires --reconcile > 0 "
                      "(no pairs are scored otherwise)")
+    if args.sample is not None and args.samples is not None:
+        parser.error("--sample (fraction) and --samples (exact seeded "
+                     "count) are mutually exclusive")
     thesaurus_specs = [_parse_thesaurus_spec(parser, s)
                        for s in args.thesaurus]
 
@@ -150,6 +159,7 @@ def main(argv=None) -> int:
         align_duplicated=args.align_duplicated,
         reconcile_theta=args.reconcile,
         reconcile_sample=args.sample,
+        reconcile_samples=args.samples,
         reconcile_seed=args.seed,
         reconcile_embeddings=args.embeddings,
         embeddings_file=args.embeddings_file,
@@ -196,6 +206,7 @@ def main(argv=None) -> int:
         reconcile_mappings(
             views, cfg.reconcile_theta, cfg.reconcile_sample,
             cfg.reconcile_seed, cfg.reconcile_embeddings, cfg.embeddings_file,
+            cfg.reconcile_samples,
         ).write.mode("overwrite").option("header", True).csv(args.mappings_output)
 
     if args.lineage_output:

@@ -22,9 +22,12 @@ Reference semantics reproduced:
   embeddings (we don't load embedding files), matching the reference's
   default path.
 - Pair dedup by concatenated creative-work URIs (:189-194): dropDuplicates.
-- Optional seeded sampling (J9): df.sample — same distribution family; the
-  exact pair subset differs from the reference's numpy stream (documented
-  acceptable in SURVEY.md J9).
+- Seeded sampling (J9) in two modes: ``sample_fraction`` (df.sample — same
+  distribution family, scale path) and ``sample_pairs`` (EXACT parity with
+  the reference's seeded numpy stream, reconciler/__init__.py:22-50 — see
+  reference_pair_sample_indices; the index mask is driver-side numpy of
+  length C(n,2), the same memory the reference itself allocates, so this
+  mode is for reference-matching runs, not the 100 TB path).
 
 Scale posture: the only shuffle is the self-join on the author block key.
 Head authors ("Viral image", "Facebook posts") are the classic skew case —
@@ -40,6 +43,53 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from claimskg_generator_spark.constants.namespaces import NS
+
+
+def reference_pair_sample_indices(count: int, sample_size: int,
+                                  seed: Optional[int]):
+    """The EXACT (i, j) pair-index set of the reference's seeded sampler
+    (reconciler/__init__.py:22-50 _process_pairwise_sample), vectorized.
+
+    The reference walks ``itertools.combinations(range(count), 2)`` in
+    lexicographic order against a Bernoulli mask drawn up front from
+    ``numpy.random`` seeded with ``seed`` at threshold
+    ``sample_size / C(count, 2)``, taking masked pairs until
+    ``sample_size`` are gotten.  Two faithful quirks:
+
+    - the loop guard is ``num < iterlen - 1``, so the FINAL combination
+      (count-2, count-1) is never consumed;
+    - the wrap/re-draw branch (``num == iterlen``) is unreachable under
+      that guard (num can never exceed iterlen - 1), so a mask too sparse
+      to yield sample_size hits just under-fills — no second draw.
+
+    Returns a list of (i, j) tuples, i < j, in enumeration order.  Memory
+    is O(C(count, 2)) for the mask — identical to the reference's own
+    allocation; this is the reference-parity mode, not the scale path.
+    """
+    import numpy as np
+
+    iterlen = int(count * (count - 1) / 2)
+    if iterlen <= 1:
+        return []
+    if seed is not None:
+        np.random.seed(seed)
+    inds = np.random.random(iterlen) <= (sample_size * 1.0 / iterlen)
+    ks = np.flatnonzero(inds[: iterlen - 1])[:sample_size]
+    if ks.size == 0:
+        return []
+    # invert linear index k -> (i, j): row i occupies the half-open range
+    # [S(i), S(i+1)) with S(i) = i*(count-1) - i*(i-1)/2
+    def S(i):
+        return i * (count - 1) - i * (i - 1) // 2
+
+    i = np.floor(
+        (2 * count - 1 - np.sqrt((2 * count - 1) ** 2 - 8.0 * ks)) / 2
+    ).astype(np.int64)
+    # float fixup at row boundaries
+    i = np.where(S(i + 1) <= ks, i + 1, i)
+    i = np.where(S(i) > ks, i - 1, i)
+    j = i + 1 + (ks - S(i))
+    return list(zip(i.tolist(), j.tolist()))
 
 
 def levenshtein_similarity(a: str, b: str) -> float:
@@ -496,17 +546,19 @@ def reconcile_pairs(views: DataFrame, theta: float,
                     sample_fraction: Optional[float] = None,
                     seed: Optional[int] = None,
                     use_embeddings: bool = False,
-                    embeddings_file: Optional[str] = None) -> DataFrame:
+                    embeddings_file: Optional[str] = None,
+                    sample_pairs: Optional[int] = None) -> DataFrame:
     return _reconcile_scored(views, theta, sample_fraction, seed,
-                             use_embeddings,
-                             embeddings_file).select("cw_a", "cw_b", "score")
+                             use_embeddings, embeddings_file,
+                             sample_pairs).select("cw_a", "cw_b", "score")
 
 
 def _reconcile_scored(views: DataFrame, theta: float,
                       sample_fraction: Optional[float] = None,
                       seed: Optional[int] = None,
                       use_embeddings: bool = False,
-                      embeddings_file: Optional[str] = None) -> DataFrame:
+                      embeddings_file: Optional[str] = None,
+                      sample_pairs: Optional[int] = None) -> DataFrame:
     """views columns: ord, cw_uri, creative_work_author, claim_date (date),
     review_date (date), keywords (arr), links (arr), entities (arr),
     categories (arr) [+ fragments (arr) when use_embeddings].
@@ -561,12 +613,50 @@ def _reconcile_scored(views: DataFrame, theta: float,
         & ~((F.col("n_entities_a") == 0) & (F.col("n_entities_b") > 0))
         & ~((F.col("n_entities_a") > 0) & (F.col("n_entities_b") == 0))
     )
-    pairs = a.join(b, cond).select(
-        "ord_a", "ord_b", "cw_uri_a", "cw_uri_b",
-        "n_entities_a", "n_entities_b",
-    )
-    if sample_fraction is not None:
-        pairs = pairs.sample(fraction=sample_fraction, seed=seed or 0)
+    if sample_pairs is not None:
+        # EXACT reference sampling (J9 parity): the sampled (i, j) index
+        # set is fixed BEFORE pruning — the reference draws over ALL
+        # combinations and its callback prunes per pair — so here the
+        # tiny sampled-index frame drives the join and ``cond`` applies
+        # as a post-join filter (same predicate, same semantics).  The
+        # reference indexes its claims LIST, so ``ord`` (a string sort
+        # key) maps to a list position via a global row_number — a
+        # single-task sort, fine for this inherently driver-bound parity
+        # mode.  The count() mirrors the reference's len(claims).
+        from pyspark.sql import Window as _W
+
+        spark = views.sparkSession
+        n = views.count()
+        idx = reference_pair_sample_indices(n, sample_pairs, seed)
+        idx_df = spark.createDataFrame(idx or [], "ia long, ib long")
+        ranked = slim.withColumn(
+            "_i", F.row_number().over(_W.orderBy("ord")) - 1
+        )
+        ra = ranked.select(
+            *[F.col(c).alias(c + "_a") for c in slim.columns],
+            F.col("_i").alias("ia"),
+        )
+        rb = ranked.select(
+            *[F.col(c).alias(c + "_b") for c in slim.columns],
+            F.col("_i").alias("ib"),
+        )
+        pairs = (
+            ra.join(F.broadcast(idx_df), "ia")
+            # the intermediate is <= sample_pairs rows: broadcast it
+            # against the full b side rather than shuffling b
+            .hint("broadcast")
+            .join(rb, "ib")
+            .filter(cond)
+            .select("ord_a", "ord_b", "cw_uri_a", "cw_uri_b",
+                    "n_entities_a", "n_entities_b")
+        )
+    else:
+        pairs = a.join(b, cond).select(
+            "ord_a", "ord_b", "cw_uri_a", "cw_uri_b",
+            "n_entities_a", "n_entities_b",
+        )
+        if sample_fraction is not None:
+            pairs = pairs.sample(fraction=sample_fraction, seed=seed or 0)
 
     # re-attach the scoring arrays to the (pruned) candidates by ord
     arr_cols = ["keywords", "links", "entities", "categories"]
@@ -640,7 +730,8 @@ def reconcile_mappings(views: DataFrame, theta: float,
                        sample_fraction: Optional[float] = None,
                        seed: Optional[int] = None,
                        use_embeddings: bool = False,
-                       embeddings_file: Optional[str] = None) -> DataFrame:
+                       embeddings_file: Optional[str] = None,
+                       sample_pairs: Optional[int] = None) -> DataFrame:
     """The reference's mappings-file rows (reconciler/__init__.py:126-147):
     score + per-side (claim-review author, review URL, first text fragment,
     entities, keywords, citations, creative-work URI).  Feature columns are
@@ -651,7 +742,7 @@ def reconcile_mappings(views: DataFrame, theta: float,
     reference joins Python sets — nondeterministic member order — so byte
     order of those fields is not part of the contract)."""
     scored = _reconcile_scored(views, theta, sample_fraction, seed,
-                               use_embeddings, embeddings_file)
+                               use_embeddings, embeddings_file, sample_pairs)
     feat = views.select(
         "ord",
         F.col("source").alias("cr_author"),
@@ -687,10 +778,12 @@ def reconcile_triples(views: DataFrame, theta: float,
                       sample_fraction: Optional[float] = None,
                       seed: Optional[int] = None,
                       use_embeddings: bool = False,
-                      embeddings_file: Optional[str] = None) -> DataFrame:
+                      embeddings_file: Optional[str] = None,
+                      sample_pairs: Optional[int] = None) -> DataFrame:
     """owl:sameAs edges for reconciled pairs (reference generator :770-774)."""
     return reconcile_pairs(views, theta, sample_fraction, seed,
-                           use_embeddings, embeddings_file).select(
+                           use_embeddings, embeddings_file,
+                           sample_pairs).select(
         F.col("cw_a").alias("subj"),
         F.lit(NS.OWL_SAME_AS).alias("pred"),
         F.col("cw_b").alias("obj"),

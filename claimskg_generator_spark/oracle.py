@@ -405,13 +405,18 @@ class ReferenceOracle:
 
             self.claims.append(claim)
 
-    def reconcile(self, theta: float, use_embeddings: bool = False):
+    def reconcile(self, theta: float, use_embeddings: bool = False,
+                  samples=None, seed=None):
         """Full-pairs reconciliation (reference FactReconciler
         generate_mappings / _evaluate_mapping / _pruning_criterion,
         reconciler/__init__.py:85-199): returns [(cw_a, cw_b, score)] and
         adds the owl:sameAs edges (generator :770-774).  With
         ``use_embeddings``, the text term is the mean-BoW cosine of merged
-        fragments (A) vs first fragment (B) — reference :229-232."""
+        fragments (A) vs first fragment (B) — reference :229-232.  With
+        ``samples``, pairs come from the reference's seeded numpy stream
+        (_process_pairwise_sample, :22-50), walked LITERALLY — including
+        the ``num < iterlen - 1`` guard that never consumes the final
+        combination — as the J9 parity ground truth."""
         import datetime as _dt
 
         from claimskg_generator_spark.operators.reconcile import (
@@ -454,25 +459,46 @@ class ReferenceOracle:
         processed = set()
         mappings = []
         n = len(self.claims)
-        for i in range(n):
-            for j in range(i + 1, n):
-                a, b = self.claims[i], self.claims[j]
-                key = a.creative_work_uri + b.creative_work_uri
-                if key in processed or a is b or prune(a, b):
-                    continue
-                processed.add(key)
-                score = claim_pair_score(
-                    list(a.keywords), list(b.keywords), a.links, b.links,
-                    a.claim_entities + a.review_entities,
-                    b.claim_entities + b.review_entities,
-                    a.review_entity_categories + a.claim_entity_categories,
-                    b.review_entity_categories + b.claim_entity_categories,
-                    text_sim=text_sim(a, b),
-                )
-                if score > theta:
-                    mappings.append((a.creative_work_uri, b.creative_work_uri, score))
-                    self._add(a.creative_work_uri, NS.OWL_SAME_AS,
-                              b.creative_work_uri, OKIND_URI)
+        if samples is not None:
+            # literal re-execution of the reference's sampler walk
+            import itertools as _it
+
+            import numpy as _np
+
+            iterlen = int(n * (n - 1) / 2)
+            if seed is not None:
+                _np.random.seed(seed)
+            inds = _np.random.random(iterlen) <= (samples * 1.0 / iterlen)
+            pair_iter = []
+            num = 0
+            gotten = 0
+            it = iter(_it.combinations(range(n), 2))
+            while gotten < samples and num < iterlen - 1:
+                pair = next(it)
+                if inds[num]:
+                    pair_iter.append(pair)
+                    gotten += 1
+                num += 1
+        else:
+            pair_iter = ((i, j) for i in range(n) for j in range(i + 1, n))
+        for i, j in pair_iter:
+            a, b = self.claims[i], self.claims[j]
+            key = a.creative_work_uri + b.creative_work_uri
+            if key in processed or a is b or prune(a, b):
+                continue
+            processed.add(key)
+            score = claim_pair_score(
+                list(a.keywords), list(b.keywords), a.links, b.links,
+                a.claim_entities + a.review_entities,
+                b.claim_entities + b.review_entities,
+                a.review_entity_categories + a.claim_entity_categories,
+                b.review_entity_categories + b.claim_entity_categories,
+                text_sim=text_sim(a, b),
+            )
+            if score > theta:
+                mappings.append((a.creative_work_uri, b.creative_work_uri, score))
+                self._add(a.creative_work_uri, NS.OWL_SAME_AS,
+                          b.creative_work_uri, OKIND_URI)
         return mappings
 
     def final_stats(self):

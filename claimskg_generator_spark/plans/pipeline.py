@@ -77,6 +77,9 @@ class PipelineConfig:
     # disabled when <= 0, like the reference's --reconcile flag
     reconcile_theta: float = -1.0
     reconcile_sample: Optional[float] = None
+    # exact reference seeded sampling (J9 parity, reference --samples):
+    # a pair COUNT; mutually exclusive with reconcile_sample
+    reconcile_samples: Optional[int] = None
     reconcile_seed: Optional[int] = None
     reconcile_embeddings: bool = False
     # real word-vector text file for the embeddings term (None -> the
@@ -208,7 +211,8 @@ class ClaimsKGPipeline:
                 reconcile_triples(views, cfg.reconcile_theta,
                                   cfg.reconcile_sample, cfg.reconcile_seed,
                                   cfg.reconcile_embeddings,
-                                  cfg.embeddings_file)
+                                  cfg.embeddings_file,
+                                  cfg.reconcile_samples)
             )
         out = parts[0]
         for p in parts[1:]:

@@ -246,3 +246,63 @@ def test_sim_cache_resolves_terms_identically():
     assert not pa2, "cache miss: jobs were re-enqueued"
     assert R._sum_terms(t2, ()) == first == R.soft_overlap(xs, ys)
     R._SIM_CACHE.clear()
+
+
+def test_reference_pair_sample_indices_parity():
+    """J9: the vectorized sampler reproduces the reference's seeded walk
+    (reconciler/__init__.py:22-50) literally — same mask, same guard that
+    never consumes the final combination, same first-sample_size cutoff."""
+    import itertools
+
+    import numpy as np
+
+    from claimskg_generator_spark.operators.reconcile import (
+        reference_pair_sample_indices,
+    )
+
+    def literal(count, sample_size, seed):
+        iterlen = int(count * (count - 1) / 2)
+        if seed is not None:
+            np.random.seed(seed)
+        inds = np.random.random(iterlen) <= (sample_size * 1.0 / iterlen)
+        out, num, gotten = [], 0, 0
+        it = iter(itertools.combinations(range(count), 2))
+        while gotten < sample_size and num < iterlen - 1:
+            b = next(it)
+            if inds[num]:
+                out.append(b)
+                gotten += 1
+            num += 1
+        return out
+
+    cases = [
+        (10, 5, 0),      # sparse
+        (30, 40, 1),
+        (50, 1000, 7),   # dense: cutoff fires before exhaustion
+        (80, 10, 42),
+        (5, 100, 3),     # sample_size > C(n,2): under-fills, no re-draw
+        (2, 1, 5),       # iterlen == 1: the guard yields nothing
+        (300, 2000, 11),
+    ]
+    for count, size, seed in cases:
+        assert reference_pair_sample_indices(count, size, seed) == \
+            literal(count, size, seed), (count, size, seed)
+
+
+def test_reconcile_exact_sample_matches_reference_stream(spark, claims_df):
+    """J9 end-to-end: sample_pairs mode produces EXACTLY the pairs+scores
+    of the reference's seeded sampler run (oracle walks the literal
+    reference loop over the same corpus)."""
+    o = ReferenceOracle(THESAURUS_ENTRIES)
+    o.generate(gen_records(N))
+    want = {(a, b, round(s, 9))
+            for a, b, s in o.reconcile(THETA, samples=12000, seed=99)}
+    views = logical_views(claims_df, "http://data.gesis.org/claimskg/", 0.3)
+    got_rows = reconcile_pairs(
+        views, THETA, seed=99, sample_pairs=12000
+    ).collect()
+    got = {(r["cw_a"], r["cw_b"], round(r["score"], 9)) for r in got_rows}
+    assert want, "sampled oracle run produced no mappings — corpus too weak"
+    assert got == want, (
+        f"extra={sorted(got - want)[:5]} missing={sorted(want - got)[:5]}"
+    )
