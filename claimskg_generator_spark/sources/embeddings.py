@@ -179,32 +179,160 @@ class Word2VecBinaryEmbeddings:
         return v if v is not None else [0.0] * self._dim
 
 
+FASTTEXT_MAGIC = 793712314  # fastText/sent2vec file-format magic int32
+
+
+class Sent2VecBinaryEmbeddings:
+    """Pure-Python reader for sent2vec/fastText ``.bin`` models — the
+    UNIGRAM-MEAN path only (reference vsm/embeddings.py:283-301 wraps the
+    native sent2vec lib, absent in this environment).
+
+    Layout read (the versioned fastText format sent2vec forked): int32
+    magic 793712314 + int32 version; args (12 int32: dim ws epoch minCount
+    neg wordNgrams loss model bucket minn maxn lrUpdateRate + float64 t);
+    dictionary (int32 size/nwords/nlabels, int64 ntokens/pruneidx_size,
+    then per entry a NUL-terminated utf-8 word + int64 count + int8 type,
+    then pruneidx int32 pairs when present); int8 quant flag; input matrix
+    int64 m, int64 n, m*n little-endian float32.  The matrix is np.memmap'd
+    — only rows actually touched are paged in.
+
+    Supported exactly: wordNgrams == 1, minn == 0 (no char subwords),
+    unquantized models — there the sentence embedding IS the arithmetic
+    mean of in-vocabulary token rows (plus the ``</s>`` EOS row, which the
+    tokenizer appends to every line).  wordNgrams > 1 (hashed n-gram
+    buckets), subword, and quantized models raise NotImplementedError with
+    the reason — mis-reading them silently would corrupt scores.
+    """
+
+    def __init__(self, path: str):
+        import struct
+
+        import numpy as np
+
+        with open(path, "rb") as f:
+            head = f.read(8)
+            magic, version = struct.unpack("<ii", head)
+            if magic != FASTTEXT_MAGIC:
+                raise ValueError(
+                    f"{path}: not a fastText/sent2vec binary (magic "
+                    f"{magic}); legacy unversioned files are unsupported"
+                )
+            if version > 12:
+                raise NotImplementedError(
+                    f"{path}: fastText format version {version} > 12"
+                )
+            (dim, ws, epoch, min_count, neg, word_ngrams, loss, model,
+             bucket, minn, maxn, lr_update_rate) = struct.unpack(
+                "<12i", f.read(48))
+            (self._t,) = struct.unpack("<d", f.read(8))
+            self._dim = dim
+            if word_ngrams > 1:
+                raise NotImplementedError(
+                    f"{path}: wordNgrams={word_ngrams} models use hashed "
+                    "n-gram buckets; only the unigram-mean path is "
+                    "implemented"
+                )
+            if minn > 0:
+                raise NotImplementedError(
+                    f"{path}: subword model (minn={minn}) unsupported"
+                )
+            size, nwords, nlabels = struct.unpack("<3i", f.read(12))
+            ntokens, pruneidx_size = struct.unpack("<2q", f.read(16))
+            self._index = {}
+            for i in range(size):
+                chars = bytearray()
+                while True:
+                    c = f.read(1)
+                    if not c:
+                        raise ValueError(f"{path}: truncated dictionary")
+                    if c == b"\x00":
+                        break
+                    chars.extend(c)
+                _count, etype = struct.unpack("<qb", f.read(9))
+                if etype == 0:  # word (1 = label)
+                    self._index[chars.decode("utf-8")] = i
+            if pruneidx_size > 0:
+                f.read(8 * pruneidx_size)  # int32 pairs, unused here
+            (quant,) = struct.unpack("<b", f.read(1))
+            if quant:
+                raise NotImplementedError(f"{path}: quantized model")
+            m, n = struct.unpack("<2q", f.read(16))
+            if n != dim:
+                raise ValueError(
+                    f"{path}: matrix width {n} != args dim {dim}"
+                )
+            offset = f.tell()
+        self._mat = np.memmap(path, dtype="<f4", mode="r",
+                              offset=offset, shape=(m, n))
+        self._eos = self._index.get("</s>")
+
+    def dim(self) -> int:
+        return self._dim
+
+    def word_vector(self, word: str) -> List[float]:
+        i = self._index.get(word)
+        if i is None:
+            return [0.0] * self._dim
+        return [float(x) for x in self._mat[i]]
+
+    def sentence_vector(self, sentence: str) -> List[float]:
+        ids = [self._index[t] for t in sentence.split()
+               if t in self._index]
+        if self._eos is not None:
+            ids.append(self._eos)
+        if not ids:
+            return [0.0] * self._dim
+        import numpy as np
+
+        return [float(x) for x in
+                np.mean(self._mat[ids].astype(np.float64), axis=0)]
+
+
 class Sent2VecEmbeddings:
     """Sentence-level model surface (reference vsm/embeddings.py:283-301
-    Sent2VecEmbeddings).  The sent2vec native library is not installable in
-    this environment, so construction requires it and fails loudly
-    otherwise; the word-vector loaders above are the supported paths."""
+    Sent2VecEmbeddings).  Uses the native sent2vec lib when importable
+    (bit-exact for every model type); otherwise falls back to the pure
+    Sent2VecBinaryEmbeddings reader, which covers unigram-mean models and
+    rejects n-gram/subword/quantized ones loudly."""
 
     def __init__(self, model_path: str):
         try:
             import sent2vec  # type: ignore[import-not-found]
-        except ImportError as e:
-            raise NotImplementedError(
-                "the sent2vec native library is not available; use a "
-                "GloVe/word2vec text file or a word2vec .bin instead"
-            ) from e
-        self._model = sent2vec.Sent2vecModel()
-        self._model.load_model(model_path)
+        except ImportError:
+            self._model = None
+            self._pure = Sent2VecBinaryEmbeddings(model_path)
+        else:
+            self._model = sent2vec.Sent2vecModel()
+            self._model.load_model(model_path)
+            self._pure = None
+
+    def dim(self) -> int:
+        if self._model is not None:
+            return int(self._model.get_emb_size())
+        return self._pure.dim()
+
+    def word_vector(self, word: str) -> List[float]:
+        # reference word_vector == embed_sentence(word)
+        return self.sentence_vector(word)
 
     def sentence_vector(self, sentence: str) -> List[float]:
-        return [float(x) for x in self._model.embed_sentence(sentence)[0]]
+        if self._model is not None:
+            return [float(x) for x in self._model.embed_sentence(sentence)[0]]
+        return self._pure.sentence_vector(sentence)
 
 
 def open_embeddings(path: str):
-    """Loader sniff for --embeddings-file: word2vec C binaries start with
+    """Loader sniff for --embeddings-file: a fastText/sent2vec binary
+    starts with the int32 magic 793712314; word2vec C binaries start with
     an ASCII header but the packed float32 payload is not valid UTF-8, so
     a .bin extension or a failed UTF-8 decode of the first 4 KiB selects
-    the binary loader; anything else parses as GloVe/word2vec text."""
+    a binary loader; anything else parses as GloVe/word2vec text."""
+    import struct
+
+    with open(path, "rb") as f:
+        first8 = f.read(8)
+    if len(first8) == 8 and struct.unpack("<i", first8[:4])[0] == FASTTEXT_MAGIC:
+        return Sent2VecEmbeddings(path)
     if path.endswith(".bin"):
         return Word2VecBinaryEmbeddings(path)
     with open(path, "rb") as f:
@@ -229,6 +357,10 @@ def sentence_vector(sentence: str, dim: int = DEFAULT_DIM,
     fallback is out of domain — any non-empty text has tokens here).
     ``store``: a FileEmbeddings vocabulary; None -> the deterministic
     hash-vector fixture."""
+    if store is not None and hasattr(store, "sentence_vector"):
+        # sentence-level models (Sent2Vec) embed the sentence themselves —
+        # the reference calls the model's embed_sentence, not a BoW mean
+        return store.sentence_vector(sentence)
     tokens = sentence_tokens(sentence)
     if store is not None:
         dim = store.dim()

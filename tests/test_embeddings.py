@@ -222,13 +222,91 @@ def test_reconcile_with_word2vec_binary(spark, tmp_path):
     assert all(r["score"] > THETA for r in rows)
 
 
-def test_sent2vec_guard():
+def _write_sent2vec_bin(path, words, mat, word_ngrams=1, minn=0, quant=0,
+                        magic=None, version=12):
+    """Golden fastText/sent2vec binary writer (the layout
+    Sent2VecBinaryEmbeddings documents): magic+version, args, dictionary,
+    quant flag, input matrix."""
+    import struct
+
+    import numpy as np
+
+    from claimskg_generator_spark.sources.embeddings import FASTTEXT_MAGIC
+
+    dim = len(mat[0])
+    with open(path, "wb") as f:
+        f.write(struct.pack("<ii", FASTTEXT_MAGIC if magic is None else magic,
+                            version))
+        f.write(struct.pack("<12i", dim, 5, 10, 1, 10, word_ngrams, 1, 1,
+                            2000000, minn, 0, 100))
+        f.write(struct.pack("<d", 1e-4))
+        f.write(struct.pack("<3i", len(words), len(words), 0))
+        f.write(struct.pack("<2q", 12345, -1))  # ntokens, no pruneidx
+        for w in words:
+            f.write(w.encode("utf-8") + b"\x00")
+            f.write(struct.pack("<qb", 7, 0))
+        f.write(struct.pack("<b", quant))
+        f.write(struct.pack("<2q", len(mat), dim))
+        f.write(np.asarray(mat, dtype="<f4").tobytes())
+
+
+def test_sent2vec_binary_reader(tmp_path):
+    """Pure-Python sent2vec .bin reader: float32-exact word rows, sentence
+    vector = unigram mean including the </s> EOS row, OOV skipped."""
+    import numpy as np
     import pytest
 
-    from claimskg_generator_spark.sources.embeddings import Sent2VecEmbeddings
+    from claimskg_generator_spark.sources.embeddings import (
+        Sent2VecBinaryEmbeddings,
+        Sent2VecEmbeddings,
+        open_embeddings,
+    )
 
-    with pytest.raises(NotImplementedError):
-        Sent2VecEmbeddings("/nonexistent/model.bin")
+    words = ["</s>", "hello", "wörld"]
+    mat = [[0.5, -1.25, 2.0], [1.0, 2.0, 3.0], [-4.0, 0.125, 8.0]]
+    p = tmp_path / "model.bin"
+    _write_sent2vec_bin(str(p), words, mat)
+
+    e = Sent2VecBinaryEmbeddings(str(p))
+    assert e.dim() == 3
+    assert e.word_vector("hello") == [1.0, 2.0, 3.0]
+    assert e.word_vector("missing") == [0.0, 0.0, 0.0]
+    want = np.mean(np.array([mat[1], mat[2], mat[0]]), axis=0)
+    got = e.sentence_vector("hello wörld")
+    assert got == pytest.approx(list(want))
+    # OOV-only sentence -> just the EOS row
+    assert e.sentence_vector("zzz qqq") == pytest.approx(mat[0])
+
+    # the Sent2VecEmbeddings surface falls back to the pure reader (no
+    # native lib in this env) and open_embeddings sniffs the magic
+    s = Sent2VecEmbeddings(str(p))
+    assert s.sentence_vector("hello wörld") == pytest.approx(list(want))
+    assert s.word_vector("hello") == pytest.approx(
+        list(np.mean(np.array([mat[1], mat[0]]), axis=0)))
+    sniffed = open_embeddings(str(p))
+    assert isinstance(sniffed, Sent2VecEmbeddings)
+
+
+def test_sent2vec_binary_reader_guards(tmp_path):
+    """Unsupported model types fail loudly instead of mis-reading."""
+    import pytest
+
+    from claimskg_generator_spark.sources.embeddings import (
+        Sent2VecBinaryEmbeddings,
+    )
+
+    words, mat = ["</s>", "a"], [[1.0, 2.0], [3.0, 4.0]]
+    cases = [
+        ({"word_ngrams": 2}, NotImplementedError, "wordNgrams"),
+        ({"minn": 3}, NotImplementedError, "subword"),
+        ({"quant": 1}, NotImplementedError, "quantized"),
+        ({"magic": 1234}, ValueError, "magic"),
+    ]
+    for kw, exc, msg in cases:
+        p = tmp_path / f"m_{msg}.bin"
+        _write_sent2vec_bin(str(p), words, mat, **kw)
+        with pytest.raises(exc, match=msg):
+            Sent2VecBinaryEmbeddings(str(p))
 
 
 def test_open_embeddings_multibyte_sniff_boundary(tmp_path):
