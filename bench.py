@@ -94,6 +94,9 @@ BENCH_QUERIES = [
     # production xxhash64 LSH paths (q17/q18 time the md5 oracle twins)
     "q28_minhash_prod",
     "q29_simhash_prod",
+    # IVF with one Lloyd refinement pass (q27 is the deterministic
+    # value-oracled twin; this is the trained-centroid scale path)
+    "q30_ivf_trained",
 ]
 
 # The 13-query round-2 headline set: its subtotal is reported alongside the

@@ -61,7 +61,8 @@ def cosine_topk(embeddings: DataFrame, query_ids: List[int], k: int = 5,
 
 def ivf_topk(embeddings: DataFrame, query_ids: List[int], k: int = 5,
              n_centroids: int = 32, n_probe: int = 4,
-             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             n_iters: int = 0) -> DataFrame:
     """IVF-style ANN: coarse-quantize the corpus into inverted lists, probe
     only the lists nearest each query, exact top-k within them — the
     classic sub-linear alternative to the hyperplane-LSH path.
@@ -72,9 +73,20 @@ def ivf_topk(embeddings: DataFrame, query_ids: List[int], k: int = 5,
     computed as one global top-k (TakeOrderedAndProject, no full sort).
     |C| no longer grows with the corpus, so the broadcast stays bounded and
     the assignment pass is O(N * n_centroids) with a constant, tunable
-    factor.  At 100 TB you'd swap the sample for trained k-means centroids;
+    factor.  ``n_iters`` Lloyd refinement passes (k-means) turn the sample
+    into trained centroids — the 100 TB upgrade the sample stands in for;
     the plan shape — broadcast centroids, one hash-agg argmax assignment
-    pass, per-query probe-list candidate join — is identical.
+    pass, per-query probe-list candidate join — is identical either way.
+
+    Each Lloyd pass is one assignment map + one narrow mean shuffle: the
+    per-cluster mean aggregates (cent, pos, val) rows from posexplode —
+    map-side combine reduces every partition to |C| x dim partial sums, so
+    the exchange carries O(partitions * C * dim) regardless of N.  Empty
+    clusters keep their previous centroid.  Cluster MEMBERSHIP (and so the
+    candidate sets) can differ at the float-sum ulp level across
+    partitionings — k-means means are order-sensitive float sums — which
+    is why the trained variant ships as a rows-only bench entry while the
+    deterministic n_iters=0 path carries the value oracle (q27).
 
     Assignment is a PURE MAP stage: the fixed-size centroid set rides as a
     one-row broadcast array column and the per-vector argmax is a within-row
@@ -94,11 +106,14 @@ def ivf_topk(embeddings: DataFrame, query_ids: List[int], k: int = 5,
     )
     # one-row frame holding ALL centroids as an array (canonical cent_id
     # order) — broadcast once, n_centroids * dim floats total
-    cent_arr = cents.agg(
-        F.array_sort(
-            F.collect_list(F.struct(F.col("cent_id"), F.col("cv")))
-        ).alias("cents")
-    )
+    def to_cent_arr(cdf):
+        return cdf.agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("cent_id"), F.col("cv")))
+            ).alias("cents")
+        )
+
+    cent_arr = to_cent_arr(cents)
 
     def scored_arr(vcol):
         # per-centroid (cosine, -cent_id) structs; array_max / array_sort
@@ -112,14 +127,48 @@ def ivf_topk(embeddings: DataFrame, query_ids: List[int], k: int = 5,
             ),
         )
 
-    assigned = (
-        embeddings.join(F.broadcast(cent_arr))
-        .select(
-            F.col(id_col).alias("m_id"), F.col(vec_col).alias("mv"),
-            F.array_max(scored_arr(F.col(vec_col))).alias("best"),
+    def assign(carr):
+        return (
+            embeddings.join(F.broadcast(carr))
+            .select(
+                F.col(id_col).alias("m_id"), F.col(vec_col).alias("mv"),
+                F.array_max(scored_arr(F.col(vec_col))).alias("best"),
+            )
+            .select("m_id", "mv", (-F.col("best.neg_id")).alias("m_cent"))
         )
-        .select("m_id", "mv", (-F.col("best.neg_id")).alias("m_cent"))
-    )
+
+    for _ in range(n_iters):
+        # Lloyd pass: argmax assignment (pure map) + element-wise cluster
+        # mean via posexplode -> (cent, pos) partial sums (map-side combine
+        # bounds the exchange at |C| * dim rows per partition)
+        members = assign(cent_arr)
+        sums = (
+            members.select("m_cent", F.posexplode("mv").alias("pos", "val"))
+            .groupBy("m_cent", "pos")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("c"))
+        )
+        means = (
+            sums.withColumn("avg", F.col("s") / F.col("c"))
+            .groupBy("m_cent")
+            .agg(F.array_sort(
+                F.collect_list(F.struct("pos", "avg"))).alias("pa"))
+            .select(
+                F.col("m_cent").alias("cent_id"),
+                F.transform("pa", lambda x: x["avg"]).alias("cv_new"),
+            )
+        )
+        cents = (
+            cents.join(means, "cent_id", "left")
+            .select(
+                "cent_id",
+                F.coalesce(
+                    F.col("cv_new"), F.col("cv").cast("array<double>")
+                ).alias("cv"),
+            )
+        )
+        cent_arr = to_cent_arr(cents)
+
+    assigned = assign(cent_arr)
     # probe lists: the n_probe nearest centroids per query — same within-row
     # trick (sort desc, slice) instead of a Window
     q = embeddings.filter(F.col(id_col).isin(query_ids)).select(

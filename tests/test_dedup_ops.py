@@ -318,3 +318,54 @@ def test_pipeline_dedup_strategies_agree(spark, tmp_path):
         )
         outs[strat] = sorted(map(tuple, pipe.triples(corpus).collect()))
     assert outs["wide"] == outs["two_phase"]
+
+
+def test_ivf_trained_recall_vs_brute_force(spark):
+    """VERDICT r3 #8: ivf_topk(n_iters=1) — one Lloyd pass over the
+    hash-sampled init — measured against exact brute-force top-k.  The
+    trained path must (a) keep the output contract of the untrained one,
+    and (b) reach high recall on a clustered corpus with a modest probe
+    budget."""
+    import random
+
+    from claimskg_generator_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+    )
+
+    rng = random.Random(13)
+    dim, n_clusters, per = 8, 6, 40
+    rows = []
+    vid = 0
+    for c in range(n_clusters):
+        center = [rng.uniform(-1, 1) for _ in range(dim)]
+        for _ in range(per):
+            rows.append((vid, [x + rng.gauss(0, 0.05) for x in center]))
+            vid += 1
+    vecs = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>")
+    queries = [0, 45, 90, 135, 180]
+    k = 5
+
+    def topk_sets(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return out
+
+    truth = topk_sets(cosine_topk(vecs, queries, k=k))
+
+    def recall(df):
+        got = topk_sets(df)
+        hits = sum(len(got.get(q, set()) & truth[q]) for q in queries)
+        return hits / (k * len(queries))
+
+    trained = ivf_topk(vecs, queries, k=k, n_centroids=8, n_probe=2,
+                       n_iters=1)
+    r_trained = recall(trained)
+    r_init = recall(ivf_topk(vecs, queries, k=k, n_centroids=8, n_probe=2))
+    # contract: same schema/rank shape as the untrained path
+    assert trained.columns == ["query_id", "neighbor_id", "cosine", "rank"]
+    assert r_trained >= 0.9, (r_trained, r_init)
+    # the Lloyd pass must not degrade the hash-sample init materially
+    assert r_trained >= r_init - 0.05, (r_trained, r_init)
