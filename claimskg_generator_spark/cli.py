@@ -38,6 +38,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
                             "json-ld", "n3"])
     p.add_argument("--model-uri", default=DEFAULT_MODEL_URI)
     p.add_argument("--threshold", type=float, default=0.3)
+    p.add_argument("--recognizer", default="stem",
+                   choices=["stem", "metaphone"],
+                   help="thesaurus unigram key: double-stem (reference "
+                        "generator default) or double-metaphone phonetic "
+                        "code (reference InterDoubleMetaphone recognizer)")
     p.add_argument("--include-body", action="store_true")
     p.add_argument("--align-duplicated", action="store_true")
     p.add_argument("--reconcile", type=float, default=-1.0,
@@ -155,6 +160,7 @@ def main(argv=None) -> int:
         model_uri=args.model_uri,
         **thesaurus_kwargs,
         threshold=args.threshold,
+        recognizer=args.recognizer,
         include_body=args.include_body,
         align_duplicated=args.align_duplicated,
         reconcile_theta=args.reconcile,

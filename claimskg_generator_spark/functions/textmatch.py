@@ -198,17 +198,28 @@ def normalize_match_text(text: str) -> str:
 
 
 class PhraseMatcher:
-    """Inverted unigram-stem index + greedy maximal-span matcher.
+    """Inverted unigram-key index + greedy maximal-span matcher.
 
     Build side of the broadcast map-side join (SURVEY.md J3): instances are
     pickled into the pandas-UDF closure via ``SparkContext.broadcast``.
+
+    ``key_fn`` selects the unigram normalization: ``double_stem`` (default;
+    reference ``IntersStemConceptRecognizer``,
+    intersection_recognizers.py:161) or a phonetic code such as
+    ``metaphone.metaphone_key`` (reference
+    ``InterDoubleMetaphoneConceptRecognizer``,
+    intersection_recognizers.py:13 — SURVEY §2 P19).  Both reference
+    recognizers share the same indexing/matching loop; only the key
+    differs, so one matcher class covers both.
     """
 
     def __init__(self, entries: Sequence[Tuple[str, str]],
                  stopwords: Sequence[str] = STOPWORDS_EN,
-                 termination_terms: Sequence[str] = TERMINATION_TERMS_EN):
+                 termination_terms: Sequence[str] = TERMINATION_TERMS_EN,
+                 key_fn=None):
         self.stopwords = set(stopwords)
         self.termination_terms = set(termination_terms)
+        self.key_fn = key_fn if key_fn is not None else double_stem
         self.stem_index: Dict[str, Set[str]] = {}
         self.length_index: Dict[str, int] = {}
         # Replicates StringDictionaryLoader + _load_concept_labels
@@ -226,7 +237,7 @@ class PhraseMatcher:
             for begin, end in span_tokenize(normalized):
                 token = normalized[begin:end]
                 if token not in self.stopwords:
-                    self.stem_index.setdefault(double_stem(token), set()).add(key)
+                    self.stem_index.setdefault(self.key_fn(token), set()).add(key)
                     token_count += 1
             self.length_index[key] = token_count
 
@@ -242,7 +253,7 @@ class PhraseMatcher:
             token = normalized[begin:end]
             if token in self.stopwords or token in self.termination_terms:
                 continue
-            concepts = self.stem_index.get(double_stem(token), set())
+            concepts = self.stem_index.get(self.key_fn(token), set())
             concept_start, concept_end = begin, end
             match_cursor, stop_count = 1, 0
             j = i + match_cursor
@@ -254,7 +265,7 @@ class PhraseMatcher:
                 elif next_token in self.stopwords:
                     stop_count += 1
                 else:
-                    next_concepts = self.stem_index.get(double_stem(next_token), set()) & concepts
+                    next_concepts = self.stem_index.get(self.key_fn(next_token), set()) & concepts
                     if not next_concepts:
                         break
                     concepts = next_concepts

@@ -98,13 +98,20 @@ class PipelineConfig:
     # wide-row corpora where the dup keyspace is broadcastable; here it
     # is not the bottleneck.
     dedup_strategy: str = "wide"
+    # thesaurus unigram key: "stem" (reference default — the only
+    # recognizer the reference generator constructs,
+    # skosthesaurusmatcher.py:68) or "metaphone"
+    # (InterDoubleMetaphoneConceptRecognizer, SURVEY §2 P19)
+    recognizer: str = "stem"
 
 
 class ClaimsKGPipeline:
     def __init__(self, spark: SparkSession, config: Optional[PipelineConfig] = None):
         self.spark = spark
         self.config = config or PipelineConfig()
-        self.matchers = build_matchers(self.config.thesaurus_entries)
+        self.matchers = build_matchers(
+            self.config.thesaurus_entries, self.config.recognizer
+        )
         self.checkpoints = CheckpointManager(spark, self.config.checkpoint_dir)
         self.stage_timings: List[Dict] = []
         self._input_token: Optional[str] = None

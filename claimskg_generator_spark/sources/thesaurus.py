@@ -18,13 +18,32 @@ from claimskg_generator_spark.functions.rdfterms import OKIND_LANG_EN, OKIND_URI
 from claimskg_generator_spark.functions.textmatch import PhraseMatcher
 
 
-def build_matchers(entries: Sequence[Dict]) -> Dict[str, PhraseMatcher]:
+def build_matchers(
+    entries: Sequence[Dict], recognizer: str = "stem"
+) -> Dict[str, PhraseMatcher]:
     """One PhraseMatcher per vocabulary (thesoz / unesco), mirroring the two
-    SkosThesaurusMatcher instances of the reference."""
+    SkosThesaurusMatcher instances of the reference.
+
+    ``recognizer`` selects the unigram key, matching the reference's two
+    recognizer classes (intersection_recognizers.py): ``"stem"`` (default —
+    the only one the reference generator constructs,
+    skosthesaurusmatcher.py:68) or ``"metaphone"``
+    (InterDoubleMetaphoneConceptRecognizer, SURVEY §2 P19)."""
+    if recognizer == "stem":
+        key_fn = None
+    elif recognizer == "metaphone":
+        from claimskg_generator_spark.functions.metaphone import metaphone_key
+
+        key_fn = metaphone_key
+    else:
+        raise ValueError(f"unknown recognizer {recognizer!r} (stem|metaphone)")
     by_vocab: Dict[str, List[Tuple[str, str]]] = {}
     for e in entries:
         by_vocab.setdefault(e["vocab"], []).append((e["concept_uri"], e["label"]))
-    return {vocab: PhraseMatcher(pairs) for vocab, pairs in by_vocab.items()}
+    return {
+        vocab: PhraseMatcher(pairs, key_fn=key_fn)
+        for vocab, pairs in by_vocab.items()
+    }
 
 
 def thesaurus_triples(entries: Sequence[Dict]) -> List[Tuple[str, str, str, str]]:
