@@ -64,6 +64,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         "auto-sniffed); default is the deterministic "
                         "hash-vector fixture")
     p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--categories", default=None,
+                   help="DBpedia categories SKOS graph (Turtle) unioned "
+                        "verbatim into the output graph, like the "
+                        "reference's dbpedia_categories_lang_en_skos.ttl "
+                        "load (generator/__init__.py:158)")
     p.add_argument("--thesaurus", action="append", default=[],
                    metavar="VOCAB=PATH[,plain]",
                    help="load a SKOS RDF/XML thesaurus for VOCAB (repeat "
@@ -144,6 +149,12 @@ def main(argv=None) -> int:
     )
 
     thesaurus_kwargs = {}
+    if args.categories:
+        from claimskg_generator_spark.sources.turtle import parse_turtle_file
+
+        thesaurus_kwargs["category_triples"] = parse_turtle_file(
+            args.categories
+        )
     if args.thesaurus:
         from claimskg_generator_spark.sources.skos_xml import (
             entries_from_skos_xml,

@@ -19,7 +19,7 @@ import hashlib
 import json
 import time
 from dataclasses import dataclass, field
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Optional, Sequence, Tuple
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -103,6 +103,11 @@ class PipelineConfig:
     # skosthesaurusmatcher.py:68) or "metaphone"
     # (InterDoubleMetaphoneConceptRecognizer, SURVEY §2 P19)
     recognizer: str = "stem"
+    # DBpedia categories SKOS graph unioned verbatim into the output
+    # (S4; reference generator/__init__.py:158 graph.load of
+    # dbpedia_categories_lang_en_skos.ttl) — (subj, pred, obj, okind)
+    # rows from sources/turtle.py, CLI --categories
+    category_triples: Sequence[Tuple[str, str, str, str]] = ()
 
 
 class ClaimsKGPipeline:
@@ -171,7 +176,8 @@ class ClaimsKGPipeline:
 
         fixed = self.spark.createDataFrame(
             static_triples(cfg.model_uri, cfg.generated_at)
-            + thesaurus_triples(cfg.thesaurus_entries),
+            + thesaurus_triples(cfg.thesaurus_entries)
+            + list(cfg.category_triples),
             TRIPLE_DDL,
         )
         # three corpus branches total:
