@@ -658,15 +658,17 @@ def _reconcile_scored(views: DataFrame, theta: float,
         if sample_fraction is not None:
             pairs = pairs.sample(fraction=sample_fraction, seed=seed or 0)
 
-    # re-attach the scoring arrays to the (pruned) candidates by ord
-    arr_cols = ["keywords", "links", "entities", "categories"]
-    if use_embeddings:
-        arr_cols += ["vec_full", "vec_first"]
-    arrs = views.select("ord", *arr_cols)
+    # re-attach ONLY the entities arrays first: the overlap prune and the
+    # first-non-pruned pair dedup below need just them, and the dedup is a
+    # window SHUFFLE on (cw_uri_a, cw_uri_b) — keeping the keyword/link/
+    # category payloads off that exchange keeps it a slim pair stream; the
+    # remaining scoring arrays attach after the dedup, touching only
+    # surviving pairs
+    ents = views.select("ord", "entities")
     pairs = pairs.join(
-        arrs.select([F.col(c).alias(c + "_a") for c in arrs.columns]), "ord_a"
+        ents.select([F.col(c).alias(c + "_a") for c in ents.columns]), "ord_a"
     ).join(
-        arrs.select([F.col(c).alias(c + "_b") for c in arrs.columns]), "ord_b"
+        ents.select([F.col(c).alias(c + "_b") for c in ents.columns]), "ord_b"
     )
 
     # entity-overlap prune (both non-empty, soft overlap <= 1e-5)
@@ -691,6 +693,17 @@ def _reconcile_scored(views: DataFrame, theta: float,
         pairs.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .drop("rn")
+    )
+
+    # survivors only: attach the remaining scoring arrays
+    arr_cols = ["keywords", "links", "categories"]
+    if use_embeddings:
+        arr_cols += ["vec_full", "vec_first"]
+    arrs = views.select("ord", *arr_cols)
+    pairs = pairs.join(
+        arrs.select([F.col(c).alias(c + "_a") for c in arrs.columns]), "ord_a"
+    ).join(
+        arrs.select([F.col(c).alias(c + "_b") for c in arrs.columns]), "ord_b"
     )
 
     if use_embeddings:
