@@ -35,7 +35,13 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--output", required=True, help="triple table output path")
     p.add_argument("--format", default="parquet",
                    choices=["parquet", "ntriples", "turtle", "xml",
-                            "json-ld", "n3"])
+                            "json-ld", "n3", "snapshot"])
+    p.add_argument("--snapshot-mode", default="append",
+                   choices=["append", "overwrite"],
+                   help="with --format snapshot: append commits a new "
+                        "snapshot on top of the table at --output "
+                        "(incremental corpus loads), overwrite starts a "
+                        "new file set; prior snapshots stay readable by id")
     p.add_argument("--model-uri", default=DEFAULT_MODEL_URI)
     p.add_argument("--threshold", type=float, default=0.3)
     p.add_argument("--recognizer", default="stem",
@@ -199,7 +205,19 @@ def main(argv=None) -> int:
         input_df = spark.read.parquet(args.input)
 
     triples = pipe.run(input_df)
-    if args.format == "parquet":
+    if args.format == "snapshot":
+        from claimskg_generator_spark.sources.snapshot_table import (
+            SnapshotTable,
+        )
+
+        df = triples
+        if args.output_partitions:
+            df = df.repartitionByRange(args.output_partitions, "subj")
+        table = SnapshotTable(spark, args.output, stat_cols=["pred", "subj"])
+        sid = (table.append(df) if args.snapshot_mode == "append"
+               else table.overwrite(df))
+        print(f"committed snapshot {sid} to {args.output}")
+    elif args.format == "parquet":
         pipe.write_triples(triples, args.output, args.output_partitions,
                            args.pred_buckets)
     elif args.format in ("turtle", "n3"):
