@@ -98,8 +98,20 @@ def main():
             row.append([f"{s}:{e}" for _c, _mt, s, e in matches])
         kw_dim.append(row)
 
+    # 5. q31: distinct-keyword Double Metaphone concept matches — the
+    # driver-side twin of the metaphone-recognizer matching UDF (same
+    # keyword universe as kw_dim; concept/begin/end per vocab in
+    # thesoz-then-unesco order, mirroring the query's concat+explode)
+    mmatchers = build_matchers(THESAURUS_ENTRIES, recognizer="metaphone")
+    q31 = []
+    for kw in sorted(keywords):
+        for vocab in ("thesoz", "unesco"):
+            for c, _mt, s, e in mmatchers[vocab].find_keyword_matches(kw):
+                q31.append([kw, c, s, e])
+
     out = {"n": N, "seed": SEED, "theta": THETA,
-           "q21": q21, "q23": q23, "q20": q20, "kw_dim": kw_dim}
+           "q21": q21, "q23": q23, "q20": q20, "kw_dim": kw_dim,
+           "q31": q31}
     with open(os.path.join(GOLDEN_DIR, "driver_goldens.json"), "w") as f:
         json.dump(out, f, indent=0)
     print(f"q21 families={len(q21)} q23 pairs={len(q23)} q20 rows={len(q20)} "
