@@ -97,6 +97,9 @@ BENCH_QUERIES = [
     # IVF with one Lloyd refinement pass (q27 is the deterministic
     # value-oracled twin; this is the trained-centroid scale path)
     "q30_ivf_trained",
+    # iterative large-star/small-star connected components (pair->group
+    # resolution); times per-round overhead of the iterative operator
+    "q33_connected_components",
 ]
 
 # The 13-query round-2 headline set: its subtotal is reported alongside the

@@ -1,0 +1,156 @@
+"""Distributed connected components (alternating large-star / small-star).
+
+The near-dup operators (dedup.py MinHash/SimHash/n-gram, similarity.py
+cosine LSH) emit PAIRS; turning pairs into dedup GROUPS — "keep one
+representative per duplicate cluster", the step every training-data
+pipeline runs after candidate verification — is a connected-components
+problem.  The reference has no analog (its reconciler emits owl:sameAs
+pairs and stops, reconciler/__init__.py:126-147); this operator closes
+that gap Spark-first.
+
+Algorithm: alternating large-star / small-star from the published
+MapReduce connected-components literature (Kiveris et al., "Connected
+Components in MapReduce and Beyond", SoCC'14) — O(log^2 n) rounds on any
+graph, each round two groupBy+join passes over the edge set:
+
+- large-star(u): every neighbor v > u re-attaches to m = min(N(u) + {u})
+- small-star(u): every neighbor v <= u re-attaches to m = min(N-(u) + {u})
+
+Both steps strictly never increase the component-internal edge span and
+converge to star graphs whose centers are the component minima.  Unlike
+naive min-label propagation (rounds = graph diameter — a 10^6-long chain
+of near-dup docs needs 10^6 rounds), star rounds collapse chains
+logarithmically.
+
+Scale posture:
+- No collect_list: each star is groupBy(min) + a same-key join, so a hub
+  node (a template document duplicated 10^8 times) never materializes
+  its neighborhood in one task; AQE handles the skewed join.
+- Lineage is truncated every round (localCheckpoint) — iterative plans
+  otherwise grow exponentially in the optimizer.  For production
+  cluster runs, set a reliable checkpoint dir and swap to checkpoint().
+- Convergence test is a one-pass (count, xxhash64-xor) signature of the
+  canonicalized edge set — no exceptAll anti-join per round.
+"""
+
+from typing import Optional, Tuple
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+class ComponentsDidNotConverge(RuntimeError):
+    pass
+
+
+def _sym(edges: DataFrame) -> DataFrame:
+    """Symmetrize and drop self loops; columns (u, v)."""
+    return (
+        edges.select("u", "v")
+        .union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """(v, m) for every neighbor v > u, m = min(N(u) + {u})."""
+    sym = _sym(edges)
+    mins = sym.groupBy("u").agg(F.min("v").alias("mv"))
+    mins = mins.select("u", F.least("u", "mv").alias("m"))
+    return (
+        sym.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Orient each edge from its larger endpoint; every smaller neighbor
+    (and u itself) re-attaches to the minimum of that set."""
+    directed = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).where(F.col("u") != F.col("v")).distinct()
+    mins = directed.groupBy("u").agg(F.min("v").alias("m"))
+    re_lo = (
+        directed.join(mins, "u")
+        .where(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    re_hi = mins.select(F.col("u"), F.col("m").alias("v"))
+    return re_lo.union(re_hi).where(F.col("u") != F.col("v")).distinct()
+
+
+def _signature(edges: DataFrame) -> Tuple[int, int]:
+    """(count, hash-sum) of the canonicalized edge set — a one-pass
+    convergence probe.  A hash-sum collision on UNEQUAL consecutive edge
+    sets would stop one round early; with xxhash64 over the canonical
+    pairs that is a ~2^-64 event per round, and the result would still be
+    a valid partial contraction caught by the verify tests."""
+    row = (
+        edges.select(F.greatest("u", "v").alias("a"),
+                     F.least("u", "v").alias("b"))
+        .distinct()
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            # bit_xor: order-independent and overflow-free under ANSI
+            # mode (a sum of hashes overflows long); the edge set is
+            # distinct'd, so XOR cancellation of repeated rows cannot
+            # occur
+            F.coalesce(
+                F.bit_xor(F.xxhash64(F.col("a").cast("string"),
+                                     F.col("b").cast("string"))),
+                F.lit(0),
+            ).alias("h"),
+        )
+        .collect()[0]
+    )
+    return int(row["n"]), int(row["h"])
+
+
+def connected_components(edges: DataFrame, src: str = "src",
+                         dst: str = "dst", max_iter: int = 50,
+                         truncate_lineage: bool = True) -> DataFrame:
+    """(node, component) for every node appearing in ``edges``;
+    ``component`` is the minimum node id of the connected component.
+
+    ``edges`` is undirected input; node ids may be any orderable type
+    (long, string).  Singleton nodes never appear in an edge list —
+    union them in afterwards if the caller tracks a node universe.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    e = e.where(F.col("u") != F.col("v"))
+    if truncate_lineage:
+        e = e.localCheckpoint(eager=True)
+    prev: Optional[Tuple[int, int]] = None
+    for _ in range(max_iter):
+        e = _small_star(_large_star(e))
+        if truncate_lineage:
+            e = e.localCheckpoint(eager=True)
+        sig = _signature(e)
+        if sig == prev:
+            break
+        prev = sig
+    else:
+        raise ComponentsDidNotConverge(
+            f"no convergence in {max_iter} star rounds")
+    # converged edge set is a star forest: (node -> root); add the roots
+    members = e.select(F.greatest("u", "v").alias("node"),
+                       F.least("u", "v").alias("component"))
+    roots = members.select(
+        F.col("component").alias("node"), F.col("component")
+    ).distinct()
+    return members.union(roots).distinct()
+
+
+def dedup_groups(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
+                 max_iter: int = 50) -> DataFrame:
+    """Duplicate-pair resolution: (id, canonical_id) with canonical_id =
+    the minimum id of the duplicate cluster.  Feed it the accepted pairs
+    of any near-dup operator; rows with id == canonical_id are the
+    representatives to KEEP."""
+    comp = connected_components(pairs, src=id_a, dst=id_b, max_iter=max_iter)
+    return comp.select(F.col("node").alias("id"),
+                       F.col("component").alias("canonical_id"))

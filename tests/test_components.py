@@ -1,0 +1,113 @@
+"""Connected components / dedup groups vs a pure-Python union-find twin.
+
+The operator is the group-resolution stage downstream of every near-dup
+pair emitter (dedup.py, similarity.py); the reference stops at pairs
+(reconciler/__init__.py:126-147), so correctness is pinned against
+union-find, the textbook sequential algorithm.
+"""
+
+import random
+
+import pytest
+
+from claimskg_generator_spark.operators.components import (
+    ComponentsDidNotConverge,
+    connected_components,
+    dedup_groups,
+)
+
+
+def union_find(edges):
+    """node -> min-of-component via sequential union-find."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        if a == b:
+            continue  # operator semantics: self loops dropped entirely
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def _run(spark, edges, **kw):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {(r["node"], r["component"])
+           for r in connected_components(df, **kw).collect()}
+    want = set(union_find(edges).items())
+    assert got == want
+
+
+def test_chain_star_clique_and_selfloop(spark):
+    edges = (
+        [(i, i + 1) for i in range(10, 20)]        # chain
+        + [(100, v) for v in range(101, 106)]      # star (hub = min)
+        + [(a, b) for a in range(200, 204) for b in range(a + 1, 204)]
+        + [(300, 300)]                             # self loop: dropped
+        + [(7, 3)]                                 # reversed order pair
+    )
+    _run(spark, edges)
+
+
+def test_min_hidden_behind_larger_nodes(spark):
+    # component min reachable only through the largest node
+    _run(spark, [(50, 40), (40, 60), (60, 1)])
+
+
+def test_random_graphs_match_union_find(spark):
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 300
+        edges = [(rng.randrange(n), rng.randrange(n))
+                 for _ in range(n // 2)]  # sparse: many components
+        edges = [e for e in edges if e[0] != e[1]]
+        _run(spark, edges)
+
+
+def test_long_chain_converges_in_log_rounds(spark):
+    # a 600-node path: naive min-propagation needs ~600 rounds; star
+    # rounds must land well inside max_iter=15
+    edges = [(i, i + 1) for i in range(600)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = connected_components(df, max_iter=15)
+    assert got.where("component != 0").count() == 0
+    assert got.count() == 601
+
+
+def test_string_node_ids(spark):
+    edges = [("doc-b", "doc-a"), ("doc-b", "doc-c"), ("x", "y")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {(r["node"], r["component"])
+           for r in connected_components(df).collect()}
+    assert got == {("doc-a", "doc-a"), ("doc-b", "doc-a"),
+                   ("doc-c", "doc-a"), ("x", "x"), ("y", "x")}
+
+
+def test_max_iter_zero_raises(spark):
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ComponentsDidNotConverge):
+        connected_components(df, max_iter=0)
+
+
+def test_dedup_groups_representatives(spark):
+    """Near-dup pairs -> keep-set: one representative (min id) per
+    cluster, all other members map to it."""
+    pairs = spark.createDataFrame(
+        [(5, 3), (3, 9), (20, 21)], "id_a long, id_b long")
+    got = {(r["id"], r["canonical_id"])
+           for r in dedup_groups(pairs).collect()}
+    assert got == {(3, 3), (5, 3), (9, 3), (20, 20), (21, 20)}
+    keep = {i for i, c in got if i == c}
+    assert keep == {3, 20}
+
+
+def test_empty_edges(spark):
+    df = spark.createDataFrame([], "src long, dst long")
+    assert connected_components(df).count() == 0
