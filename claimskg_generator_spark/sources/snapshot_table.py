@@ -101,26 +101,37 @@ def _collect_file_stats(spark: SparkSession, files: Sequence[str],
         md = pq.ParquetFile(path).metadata
         stats: Dict[str, List] = {}
         names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        nulls: Dict[str, int] = {}
         for col in stat_cols:
             ci = names.get(col)
             if ci is None:
                 continue
             lo = hi = None
+            nc = 0
             for rg in range(md.num_row_groups):
                 s = md.row_group(rg).column(ci).statistics
                 if s is None or not s.has_min_max:
                     lo = hi = None
+                    nc = None
                     break
                 lo = s.min if lo is None else min(lo, s.min)
                 hi = s.max if hi is None else max(hi, s.max)
+                nc = None if (nc is None or s.null_count is None) \
+                    else nc + s.null_count
             lo, hi = _json_stat(lo), _json_stat(hi)
             if lo is not None and hi is not None:
                 stats[col] = [lo, hi]
+                if nc is not None:
+                    # null count enables manifest-only deletes: min/max
+                    # alone cannot prove "every row matches" when the
+                    # file may hold nulls (NULL matches no comparison)
+                    nulls[col] = nc
         out.append({
             "path": path,
             "rows": md.num_rows,
             "bytes": os.path.getsize(path),
             "stats": stats,
+            "nulls": nulls,
         })
     return out
 
@@ -185,9 +196,18 @@ class SnapshotTable:
 
     def _commit(self, new_files: List[Dict], operation: str,
                 schema: List[Tuple[str, str]],
-                retries: int = 5) -> int:
+                retries: int = 5,
+                require_parent: Optional[int] = None) -> int:
         for _ in range(retries):
             parent = self.current_snapshot_id()
+            if require_parent is not None and parent != require_parent:
+                # delete/compact computed their file list FROM a specific
+                # base snapshot; replaying it onto a different parent
+                # would silently drop that parent's changes.  Surface the
+                # conflict — the caller re-reads and retries the whole op.
+                raise CommitConflict(
+                    f"table advanced to snapshot {parent} while "
+                    f"{operation} was computed against {require_parent}")
             sid = (parent or 0) + 1
             if parent is not None:
                 pm = self.manifest(parent)
@@ -240,6 +260,162 @@ class SnapshotTable:
         """Commit a new snapshot containing ONLY df's files (the old
         snapshot stays readable by id — time travel, not deletion)."""
         return self._snapshot(df, "overwrite")
+
+    # ---- delete / compact (manifest rewrites) ----
+
+    @staticmethod
+    def _delete_class(f: Dict, where: Tuple[str, str, object]) -> str:
+        """Classify a file against a delete predicate from manifest stats:
+        'none' (provably no row matches — keep untouched), 'all' (provably
+        every row matches — drop by manifest edit alone, no data rewrite),
+        or 'some' (copy-on-write rewrite).  'all' additionally requires a
+        recorded null count of 0: min/max ignore nulls and a NULL matches
+        no comparison, so a file with nulls can never be whole-dropped."""
+        col, op, lit = where
+        rng = f.get("stats", {}).get(col)
+        if rng is None:
+            return "some"
+        lo, hi = rng
+        any_match = {
+            "=": lo <= lit <= hi,
+            "<": lo < lit,
+            "<=": lo <= lit,
+            ">": hi > lit,
+            ">=": hi >= lit,
+        }[op]
+        if not any_match:
+            return "none"
+        all_match = {
+            "=": lo == lit and hi == lit,
+            "<": hi < lit,
+            "<=": hi <= lit,
+            ">": lo > lit,
+            ">=": lo >= lit,
+        }[op]
+        if all_match and f.get("nulls", {}).get(col) == 0:
+            return "all"
+        return "some"
+
+    def delete(self, where: Tuple[str, str, object]) -> int:
+        """Delete all rows matching ``(col, op, literal)`` and commit the
+        result as a new snapshot (parents stay time-travelable).
+
+        Iceberg-style file-granularity delete: files whose stats prove no
+        match survive untouched; files whose stats prove every row matches
+        are dropped by pure manifest edit; only genuinely mixed files are
+        rewritten (read -> anti-filter -> write).  NULL never matches a
+        comparison, so NULL rows are always retained."""
+        col, op, lit = where
+        if op not in ("=", "<", "<=", ">", ">="):
+            raise SnapshotTableError(f"unsupported delete predicate op {op!r}")
+        base = self.current_snapshot_id()
+        m = self.manifest(base)
+        kept, rewrite = [], []
+        for f in m["files"]:
+            cls = self._delete_class(f, where)
+            if cls == "none":
+                kept.append(f)
+            elif cls == "some":
+                rewrite.append(f)
+            # 'all': dropped — manifest-only
+        entries: List[Dict] = []
+        if rewrite:
+            from pyspark.sql import functions as F
+
+            c = F.col(col)
+            cond = {"=": c == lit, "<": c < lit, "<=": c <= lit,
+                    ">": c > lit, ">=": c >= lit}[op]
+            survivors = (
+                self.spark.read.parquet(*[f["path"] for f in rewrite])
+                .where(c.isNull() | ~cond)
+            )
+            new_files = self._write_data_files(survivors, (base or 0) + 1)
+            entries = [e for e in _collect_file_stats(
+                self.spark, new_files, self.stat_cols) if e["rows"] > 0]
+        schema = [tuple(cc) for cc in m["schema"]]
+        return self._commit(kept + entries, "delete", schema,
+                            require_parent=base)
+
+    def compact(self, target_file_bytes: int = 128 << 20) -> int:
+        """Bin-pack files smaller than ``target_file_bytes`` into
+        ~target-sized files and commit as a new snapshot with identical
+        logical contents (row-count conservation is asserted).  Files
+        already at or above the target are left untouched, so repeated
+        compaction is idempotent.  Returns the new snapshot id, or the
+        current one unchanged when fewer than two files qualify."""
+        base = self.current_snapshot_id()
+        m = self.manifest(base)
+        small = [f for f in m["files"] if f["bytes"] < target_file_bytes]
+        if len(small) < 2:
+            return base
+        big = [f for f in m["files"] if f["bytes"] >= target_file_bytes]
+        n_out = max(1, -(-sum(f["bytes"] for f in small) // target_file_bytes))
+        df = self.spark.read.parquet(*[f["path"] for f in small])
+        new_files = self._write_data_files(df.repartition(n_out),
+                                           (base or 0) + 1)
+        entries = [e for e in _collect_file_stats(
+            self.spark, new_files, self.stat_cols) if e["rows"] > 0]
+        want = sum(f["rows"] for f in small)
+        got = sum(e["rows"] for e in entries)
+        if got != want:
+            # abort BEFORE the manifest commit: the table is untouched and
+            # the orphaned rewrite files are reclaimed by vacuum()
+            raise SnapshotTableError(
+                f"compaction row mismatch: rewrote {got} of {want} rows")
+        schema = [tuple(cc) for cc in m["schema"]]
+        return self._commit(big + entries, "compact", schema,
+                            require_parent=base)
+
+    # ---- snapshot expiry + garbage collection ----
+
+    def expire_snapshots(self, keep_last: int = 1) -> List[int]:
+        """Drop the manifests of all but the newest ``keep_last``
+        snapshots (the current one is always kept).  Returns the expired
+        ids.  Data files shared with retained snapshots remain referenced;
+        files referenced ONLY by expired snapshots become orphans that
+        ``vacuum()`` reclaims."""
+        if keep_last < 1:
+            raise SnapshotTableError("keep_last must be >= 1")
+        ids = sorted(s["snapshot_id"] for s in self.snapshots())
+        cur = self.current_snapshot_id()
+        expired = [i for i in ids[:-keep_last] if i != cur]
+        for sid in expired:
+            os.remove(_manifest_path(self.table_dir, sid))
+        return expired
+
+    def vacuum(self) -> List[str]:
+        """Remove data files not referenced by ANY remaining manifest —
+        failed-commit leftovers, files dropped by delete/compact rewrites
+        whose snapshots have been expired, and writer-side _SUCCESS
+        markers in otherwise-unreferenced directories.  Never touches a
+        file any retained snapshot lists, so time travel over retained
+        history is preserved.  Returns the removed paths."""
+        referenced = set()
+        for s in self.snapshots():
+            for f in self.manifest(s["snapshot_id"])["files"]:
+                referenced.add(os.path.realpath(f["path"]))
+        data_root = os.path.realpath(os.path.join(self.table_dir, _DATA_DIR))
+        removed = []
+        for dirpath, _dirnames, filenames in os.walk(data_root,
+                                                     topdown=False):
+            for name in filenames:
+                path = os.path.join(dirpath, name)
+                real = os.path.realpath(path)
+                if not real.startswith(data_root + os.sep):
+                    continue
+                keep = (real in referenced
+                        or (not name.endswith(".parquet")
+                            and any(r.startswith(dirpath + os.sep)
+                                    for r in referenced)))
+                if not keep:
+                    os.remove(path)
+                    removed.append(path)
+            if dirpath != data_root:
+                try:
+                    os.rmdir(dirpath)  # only succeeds when fully emptied
+                except OSError:
+                    pass
+        return sorted(removed)
 
     # ---- reads ----
 
@@ -297,3 +473,79 @@ class SnapshotTable:
             "kept_rows": sum(f["rows"] for f in kept),
             "kept_bytes": sum(f["bytes"] for f in kept),
         }
+
+
+def _parse_literal(raw: str):
+    """Admin-CLI literal: int, then float, else string."""
+    for cast in (int, float):
+        try:
+            return cast(raw)
+        except ValueError:
+            pass
+    return raw
+
+
+def main(argv: Optional[Sequence[str]] = None) -> int:
+    """Table-maintenance admin surface:
+
+        python -m claimskg_generator_spark.sources.snapshot_table TABLE_DIR \
+            {snapshots | delete COL OP LIT | compact [--target-bytes N] |
+             expire [--keep-last N] | vacuum}
+
+    delete/compact start a local Spark session; snapshots/expire/vacuum are
+    pure-metadata and touch no JVM.
+    """
+    import argparse
+
+    p = argparse.ArgumentParser(prog="snapshot_table",
+                                description="snapshot-table maintenance")
+    p.add_argument("table_dir")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    sub.add_parser("snapshots", help="list snapshot history")
+    d = sub.add_parser("delete", help="delete rows matching COL OP LITERAL")
+    d.add_argument("col")
+    d.add_argument("op", choices=["=", "<", "<=", ">", ">="])
+    d.add_argument("lit")
+    c = sub.add_parser("compact", help="bin-pack small data files")
+    c.add_argument("--target-bytes", type=int, default=128 << 20)
+    e = sub.add_parser("expire", help="drop old snapshot manifests")
+    e.add_argument("--keep-last", type=int, default=1)
+    sub.add_parser("vacuum", help="remove unreferenced data files")
+    args = p.parse_args(argv)
+
+    spark = None
+    if args.cmd in ("delete", "compact"):
+        from pyspark.sql import SparkSession
+
+        spark = (SparkSession.builder.master(
+            os.environ.get("SPARK_GRAFT_MASTER", "local[4]"))
+            .appName("snapshot-admin").getOrCreate())
+    t = SnapshotTable(spark, args.table_dir)
+    # maintenance must preserve the table's OWN stat columns, not this
+    # instance's default: rewrites re-harvest stats for the same cols
+    try:
+        t.stat_cols = list(t.manifest().get("stat_cols", []))
+    except SnapshotTableError:
+        pass
+    if args.cmd == "snapshots":
+        for s in t.snapshots():
+            print(json.dumps(s))
+    elif args.cmd == "delete":
+        sid = t.delete((args.col, args.op, _parse_literal(args.lit)))
+        print(f"committed delete snapshot {sid}")
+    elif args.cmd == "compact":
+        sid = t.compact(target_file_bytes=args.target_bytes)
+        print(f"compacted into snapshot {sid}")
+    elif args.cmd == "expire":
+        expired = t.expire_snapshots(keep_last=args.keep_last)
+        print(f"expired snapshots: {expired}")
+    elif args.cmd == "vacuum":
+        removed = t.vacuum()
+        print(f"removed {len(removed)} unreferenced files")
+    if spark is not None:
+        spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -155,3 +155,113 @@ def test_triples_pipeline_into_snapshot_table(spark, tmp_path):
     # predicate skipping works over the pred stat column
     st = t.scan_stats(where=("pred", "=", "http://nonexistent/pred"))
     assert st["kept_files"] < st["total_files"] or st["kept_files"] == 0
+
+
+def test_delete_manifest_only_drops_whole_file(spark, tmp_path):
+    """A file whose stats prove every row matches is dropped by manifest
+    edit alone: the surviving entries keep their ORIGINAL paths."""
+    t = SnapshotTable(spark, str(tmp_path / "t"), stat_cols=["doc_id"])
+    t.append(_docs(spark, 0, 100).coalesce(1))
+    t.append(_docs(spark, 100, 200).coalesce(1))
+    t.append(_docs(spark, 200, 300).coalesce(1))
+    before = {f["path"] for f in t.manifest()["files"]}
+    sid = t.delete(("doc_id", "<", 100))
+    m = t.manifest(sid)
+    assert m["operation"] == "delete"
+    after = {f["path"] for f in m["files"]}
+    assert len(after) == 2 and after < before  # pure subset: no rewrite
+    assert {r["doc_id"] for r in t.read().collect()} == set(range(100, 300))
+    # parents stay time-travelable
+    assert t.read(snapshot_id=3).count() == 300
+
+
+def test_delete_copy_on_write_for_mixed_files(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"), stat_cols=["doc_id"])
+    t.append(_docs(spark, 0, 100).coalesce(1))
+    t.append(_docs(spark, 100, 200).coalesce(1))
+    untouched = {f["path"] for f in t.manifest(1)["files"]}
+    t.delete(("doc_id", ">=", 150))  # splits the second file
+    m = t.manifest()
+    paths = {f["path"] for f in m["files"]}
+    assert untouched < paths  # 'none' file kept by path
+    assert {r["doc_id"] for r in t.read().collect()} == set(range(150))
+
+
+def test_delete_never_removes_null_rows(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"), stat_cols=["v"])
+    df = spark.createDataFrame([(1,), (5,), (None,)], "v int")
+    t.append(df.coalesce(1))
+    # range [1,5] is fully inside v <= 10, but the file holds a NULL:
+    # manifest-only drop must be refused and the NULL row retained
+    t.delete(("v", "<=", 10))
+    got = [r["v"] for r in t.read().collect()]
+    assert got == [None]
+
+
+def test_delete_without_stats_rewrites_everything(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))  # no stat cols
+    t.append(_docs(spark, 0, 100))
+    t.delete(("doc_id", "=", 7))
+    got = {r["doc_id"] for r in t.read().collect()}
+    assert got == set(range(100)) - {7}
+
+
+def test_delete_pinned_commit_conflict(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(_docs(spark, 0, 10))
+    with pytest.raises(CommitConflict, match="advanced"):
+        t._commit([], "delete", [("doc_id", "bigint"), ("fp", "string")],
+                  require_parent=999)
+
+
+def test_compact_binpacks_small_files(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"), stat_cols=["doc_id"])
+    t.append(_docs(spark, 0, 500).repartition(8))
+    t.append(_docs(spark, 500, 600).repartition(4))
+    assert len(t.manifest()["files"]) == 12
+    sid = t.compact(target_file_bytes=1 << 30)
+    m = t.manifest(sid)
+    assert m["operation"] == "compact"
+    assert len(m["files"]) == 1
+    assert {r["doc_id"] for r in t.read().collect()} == set(range(600))
+    # idempotent: the lone file now exceeds nothing -> no-op, same id
+    assert t.compact(target_file_bytes=1 << 30) == sid
+
+
+def test_compact_leaves_large_files_alone(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"), stat_cols=["doc_id"])
+    t.append(_docs(spark, 0, 100).coalesce(1))
+    t.append(_docs(spark, 100, 120).repartition(4))
+    big = {f["path"] for f in t.manifest(1)["files"]}
+    t.compact(target_file_bytes=2000)  # the 100-row file is ~3-4 KB
+    paths = {f["path"] for f in t.manifest()["files"]}
+    assert big < paths
+    assert t.read().count() == 120
+
+
+def test_expire_and_vacuum_reclaim_orphans(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"), stat_cols=["doc_id"])
+    t.append(_docs(spark, 0, 100).coalesce(1))
+    t.overwrite(_docs(spark, 100, 110).coalesce(1))
+    # a crashed writer's orphan directory
+    orphan = os.path.join(str(tmp_path / "t"), "data", "9999999999-dead")
+    _docs(spark, 0, 5).write.parquet(orphan)
+    # both snapshots retained: vacuum removes ONLY the crashed writer's files
+    removed = t.vacuum()
+    assert removed and all("9999999999-dead" in p for p in removed)
+    assert t.read(snapshot_id=1).count() == 100
+    expired = t.expire_snapshots(keep_last=1)
+    assert expired == [1]
+    removed = t.vacuum()
+    assert removed  # snapshot 1's data files are now orphans
+    assert t.read().count() == 10  # current unaffected
+    with pytest.raises(SnapshotTableError, match="no snapshot 1"):
+        t.read(snapshot_id=1)
+
+
+def test_expire_keep_last_validation(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(_docs(spark, 0, 5))
+    with pytest.raises(SnapshotTableError, match="keep_last"):
+        t.expire_snapshots(keep_last=0)
+    assert t.expire_snapshots(keep_last=5) == []
