@@ -51,6 +51,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         "code (reference InterDoubleMetaphone recognizer)")
     p.add_argument("--include-body", action="store_true")
     p.add_argument("--align-duplicated", action="store_true")
+    p.add_argument("--sameas-canonical", action="store_true",
+                   help="rewrite pairwise owl:sameAs edges (reconcile + "
+                        "align families) into star form: each equivalence-"
+                        "class member points at the class's minimum URI "
+                        "(connected-components closure; no OWL reasoner "
+                        "needed downstream)")
     p.add_argument("--reconcile", type=float, default=-1.0,
                    help="reconciliation theta; <=0 disables (reference default)")
     p.add_argument("--sample", type=float, default=None,
@@ -180,6 +186,7 @@ def main(argv=None) -> int:
         recognizer=args.recognizer,
         include_body=args.include_body,
         align_duplicated=args.align_duplicated,
+        sameas_canonical=args.sameas_canonical,
         reconcile_theta=args.reconcile,
         reconcile_sample=args.sample,
         reconcile_samples=args.samples,

@@ -154,3 +154,34 @@ def dedup_groups(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
     comp = connected_components(pairs, src=id_a, dst=id_b, max_iter=max_iter)
     return comp.select(F.col("node").alias("id"),
                        F.col("component").alias("canonical_id"))
+
+
+def canonicalize_sameas(triples: DataFrame,
+                        max_iter: int = 50) -> DataFrame:
+    """Rewrite the graph's pairwise ``owl:sameAs`` edges into star form:
+    every member of an equivalence class points at the class's canonical
+    representative (its minimum URI), and transitive chains collapse.
+
+    The reference emits raw pairwise sameAs edges (its reconciler output,
+    reconciler/__init__.py:126-147) and leaves closure to a downstream OWL
+    reasoner; consumers without one (SPARQL-over-parquet, plain joins)
+    need the materialized canonical mapping.  Semantically equivalent
+    under owl:sameAs symmetry+transitivity; edge count never increases
+    (a star is the minimum spanning form of a clique's closure)."""
+    from claimskg_generator_spark.constants.namespaces import NS
+
+    is_same = F.col("pred") == NS.OWL_SAME_AS
+    rest = triples.where(~is_same)
+    edges = triples.where(is_same).select("subj", "obj")
+    star = (
+        connected_components(edges, src="subj", dst="obj",
+                             max_iter=max_iter)
+        .where(F.col("node") != F.col("component"))
+        .select(
+            F.col("node").alias("subj"),
+            F.lit(NS.OWL_SAME_AS).alias("pred"),
+            F.col("component").alias("obj"),
+            F.lit("uri").alias("okind"),
+        )
+    )
+    return rest.unionByName(star)

@@ -98,6 +98,11 @@ class PipelineConfig:
     # wide-row corpora where the dup keyspace is broadcastable; here it
     # is not the bottleneck.
     dedup_strategy: str = "wide"
+    # rewrite pairwise owl:sameAs edges (reconcile + align families) into
+    # star form: every equivalence-class member points at the class's
+    # minimum URI (operators/components.py canonicalize_sameas).  The
+    # reference leaves sameAs closure to a downstream OWL reasoner.
+    sameas_canonical: bool = False
     # thesaurus unigram key: "stem" (reference default — the only
     # recognizer the reference generator constructs,
     # skosthesaurusmatcher.py:68) or "metaphone"
@@ -247,6 +252,14 @@ class ClaimsKGPipeline:
             deduped = two_phase_distinct(out, dedup_cols)
         else:
             deduped = out.dropDuplicates(dedup_cols)
+        if self.config.sameas_canonical:
+            from claimskg_generator_spark.operators.components import (
+                canonicalize_sameas,
+            )
+
+            # iterative star rounds run driver-side actions; the flag is
+            # part of _config_blob, so checkpoint identity tracks it
+            deduped = canonicalize_sameas(deduped)
         # Derive the token from the parsed-stage token, NOT the triples plan:
         # plans holding pandas UDFs don't hash stably across instances, and
         # triples are a pure function of (parsed data, config, code) anyway.

@@ -111,3 +111,40 @@ def test_dedup_groups_representatives(spark):
 def test_empty_edges(spark):
     df = spark.createDataFrame([], "src long, dst long")
     assert connected_components(df).count() == 0
+
+
+def test_canonicalize_sameas_star_form(spark):
+    """Pipeline --sameas-canonical: non-sameAs triples unchanged; the
+    sameAs edge set becomes the star closure (member -> class-min URI)
+    of the pairwise edges the default pipeline emits."""
+    from claimskg_generator_spark.constants.namespaces import NS
+    from claimskg_generator_spark.plans.pipeline import (
+        ClaimsKGPipeline,
+        PipelineConfig,
+    )
+    from claimskg_generator_spark.sources.synth import synthesize_corpus
+
+    corpus = synthesize_corpus(spark, 40, seed=5)
+    base = ClaimsKGPipeline(
+        spark, PipelineConfig(align_duplicated=True, reconcile_theta=0.3)
+    ).triples(corpus)
+    canon = ClaimsKGPipeline(
+        spark, PipelineConfig(align_duplicated=True, reconcile_theta=0.3,
+                              sameas_canonical=True)
+    ).triples(corpus)
+
+    is_same = f"pred = '{NS.OWL_SAME_AS}'"
+    base_rest = {tuple(r) for r in
+                 base.where(f"NOT ({is_same})").collect()}
+    canon_rest = {tuple(r) for r in
+                  canon.where(f"NOT ({is_same})").collect()}
+    assert base_rest == canon_rest
+
+    pairs = [(r["subj"], r["obj"])
+             for r in base.where(is_same).collect()]
+    assert pairs  # the corpus must actually produce sameAs edges
+    want = {(n, c) for n, c in union_find(pairs).items() if n != c}
+    got = {(r["subj"], r["obj"]) for r in canon.where(is_same).collect()}
+    assert got == want
+    # star form never grows the edge set
+    assert len(got) <= len(set(pairs))
