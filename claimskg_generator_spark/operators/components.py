@@ -33,10 +33,11 @@ Scale posture:
   canonicalized edge set — no exceptAll anti-join per round.
 """
 
-from typing import Optional, Tuple
+from typing import List, Optional, Tuple
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 
 class ComponentsDidNotConverge(RuntimeError):
@@ -53,9 +54,9 @@ def _sym(edges: DataFrame) -> DataFrame:
     )
 
 
-def _large_star(edges: DataFrame) -> DataFrame:
-    """(v, m) for every neighbor v > u, m = min(N(u) + {u})."""
-    sym = _sym(edges)
+def _large_star(sym: DataFrame) -> DataFrame:
+    """(v, m) for every neighbor v > u, m = min(N(u) + {u}).
+    ``sym`` must be symmetrized and self-loop-free (see _sym)."""
     mins = sym.groupBy("u").agg(F.min("v").alias("mv"))
     mins = mins.select("u", F.least("u", "mv").alias("m"))
     return (
@@ -67,12 +68,10 @@ def _large_star(edges: DataFrame) -> DataFrame:
     )
 
 
-def _small_star(edges: DataFrame) -> DataFrame:
-    """Orient each edge from its larger endpoint; every smaller neighbor
-    (and u itself) re-attaches to the minimum of that set."""
-    directed = edges.select(
-        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
-    ).where(F.col("u") != F.col("v")).distinct()
+def _small_star(directed: DataFrame) -> DataFrame:
+    """Every smaller neighbor (and u itself) re-attaches to the minimum
+    of u's smaller-neighbor set.  ``directed`` must already be oriented
+    large->small, self-loop-free, and distinct (see _star_round)."""
     mins = directed.groupBy("u").agg(F.min("v").alias("m"))
     re_lo = (
         directed.join(mins, "u")
@@ -81,6 +80,25 @@ def _small_star(edges: DataFrame) -> DataFrame:
     )
     re_hi = mins.select(F.col("u"), F.col("m").alias("v"))
     return re_lo.union(re_hi).where(F.col("u") != F.col("v")).distinct()
+
+
+def _star_round(e: DataFrame) -> Tuple[DataFrame, List[DataFrame]]:
+    """One large-star + small-star pass.  The symmetrized and oriented
+    edge frames each feed TWO consumers (the min aggregation and the
+    re-attach join); without persistence each consumer recomputes the
+    frame's distinct shuffle — at scale that doubles the heaviest
+    exchange of every round.  Returns (result, frames to unpersist once
+    the result is materialized)."""
+    sym = _sym(e).persist(StorageLevel.MEMORY_AND_DISK)
+    ls = _large_star(sym)
+    directed = (
+        ls.select(F.greatest("u", "v").alias("u"),
+                  F.least("u", "v").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    return _small_star(directed), [sym, directed]
 
 
 def _signature(edges: DataFrame) -> Tuple[int, int]:
@@ -126,10 +144,14 @@ def connected_components(edges: DataFrame, src: str = "src",
         e = e.localCheckpoint(eager=True)
     prev: Optional[Tuple[int, int]] = None
     for _ in range(max_iter):
-        e = _small_star(_large_star(e))
+        e, scratch = _star_round(e)
         if truncate_lineage:
             e = e.localCheckpoint(eager=True)
         sig = _signature(e)
+        for frame in scratch:
+            # the round's result is materialized (checkpoint or signature
+            # action) — the per-round caches are dead weight now
+            frame.unpersist()
         if sig == prev:
             break
         prev = sig
