@@ -98,3 +98,44 @@ def test_streaming_keyword_winners_match_batch(spark):
     }
     assert want, "corpus produced no keyword winners"
     assert got == want
+
+
+def test_streaming_exact_dedup_matches_batch(spark):
+    """The stateful survivor memo converges to the batch exact_duplicates
+    answer when the document log arrives in two out-of-order chunks."""
+    import os
+
+    from claimskg_generator_spark.operators.dedup import exact_duplicates
+    from claimskg_generator_spark.streaming.dedup_state import (
+        current_survivors,
+        streaming_exact_dedup,
+    )
+
+    base = tempfile.mkdtemp(prefix="claimskg_dedupstate_")
+    in_dir, out_dir, ck = f"{base}/in", f"{base}/out", f"{base}/ck"
+    os.makedirs(in_dir)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    schema = docs.schema
+    # DESCENDING halves: the true survivor (min doc_id) of many groups
+    # arrives in the SECOND chunk, exercising the state-improvement path
+    hi = docs.where("doc_id >= 25")
+    lo = docs.where("doc_id < 25")
+    hi.coalesce(1).write.mode("append").parquet(in_dir)
+    q = streaming_exact_dedup(spark, in_dir, ck, out_dir, schema)
+    q.awaitTermination(120)
+    lo.coalesce(1).write.mode("append").parquet(in_dir)
+    q2 = streaming_exact_dedup(spark, in_dir, ck, out_dir, schema)
+    q2.awaitTermination(120)
+
+    got = {(r["fingerprint"], r["survivor_id"])
+           for r in current_survivors(spark, out_dir).collect()}
+    want = {(r["fingerprint"], r["survivor_id"])
+            for r in exact_duplicates(docs)
+            .select("fingerprint", "survivor_id").distinct().collect()}
+    assert got == want
+
+    # a third availableNow run with no new files adds nothing
+    before = spark.read.parquet(out_dir).count()
+    q3 = streaming_exact_dedup(spark, in_dir, ck, out_dir, schema)
+    q3.awaitTermination(120)
+    assert spark.read.parquet(out_dir).count() == before
