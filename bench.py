@@ -33,13 +33,56 @@ def _default_scratch() -> str:
     return "/tmp"
 
 
+def _effective_task_sizing(cpus: int):
+    """(task_cpus, shuffle_partitions) for the requested slot count.
+
+    The sandbox host advertises 32 CPUs but GRANTS ~2-8 (measured; see
+    BENCH.md "Environment reality").  Running 32 concurrent tasks on a
+    ~6-core grant is pure oversubscription: the Python-UDF stages pay 32
+    worker processes' memory bandwidth + context switching for 6 cores of
+    compute (measured: q23 ~60 s at 32 concurrent tasks vs ~15 s at 8 on
+    the same session).  Real clusters size concurrency to REAL cores —
+    reproduce that here by keeping the requested slot count (the driver
+    contract pins master=local[$SPARK_GRAFT_CPUS]) and letting each task
+    claim ``spark.task.cpus`` slots so concurrent tasks ~= the measured
+    grant (floor 8 = the proven-good local[8] level).  On a dedicated
+    machine the probe returns ~cpus and this degrades to task_cpus=1.
+    Overrides: SPARK_GRAFT_TASK_CPUS, SPARK_GRAFT_SHUFFLE_PARTITIONS.
+    """
+    env_tc = os.environ.get("SPARK_GRAFT_TASK_CPUS")
+    env_sp = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+    if env_tc or env_sp:
+        tc = int(env_tc or 1)
+        sizing = tc, int(env_sp or max(cpus // tc, 8))
+    elif cpus <= 8:
+        sizing = 1, max(cpus, 8)
+    else:
+        cap = _parallel_capacity(8)
+        target = min(max(int(round(cap)), 8), cpus)
+        task_cpus = max(1, cpus // target)
+        sizing = task_cpus, max(cpus // task_cpus, 8)
+    _LAST_SIZING.update(task_cpus=sizing[0], shuffle_partitions=sizing[1])
+    return sizing
+
+
+# last build_session sizing, reported in the bench JSON for auditability
+_LAST_SIZING: dict = {}
+
+
 def build_session(cpus: int):
     from pyspark.sql import SparkSession
 
+    task_cpus, shuffle_parts = _effective_task_sizing(cpus)
     return (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("claimskg_generator_spark_bench")
-        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.task.cpus", str(task_cpus))
+        .config("spark.sql.shuffle.partitions", str(shuffle_parts))
+        # Vectorized Arrow-UDF scorers (reconcile soft-overlap batches)
+        # want big batches: the per-batch pair-dedupe memo and the numpy
+        # kernels amortize over 10x more rows, and 100k slim pair rows is
+        # only tens of MB per worker
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "100000")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         # Size input splits to the parallelism level: the corpus parquet is
@@ -150,6 +193,7 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cpus": cpus,
+        **_LAST_SIZING,
     }
 
 
