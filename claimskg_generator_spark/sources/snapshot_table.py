@@ -514,12 +514,18 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     args = p.parse_args(argv)
 
     spark = None
+    created = False
     if args.cmd in ("delete", "compact"):
         from pyspark.sql import SparkSession
 
-        spark = (SparkSession.builder.master(
-            os.environ.get("SPARK_GRAFT_MASTER", "local[4]"))
-            .appName("snapshot-admin").getOrCreate())
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            # stop at exit ONLY a session this command created — never a
+            # host process's live session (in-process invocation)
+            spark = (SparkSession.builder.master(
+                os.environ.get("SPARK_GRAFT_MASTER", "local[4]"))
+                .appName("snapshot-admin").getOrCreate())
+            created = True
     t = SnapshotTable(spark, args.table_dir)
     # maintenance must preserve the table's OWN stat columns, not this
     # instance's default: rewrites re-harvest stats for the same cols
@@ -542,7 +548,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     elif args.cmd == "vacuum":
         removed = t.vacuum()
         print(f"removed {len(removed)} unreferenced files")
-    if spark is not None:
+    if created:
         spark.stop()
     return 0
 

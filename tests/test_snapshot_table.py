@@ -265,3 +265,32 @@ def test_expire_keep_last_validation(spark, tmp_path):
     with pytest.raises(SnapshotTableError, match="keep_last"):
         t.expire_snapshots(keep_last=0)
     assert t.expire_snapshots(keep_last=5) == []
+
+
+def test_admin_cli_end_to_end(spark, tmp_path, capsys):
+    """python -m ...sources.snapshot_table: snapshots/delete/compact/
+    expire/vacuum drive the same table the library built.  delete/compact
+    reuse the in-process session via getOrCreate."""
+    from claimskg_generator_spark.sources.snapshot_table import main
+
+    tdir = str(tmp_path / "t")
+    t = SnapshotTable(spark, tdir, stat_cols=["doc_id"])
+    t.append(_docs(spark, 0, 300).repartition(6))
+
+    assert main([tdir, "snapshots"]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert json.loads(out[-1])["rows"] == 300
+
+    assert main([tdir, "delete", "doc_id", "<", "100"]) == 0
+    assert t.read().count() == 200
+
+    assert main([tdir, "compact", "--target-bytes", str(1 << 30)]) == 0
+    assert len(t.manifest()["files"]) == 1
+    # maintenance preserved the table's stat cols: the compacted file
+    # carries doc_id min/max again
+    assert "doc_id" in t.manifest()["files"][0]["stats"]
+
+    assert main([tdir, "expire", "--keep-last", "1"]) == 0
+    assert main([tdir, "vacuum"]) == 0
+    assert [s["snapshot_id"] for s in t.snapshots()] == [3]
+    assert t.read().count() == 200
