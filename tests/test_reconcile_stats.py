@@ -306,3 +306,73 @@ def test_reconcile_exact_sample_matches_reference_stream(spark, claims_df):
     assert got == want, (
         f"extra={sorted(got - want)[:5]} missing={sorted(want - got)[:5]}"
     )
+
+
+def test_global_dedup_scorer_bit_exact(spark):
+    """The production global-dedupe scorer (_score_pairs_global_dedup:
+    JVM term expansion + global Levenshtein-job dedup + order-preserving
+    JVM sums) must equal BOTH the retained batched Arrow scorer and the
+    scalar claim_pair_score bit-for-bit — no rounding tolerance."""
+    from pyspark.sql import functions as F
+
+    from claimskg_generator_spark.operators.reconcile import (
+        _pair_score_udf,
+        _score_pairs_global_dedup,
+        claim_pair_score,
+        soft_overlap,
+    )
+
+    rows = [
+        # (kw_a, kw_b, ln_a, ln_b, en_a, en_b, ca, cb, text_sim)
+        (["tax", "economy"], ["taxes", "econ"], ["u1"], ["u1", "u2"],
+         ["Obama"], ["Obamacare"], ["politics"], ["policy"], None),
+        # all-empty fields except links
+        ([], [], ["a"], ["b"], [], [], [], [], None),
+        # zero-term pair: everything empty (collect_list group absent)
+        ([], [], [], [], [], [], [], [], None),
+        # repeated vocab across rows (exercises the global dedup)
+        (["tax", "economy"], ["taxes", "econ"], ["u1"], ["u1"],
+         ["Obama"], ["Obamacare"], [], [], 0.5),
+        # equal strings only (no Levenshtein jobs at all)
+        (["same"], ["same"], ["x"], ["x"], ["E"], ["E"], ["c"], ["c"], None),
+        # one-sided arrays
+        (["only_a"], [], [], ["only_b"], [], [], ["cat"], [], 0.25),
+        # unicode + long strings (Myers fallback path)
+        (["é中文" * 30], ["e中文" * 30], [], [], [], [], [], [], None),
+    ]
+    data = []
+    for i, r in enumerate(rows):
+        kw_a, kw_b, ln_a, ln_b, en_a, en_b, ca, cb, ts = r
+        ov = soft_overlap(en_a, en_b) if en_a and en_b else None
+        data.append((str(i), str(i) + "x", kw_a, kw_b, ln_a, ln_b,
+                     en_a, en_b, ca, cb, ts, ov))
+    schema = (
+        "ord_a string, ord_b string, keywords_a array<string>, "
+        "keywords_b array<string>, links_a array<string>, "
+        "links_b array<string>, entities_a array<string>, "
+        "entities_b array<string>, categories_a array<string>, "
+        "categories_b array<string>, text_sim double, entity_overlap double"
+    )
+    pairs = spark.createDataFrame(data, schema)
+
+    got = {
+        r["ord_a"]: r["score"]
+        for r in _score_pairs_global_dedup(pairs).select("ord_a", "score").collect()
+    }
+    old = {
+        r["ord_a"]: r["score"]
+        for r in pairs.withColumn(
+            "score",
+            _pair_score_udf(
+                "keywords_a", "keywords_b", "links_a", "links_b",
+                "entities_a", "entities_b", "categories_a", "categories_b",
+                "text_sim", "entity_overlap",
+            ),
+        ).select("ord_a", "score").collect()
+    }
+    for i, r in enumerate(rows):
+        kw_a, kw_b, ln_a, ln_b, en_a, en_b, ca, cb, ts = r
+        want = claim_pair_score(kw_a, kw_b, ln_a, ln_b, en_a, en_b,
+                                ca, cb, text_sim=ts)
+        assert got[str(i)] == want, f"row {i}: jvm-dedup {got[str(i)]} != scalar {want}"
+        assert old[str(i)] == want, f"row {i}: batched {old[str(i)]} != scalar {want}"
