@@ -215,17 +215,20 @@ def _verify_candidate_jaccard(documents: DataFrame, candidates: DataFrame,
     )
 
 
-def _minhash_banded_pairs(documents: DataFrame, shingle_hash_mod_p, n: int,
-                          num_hashes: int, bands: int,
-                          verify_threshold: float, seed: int,
-                          compact_keys: bool) -> DataFrame:
-    """Shared MinHash+LSH core: shingle -> hash mod p (materialized ONCE
-    behind a column alias — Spark performs no CSE inside higher-order-
-    function lambda bodies, so inlining the hash chain into all
-    ``num_hashes`` signature expressions re-derives it per hash: measured
-    206 s -> seconds at sf0.1 for the md5 variant) -> array_min universal-
-    hash signatures (pure JVM, whole-stage codegen) -> per-band keys ->
-    bucket equi-join -> exact n-gram-Jaccard verify on candidates only.
+def minhash_band_keys(documents: DataFrame, shingle_hash_mod_p, n: int,
+                      num_hashes: int, bands: int, seed: int,
+                      compact_keys: bool) -> DataFrame:
+    """LSH bucket membership (doc_id, band, key) — the shared front half of
+    MinHash+LSH: shingle -> hash mod p (materialized ONCE behind a column
+    alias — Spark performs no CSE inside higher-order-function lambda
+    bodies, so inlining the hash chain into all ``num_hashes`` signature
+    expressions re-derives it per hash: measured 206 s -> seconds at sf0.1
+    for the md5 variant) -> array_min universal-hash signatures (pure JVM,
+    whole-stage codegen) -> per-band keys.
+
+    Pure stateless column expressions, so this works unchanged on a
+    STREAMING DataFrame (streaming/neardup_state.py keys its state store
+    on the (band, key) buckets emitted here).
 
     ``compact_keys``: xxhash64 the band key string down to 8 bytes for the
     candidate shuffle (production; a key collision at worst adds a
@@ -259,13 +262,24 @@ def _minhash_banded_pairs(documents: DataFrame, shingle_hash_mod_p, n: int,
     doc_sigs = hashed.select(
         "doc_id", *[k.alias(f"band{j}") for j, k in enumerate(band_keys)]
     )
-    banded = doc_sigs.select(
+    return doc_sigs.select(
         "doc_id",
         F.explode_outer(F.array(*[
             F.struct(F.lit(j).alias("band"), F.col(f"band{j}").alias("key"))
             for j in range(bands)
         ])).alias("bb"),
     ).select("doc_id", "bb.band", "bb.key")
+
+
+def _minhash_banded_pairs(documents: DataFrame, shingle_hash_mod_p, n: int,
+                          num_hashes: int, bands: int,
+                          verify_threshold: float, seed: int,
+                          compact_keys: bool) -> DataFrame:
+    """Shared MinHash+LSH back half: bucket membership (minhash_band_keys)
+    -> bucket equi-self-join -> exact n-gram-Jaccard verify on candidates
+    only."""
+    banded = minhash_band_keys(documents, shingle_hash_mod_p, n, num_hashes,
+                               bands, seed, compact_keys)
     a, b = banded.alias("a"), banded.alias("b")
     candidates = (
         a.join(

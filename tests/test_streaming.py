@@ -139,3 +139,75 @@ def test_streaming_exact_dedup_matches_batch(spark):
     q3 = streaming_exact_dedup(spark, in_dir, ck, out_dir, schema)
     q3.awaitTermination(120)
     assert spark.read.parquet(out_dir).count() == before
+
+
+def test_streaming_minhash_neardup_matches_batch(spark):
+    """Stateful LSH near-dup pair generation converges to the batch
+    minhash_lsh_pairs answer when the document log arrives in two chunks
+    (pairs spanning the chunks exercise the new-vs-prior-member path)."""
+    import os
+
+    from claimskg_generator_spark.operators.dedup import minhash_lsh_pairs
+    from claimskg_generator_spark.streaming.neardup_state import (
+        current_neardup_pairs,
+        streaming_minhash_neardup,
+    )
+
+    base = tempfile.mkdtemp(prefix="claimskg_neardup_")
+    in_dir, out_dir, ck = f"{base}/in", f"{base}/out", f"{base}/ck"
+    os.makedirs(in_dir)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    schema = docs.schema
+    hi = docs.where("doc_id >= 250")
+    lo = docs.where("doc_id < 250")
+    hi.coalesce(1).write.mode("append").parquet(in_dir)
+    q = streaming_minhash_neardup(spark, in_dir, ck, out_dir, schema)
+    q.awaitTermination(180)
+    lo.coalesce(1).write.mode("append").parquet(in_dir)
+    q2 = streaming_minhash_neardup(spark, in_dir, ck, out_dir, schema)
+    q2.awaitTermination(180)
+
+    got = {(r["id_a"], r["id_b"], r["jaccard"])
+           for r in current_neardup_pairs(spark, out_dir).collect()}
+    want = {(r["id_a"], r["id_b"], r["jaccard"])
+            for r in minhash_lsh_pairs(docs).collect()}
+    assert want, "batch near-dup answer empty — corpus fixture too weak"
+    assert got == want
+
+    # each unordered pair appended in exactly one trigger: raw log is a set
+    raw = spark.read.parquet(out_dir)
+    assert raw.count() == raw.dropDuplicates(["id_a", "id_b"]).count()
+
+    # a third availableNow run with no new files adds nothing
+    q3 = streaming_minhash_neardup(spark, in_dir, ck, out_dir, schema)
+    q3.awaitTermination(180)
+    assert spark.read.parquet(out_dir).count() == raw.count()
+
+
+def test_streaming_neardup_max_bucket_caps_state(spark):
+    """max_bucket bounds both state and emission: with a cap of 2, a
+    bucket of 4 identical docs emits only the first pair."""
+    import os
+
+    from claimskg_generator_spark.streaming.neardup_state import (
+        streaming_minhash_neardup,
+    )
+    from pyspark.sql import types as T
+
+    base = tempfile.mkdtemp(prefix="claimskg_neardupcap_")
+    in_dir, out_dir, ck = f"{base}/in", f"{base}/out", f"{base}/ck"
+    os.makedirs(in_dir)
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    txt = "the same exact document text repeated for every row here"
+    docs = spark.createDataFrame([(i, txt) for i in range(4)], schema)
+    docs.coalesce(1).write.mode("append").parquet(in_dir)
+    q = streaming_minhash_neardup(spark, in_dir, ck, out_dir, schema,
+                                  max_bucket=2)
+    q.awaitTermination(180)
+    got = {(r["id_a"], r["id_b"])
+           for r in spark.read.parquet(out_dir)
+           .select("id_a", "id_b").distinct().collect()}
+    assert got == {(0, 1)}
