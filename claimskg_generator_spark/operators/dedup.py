@@ -392,6 +392,77 @@ def simhash_signatures(documents: DataFrame, n_chunks: int = 4,
     return df
 
 
+def simhash_row_expr(text_col="text", token_hash=None):
+    """Per-ROW 64-bit SimHash column expression — the stateless twin of
+    simhash_signatures' explode + 64-way groupBy aggregate, for STREAMING
+    frames where a per-doc aggregation would become a cross-trigger
+    stateful operator.  Same token normalization, same token hash, integer
+    votes — bitwise-identical signatures (pinned by
+    tests/test_dedup_ops.py::test_simhash_row_expr_matches_batch).
+
+    NULL text yields a NULL signature (the batch explode drops such docs);
+    callers filter isNotNull.  Throughput note: the vote fold runs as an
+    interpreted higher-order aggregate (64 ops/token) — right for
+    micro-batch increments, while the batch operator's codegen'd 64-way
+    aggregate remains the full-corpus path."""
+    if token_hash is None:
+        token_hash = lambda c: F.xxhash64(c)  # noqa: E731
+    toks = F.array_distinct(F.split(F.lower(F.trim(text_col)), r"\s+"))
+    masks = F.array(*[F.lit(_bit_mask(i)).cast("long") for i in range(64)])
+
+    def bits(h):
+        return F.transform(
+            masks,
+            lambda m: F.when(h.bitwiseAND(m) != 0, F.lit(1))
+            .otherwise(F.lit(-1)),
+        )
+
+    votes = F.aggregate(
+        F.transform(toks, token_hash),
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, h: F.zip_with(acc, bits(h), lambda a, b: a + b),
+    )
+    return F.aggregate(
+        F.zip_with(
+            votes, masks,
+            lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
+
+
+def simhash_table_keys(sigs: DataFrame, max_hamming: int = 3,
+                       n_blocks: Optional[int] = None) -> DataFrame:
+    """(doc_id, simhash, t, k) pigeonhole bucket membership — the shared
+    front half of simhash_near_dups, split out so the streaming operator
+    (streaming/simhash_state.py) keys its state store on the same (t, k)
+    tables.  ``sigs`` must carry doc_id, simhash and chunk0..chunkN-1
+    (simhash_signatures' output, or any frame with equivalent columns)."""
+    from itertools import combinations
+
+    if n_blocks is None:
+        n_blocks = max_hamming + 1
+    if n_blocks <= max_hamming:
+        raise ValueError(
+            f"n_blocks ({n_blocks}) must exceed max_hamming ({max_hamming}) "
+            "— pigeonhole recall needs at least one untouched block"
+        )
+    if n_blocks > 64:
+        raise ValueError("n_blocks cannot exceed the 64 signature bits")
+    key_size = n_blocks - max_hamming
+    key_structs = []
+    for t, combo in enumerate(combinations(range(n_blocks), key_size)):
+        key = F.xxhash64(F.concat_ws(
+            ",", *[F.col(f"chunk{c}").cast("string") for c in combo]))
+        key_structs.append(F.struct(F.lit(t).alias("t"), key.alias("k")))
+    return sigs.select(
+        "doc_id", "simhash",
+        F.explode_outer(F.array(*key_structs)).alias("bk"),
+    ).select("doc_id", "simhash", F.col("bk.t").alias("t"),
+             F.col("bk.k").alias("k"))
+
+
 def simhash_near_dups(documents: DataFrame, max_hamming: int = 3,
                       token_hash=None,
                       n_blocks: Optional[int] = None) -> DataFrame:
@@ -417,19 +488,9 @@ def simhash_near_dups(documents: DataFrame, max_hamming: int = 3,
     stays exact either way (pinned by
     tests/test_dedup_ops.py::test_simhash_wide_keys_exact_recall).
     """
-    from itertools import combinations
-
     if n_blocks is None:
         n_blocks = max_hamming + 1
-    if n_blocks <= max_hamming:
-        raise ValueError(
-            f"n_blocks ({n_blocks}) must exceed max_hamming ({max_hamming}) "
-            "— pigeonhole recall needs at least one untouched block"
-        )
-    if n_blocks > 64:
-        raise ValueError("n_blocks cannot exceed the 64 signature bits")
     sigs = simhash_signatures(documents, n_blocks, token_hash)
-    key_size = n_blocks - max_hamming
     # ONE banded frame + ONE self-join (the minhash-banding shape) instead
     # of one join per block combination: the per-combination version
     # consumed the 64-way signature aggregate through 2 x C(n, k) plan
@@ -439,16 +500,7 @@ def simhash_near_dups(documents: DataFrame, max_hamming: int = 3,
     # pair that the exact hamming verification below then filters — and
     # equal blocks still always collide, so pigeonhole recall is intact).
     # The signature rides along (8 bytes) so no re-attach join is needed.
-    key_structs = []
-    for t, combo in enumerate(combinations(range(n_blocks), key_size)):
-        key = F.xxhash64(F.concat_ws(
-            ",", *[F.col(f"chunk{c}").cast("string") for c in combo]))
-        key_structs.append(F.struct(F.lit(t).alias("t"), key.alias("k")))
-    banded = sigs.select(
-        "doc_id", "simhash",
-        F.explode_outer(F.array(*key_structs)).alias("bk"),
-    ).select("doc_id", "simhash", F.col("bk.t").alias("t"),
-             F.col("bk.k").alias("k"))
+    banded = simhash_table_keys(sigs, max_hamming, n_blocks)
     a = banded.select(F.col("doc_id").alias("id_a"),
                       F.col("simhash").alias("s_a"), "t", "k")
     b = banded.select(F.col("doc_id").alias("id_b"),

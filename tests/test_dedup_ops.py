@@ -369,3 +369,24 @@ def test_ivf_trained_recall_vs_brute_force(spark):
     assert r_trained >= 0.9, (r_trained, r_init)
     # the Lloyd pass must not degrade the hash-sample init materially
     assert r_trained >= r_init - 0.05, (r_trained, r_init)
+
+
+def test_simhash_row_expr_matches_batch(spark):
+    """The stateless per-row signature expression (streaming path) must be
+    bitwise-identical to the batch explode + 64-way vote aggregate."""
+    from pyspark.sql import functions as F
+
+    from claimskg_generator_spark.operators.dedup import (
+        simhash_row_expr,
+        simhash_signatures,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    want = {(r["doc_id"], r["simhash"])
+            for r in simhash_signatures(docs).select("doc_id", "simhash")
+            .collect()}
+    got = {(r["doc_id"], r["simhash"])
+           for r in docs.select(
+               "doc_id", simhash_row_expr("text").alias("simhash"))
+           .where(F.col("simhash").isNotNull()).collect()}
+    assert got == want

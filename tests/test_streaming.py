@@ -211,3 +211,39 @@ def test_streaming_neardup_max_bucket_caps_state(spark):
            for r in spark.read.parquet(out_dir)
            .select("id_a", "id_b").distinct().collect()}
     assert got == {(0, 1)}
+
+
+def test_streaming_simhash_neardup_matches_batch(spark):
+    """Stateful pigeonhole-table SimHash near-dup converges to the batch
+    simhash_near_dups answer across out-of-order chunks; verification
+    (hamming) happens inside the state update, no document-log read."""
+    import os
+
+    from claimskg_generator_spark.operators.dedup import simhash_near_dups
+    from claimskg_generator_spark.streaming.simhash_state import (
+        current_simhash_pairs,
+        streaming_simhash_neardup,
+    )
+
+    base = tempfile.mkdtemp(prefix="claimskg_simhashstate_")
+    in_dir, out_dir, ck = f"{base}/in", f"{base}/out", f"{base}/ck"
+    os.makedirs(in_dir)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    schema = docs.schema
+    docs.where("doc_id >= 250").coalesce(1).write.mode("append").parquet(in_dir)
+    q = streaming_simhash_neardup(spark, in_dir, ck, out_dir, schema)
+    q.awaitTermination(180)
+    docs.where("doc_id < 250").coalesce(1).write.mode("append").parquet(in_dir)
+    q2 = streaming_simhash_neardup(spark, in_dir, ck, out_dir, schema)
+    q2.awaitTermination(180)
+
+    got = {(r["id_a"], r["id_b"], r["hamming"])
+           for r in current_simhash_pairs(spark, out_dir).collect()}
+    want = {(r["id_a"], r["id_b"], r["hamming"])
+            for r in simhash_near_dups(docs).collect()}
+    assert want, "batch simhash answer empty — corpus fixture too weak"
+    assert got == want
+
+    # pair-per-trigger uniqueness holds for the raw log too
+    raw = spark.read.parquet(out_dir)
+    assert raw.count() == raw.dropDuplicates(["id_a", "id_b"]).count()
