@@ -107,6 +107,19 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         "deterministic predicate bucket (Iceberg-style "
                         "layout; single-predicate reads prune to 1/N of "
                         "the directories)")
+    p.add_argument("--streaming", action="store_true",
+                   help="treat --input as a WATCHED directory: drain new "
+                        "files via Structured Streaming (availableNow) and "
+                        "append the stateless triple families to --output "
+                        "as a parquet log; re-run to catch up (the stream "
+                        "checkpoint in --checkpoint-dir skips files already "
+                        "processed). Order-dependent families come from "
+                        "--compact-to.")
+    p.add_argument("--compact-to", default=None,
+                   help="with --streaming: after draining, run the global "
+                        "compaction (set-dedup + keyword/static/align/"
+                        "reconcile families over the full corpus) into this "
+                        "directory")
     return p
 
 
@@ -143,6 +156,18 @@ def main(argv=None) -> int:
     if args.mappings_output and args.reconcile <= 0:
         parser.error("--mappings-output requires --reconcile > 0 "
                      "(no pairs are scored otherwise)")
+    if args.compact_to and not args.streaming:
+        parser.error("--compact-to only applies to --streaming runs")
+    if args.streaming:
+        if args.synth is not None or not args.input:
+            parser.error("--streaming requires --input (a watched "
+                         "directory); --synth is batch-only")
+        if not args.checkpoint_dir:
+            parser.error("--streaming requires --checkpoint-dir (the "
+                         "stream's progress log)")
+        if args.format != "parquet":
+            parser.error("--streaming appends a parquet triple log; "
+                         "use --format parquet")
     if args.sample is not None and args.samples is not None:
         parser.error("--sample (fraction) and --samples (exact seeded "
                      "count) are mutually exclusive")
@@ -178,6 +203,40 @@ def main(argv=None) -> int:
                 entries_from_skos_xml(path, vocab, skos_xl_labels=skos_xl)
             )
         thesaurus_kwargs["thesaurus_entries"] = entries
+
+    if args.streaming:
+        from claimskg_generator_spark.streaming.ingest import (
+            compact_triple_log,
+            stream_triples,
+        )
+
+        scfg = PipelineConfig(
+            model_uri=args.model_uri,
+            **thesaurus_kwargs,
+            threshold=args.threshold,
+            recognizer=args.recognizer,
+            include_body=args.include_body,
+            align_duplicated=args.align_duplicated,
+            sameas_canonical=args.sameas_canonical,
+            reconcile_theta=args.reconcile,
+            reconcile_sample=args.sample,
+            reconcile_samples=args.samples,
+            reconcile_seed=args.seed,
+            reconcile_embeddings=args.embeddings,
+            embeddings_file=args.embeddings_file,
+            # args.checkpoint_dir is the STREAM's progress log, not the
+            # batch-pipeline memo; compaction recomputes from the corpus
+            materialize_parsed=False,
+        )
+        q = stream_triples(spark, args.input, args.output,
+                           args.checkpoint_dir, scfg)
+        q.awaitTermination()
+        print(f"drained streaming input; triple log at {args.output}")
+        if args.compact_to:
+            compact_triple_log(spark, args.input, args.output,
+                               args.compact_to, scfg)
+            print(f"compacted triple table at {args.compact_to}")
+        return 0
 
     cfg = PipelineConfig(
         model_uri=args.model_uri,

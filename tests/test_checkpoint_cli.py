@@ -200,3 +200,57 @@ def test_lineage_triple_counts_match_emission(spark):
     )
     assert got == want
     assert sum(r["n_rows"] for r in lin) == 90
+
+
+def test_cli_streaming_drain_and_compact(spark):
+    """--streaming drains the watched directory incrementally (stream
+    checkpoint skips already-processed files) and --compact-to converges
+    to the batch pipeline's exact triple set."""
+    base = tempfile.mkdtemp(prefix="claimskg_cli_stream_")
+    in_dir = os.path.join(base, "in")
+    log = os.path.join(base, "log")
+    ck = os.path.join(base, "ck")
+    compacted = os.path.join(base, "compacted")
+    from claimskg_generator_spark.cli import main
+
+    rows = gen_rows(N)
+    corpus = spark.createDataFrame(rows)
+    corpus.limit(30).coalesce(1).write.mode("append").parquet(in_dir)
+
+    rc = main(["--input", in_dir, "--output", log, "--format", "parquet",
+               "--streaming", "--checkpoint-dir", ck])
+    assert rc == 0
+    n1 = spark.read.parquet(log).count()
+    assert n1 > 0
+
+    # second batch of files lands; a catch-up run processes ONLY them
+    corpus.coalesce(1).write.mode("append").parquet(in_dir)
+    rc = main(["--input", in_dir, "--output", log, "--format", "parquet",
+               "--streaming", "--checkpoint-dir", ck,
+               "--compact-to", compacted])
+    assert rc == 0
+    assert spark.read.parquet(log).count() > n1
+
+    want = {tuple(r) for r in ClaimsKGPipeline(
+        spark, PipelineConfig(materialize_parsed=False)
+    ).run(spark.read.parquet(in_dir)).collect()}
+    got = {tuple(r) for r in spark.read.parquet(compacted).collect()}
+    assert got == want
+
+
+def test_cli_streaming_validation():
+    import pytest
+
+    from claimskg_generator_spark.cli import main
+
+    with pytest.raises(SystemExit):
+        main(["--synth", "10", "--output", "/tmp/x", "--streaming",
+              "--checkpoint-dir", "/tmp/ck"])
+    with pytest.raises(SystemExit):
+        main(["--input", "/tmp/in", "--output", "/tmp/x", "--streaming"])
+    with pytest.raises(SystemExit):
+        main(["--input", "/tmp/in", "--output", "/tmp/x", "--streaming",
+              "--checkpoint-dir", "/tmp/ck", "--format", "ntriples"])
+    with pytest.raises(SystemExit):
+        main(["--input", "/tmp/in", "--output", "/tmp/x",
+              "--compact-to", "/tmp/c"])
