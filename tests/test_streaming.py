@@ -247,3 +247,38 @@ def test_streaming_simhash_neardup_matches_batch(spark):
     # pair-per-trigger uniqueness holds for the raw log too
     raw = spark.read.parquet(out_dir)
     assert raw.count() == raw.dropDuplicates(["id_a", "id_b"]).count()
+
+
+def test_streaming_embedding_neardup_matches_batch(spark):
+    """Stateful hyperplane-LSH embedding near-dup converges to the batch
+    lsh_cosine_pairs answer across out-of-order chunks."""
+    import os
+
+    from claimskg_generator_spark.operators.similarity import lsh_cosine_pairs
+    from claimskg_generator_spark.streaming.embed_neardup_state import (
+        current_embedding_pairs,
+        streaming_embedding_neardup,
+    )
+
+    base = tempfile.mkdtemp(prefix="claimskg_embstate_")
+    in_dir, out_dir, ck = f"{base}/in", f"{base}/out", f"{base}/ck"
+    os.makedirs(in_dir)
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    schema = emb.schema
+    kw = dict(dim=64, bands=4, planes_per_band=8, threshold=0.25, seed=11)
+    emb.where("vec_id >= 250").coalesce(1).write.mode("append").parquet(in_dir)
+    q = streaming_embedding_neardup(spark, in_dir, ck, out_dir, schema, **kw)
+    q.awaitTermination(180)
+    emb.where("vec_id < 250").coalesce(1).write.mode("append").parquet(in_dir)
+    q2 = streaming_embedding_neardup(spark, in_dir, ck, out_dir, schema, **kw)
+    q2.awaitTermination(180)
+
+    got = {(r["id_a"], r["id_b"], r["cosine"])
+           for r in current_embedding_pairs(spark, out_dir).collect()}
+    want = {(r["id_a"], r["id_b"], r["cosine"])
+            for r in lsh_cosine_pairs(emb, **kw).collect()}
+    assert want, "batch embedding near-dup answer empty — fixture too weak"
+    assert got == want
+
+    raw = spark.read.parquet(out_dir)
+    assert raw.count() == raw.dropDuplicates(["id_a", "id_b"]).count()
