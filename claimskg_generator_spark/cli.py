@@ -107,6 +107,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         "deterministic predicate bucket (Iceberg-style "
                         "layout; single-predicate reads prune to 1/N of "
                         "the directories)")
+    p.add_argument("--input-format", default="parquet",
+                   choices=["parquet", "csv"],
+                   help="csv = the reference's native wide-CSV dataset "
+                        "(header row, ',' delimiter, '\"' quote/escape, "
+                        "multiline cells), read in per-file row order — a "
+                        "reference user's existing file is drop-in")
     p.add_argument("--streaming", action="store_true",
                    help="treat --input as a WATCHED directory: drain new "
                         "files via Structured Streaming (availableNow) and "
@@ -168,6 +174,10 @@ def main(argv=None) -> int:
         if args.format != "parquet":
             parser.error("--streaming appends a parquet triple log; "
                          "use --format parquet")
+        if args.input_format != "parquet":
+            parser.error("--streaming watches a parquet directory; "
+                         "convert CSV drops with a batch --input-format "
+                         "csv run first")
     if args.sample is not None and args.samples is not None:
         parser.error("--sample (fraction) and --samples (exact seeded "
                      "count) are mutually exclusive")
@@ -267,6 +277,10 @@ def main(argv=None) -> int:
         from claimskg_generator_spark.sources.synth import synthesize_corpus
 
         input_df = synthesize_corpus(spark, args.synth)
+    elif args.input_format == "csv":
+        from claimskg_generator_spark.sources.claims import read_reference_csv
+
+        input_df = read_reference_csv(spark, args.input)
     else:
         input_df = spark.read.parquet(args.input)
 

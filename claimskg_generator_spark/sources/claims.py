@@ -79,6 +79,50 @@ def read_input(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def read_reference_csv(spark: SparkSession, path: str) -> DataFrame:
+    """The reference's NATIVE wide-CSV dataset (export.py:105-113 —
+    csv.DictReader, unix dialect, ',' delimiter, '\"' quote/escape) read
+    into the graft's (repo, path, commit, lang, content) input shape, so a
+    reference user's existing file feeds the pipeline unchanged.
+
+    - Column names ARE the reference's header names (CLAIM_FIELDS); absent
+      columns become null, and empty cells parse to null — both reach the
+      pipeline's null->'' cleaning (P1), matching DictReader's '' cells.
+    - ``content`` re-serializes each row to the JSON record parse_records
+      expects (string fields only, so the round trip is exact).
+    - The reference processes rows in FILE ORDER, which feeds the
+      order-dependent families (keyword first-writer, pair enumeration);
+      multiLine CSV files are unsplittable (one file = one partition), so
+      a per-file row_number over monotonically_increasing_id reproduces
+      that order deterministically; ``path`` becomes file#row so the
+      default order column sorts CSV order first-to-last.
+    """
+    from pyspark.sql import Window
+
+    df = (
+        spark.read.option("header", True).option("multiLine", True)
+        .option("quote", '"').option("escape", '"')
+        .csv(path)
+    )
+    for f in CLAIM_FIELDS:
+        if f not in df.columns:
+            df = df.withColumn(f, F.lit(None).cast("string"))
+    w = Window.partitionBy("_file").orderBy("_mid")
+    return (
+        df.withColumn("_file", F.input_file_name())
+        .withColumn("_mid", F.monotonically_increasing_id())
+        .select(
+            F.lit("csv").alias("repo"),
+            F.format_string(
+                "%s#%09d", F.col("_file"), F.row_number().over(w)
+            ).alias("path"),
+            F.lit("").alias("commit"),
+            F.lit("en").alias("lang"),
+            F.to_json(F.struct(*CLAIM_FIELDS)).alias("content"),
+        )
+    )
+
+
 def _sv(col: Column) -> Column:
     """Null -> '' (reference _row_string_value, :49-53)."""
     return F.coalesce(col, F.lit(""))

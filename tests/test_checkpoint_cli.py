@@ -254,3 +254,37 @@ def test_cli_streaming_validation():
     with pytest.raises(SystemExit):
         main(["--input", "/tmp/in", "--output", "/tmp/x",
               "--compact-to", "/tmp/c"])
+
+
+def test_cli_reference_csv_input_matches_parquet_shape(spark):
+    """--input-format csv: the reference's native wide CSV (unix dialect,
+    per-file row order) produces the SAME triple set as the graft-shape
+    parquet input over the same records."""
+    import csv
+    import json as _json
+
+    from claimskg_generator_spark.cli import main
+    from claimskg_generator_spark.sources.claims import CLAIM_FIELDS
+
+    base = tempfile.mkdtemp(prefix="claimskg_csv_in_")
+    rows = gen_rows(N)
+    # reference-style wide CSV: one column per CLAIM_FIELDS entry
+    csv_path = os.path.join(base, "dataset.csv")
+    with open(csv_path, "w", newline="") as f:
+        wr = csv.DictWriter(f, fieldnames=CLAIM_FIELDS, dialect="unix")
+        wr.writeheader()
+        for r in rows:
+            rec = _json.loads(r["content"])
+            wr.writerow({k: rec.get(k) or "" for k in CLAIM_FIELDS})
+    # graft-shape parquet of the same records
+    pq_path = os.path.join(base, "dataset_parquet")
+    spark.createDataFrame(rows).coalesce(1).write.parquet(pq_path)
+
+    out_csv = os.path.join(base, "t_csv")
+    out_pq = os.path.join(base, "t_pq")
+    assert main(["--input", csv_path, "--input-format", "csv",
+                 "--output", out_csv]) == 0
+    assert main(["--input", pq_path, "--output", out_pq]) == 0
+    got = {tuple(r) for r in spark.read.parquet(out_csv).collect()}
+    want = {tuple(r) for r in spark.read.parquet(out_pq).collect()}
+    assert got == want
