@@ -178,6 +178,27 @@ def dedup_groups(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
                        F.col("component").alias("canonical_id"))
 
 
+def dedup_corpus(documents: DataFrame, pairs: DataFrame,
+                 id_col: str = "doc_id", id_a: str = "id_a",
+                 id_b: str = "id_b", max_iter: int = 50) -> DataFrame:
+    """The end of the dedup pipeline: materialize the SURVIVOR corpus.
+
+    ``pairs`` is the accepted pair stream of any near-dup operator (exact,
+    MinHash-LSH, SimHash, n-gram Jaccard, embedding LSH); clusters resolve
+    via dedup_groups and every non-representative member (id !=
+    canonical_id) is dropped from ``documents`` with a left-anti join.
+
+    Scale posture: the loser frame holds only duplicate members — tiny
+    next to the corpus at real duplication rates — so AQE broadcasts the
+    anti-join and the corpus never shuffles."""
+    losers = (
+        dedup_groups(pairs, id_a, id_b, max_iter)
+        .filter(F.col("id") != F.col("canonical_id"))
+        .select(F.col("id").alias(id_col))
+    )
+    return documents.join(losers, id_col, "left_anti")
+
+
 def canonicalize_sameas(triples: DataFrame,
                         max_iter: int = 50) -> DataFrame:
     """Rewrite the graph's pairwise ``owl:sameAs`` edges into star form:
