@@ -189,8 +189,13 @@ def dedup_corpus(documents: DataFrame, pairs: DataFrame,
     canonical_id) is dropped from ``documents`` with a left-anti join.
 
     Scale posture: the loser frame holds only duplicate members — tiny
-    next to the corpus at real duplication rates — so AQE broadcasts the
-    anti-join and the corpus never shuffles."""
+    next to the corpus at real duplication rates — and its size is only
+    known at runtime (iterative components output), so the broadcast
+    decision is deliberately left to AQE: the executed plan is a
+    BroadcastHashJoin LeftAnti (verified, docs/PLANS.md) and the corpus
+    never shuffles; at pathological duplication rates AQE correctly falls
+    back to a shuffled anti-join on the id key instead of OOMing a forced
+    broadcast hint."""
     losers = (
         dedup_groups(pairs, id_a, id_b, max_iter)
         .filter(F.col("id") != F.col("canonical_id"))
