@@ -1,0 +1,151 @@
+"""Corpus-dedup CLI — the training-data-pipeline face of the engine.
+
+The KG CLI (cli.py) mirrors the reference generator; this entry point
+exposes the near-dup operator family over a documents table (doc_id,
+text[, embedding]) as a user surface:
+
+    python -m claimskg_generator_spark.dedup_cli \
+        --input /data/documents --method minhash \
+        --output /data/survivors --pairs-output /data/pairs \
+        --groups-output /data/groups
+
+Methods: exact (md5 fingerprint groupBy), minhash (MinHash+LSH, exact
+Jaccard verify), simhash (pigeonhole tables, exact hamming verify), ngram
+(full n-gram Jaccard), embedding (multi-band hyperplane LSH, exact cosine
+verify; requires --dim).  Every method ends in dedup_corpus: pairs ->
+connected components -> survivors materialized with a runtime-sized
+anti-join (docs/PLANS.md).
+"""
+
+import argparse
+import sys
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def build_arg_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="claimskg-dedup",
+        description="near-duplicate detection + survivor-corpus "
+                    "materialization over a documents parquet table",
+    )
+    p.add_argument("--input", required=True,
+                   help="documents parquet (doc_id, text[, embedding])")
+    p.add_argument("--output", required=True,
+                   help="survivor corpus output (parquet)")
+    p.add_argument("--method", default="minhash",
+                   choices=["exact", "minhash", "simhash", "ngram",
+                            "embedding"])
+    p.add_argument("--pairs-output", default=None,
+                   help="also write the accepted near-dup pairs")
+    p.add_argument("--groups-output", default=None,
+                   help="also write the (id, canonical_id) cluster table")
+    p.add_argument("--threshold", type=float, default=None,
+                   help="jaccard (minhash/ngram, default 0.5) or cosine "
+                        "(embedding, default 0.9) acceptance threshold")
+    p.add_argument("--max-hamming", type=int, default=3,
+                   help="simhash: maximum hamming distance (default 3)")
+    p.add_argument("--ngram", type=int, default=3,
+                   help="shingle size for minhash/ngram (default 3)")
+    p.add_argument("--dim", type=int, default=None,
+                   help="embedding dimensionality (REQUIRED for "
+                        "--method embedding; plan-time hyperplane "
+                        "literals, never inferred from data)")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--vec-col", default="embedding")
+    return p
+
+
+def _pairs(args, docs):
+    if args.method == "exact":
+        from claimskg_generator_spark.operators.dedup import exact_duplicates
+
+        # survivors of exact dedup are the per-fingerprint min doc_id:
+        # pair every member with its survivor so components reproduce it
+        d = exact_duplicates(docs)
+        return (
+            d.filter(F.col("doc_id") != F.col("survivor_id"))
+            .select(F.col("survivor_id").alias("id_a"),
+                    F.col("doc_id").alias("id_b"))
+        )
+    if args.method == "minhash":
+        from claimskg_generator_spark.operators.dedup import minhash_lsh_pairs
+
+        return minhash_lsh_pairs(
+            docs, n=args.ngram,
+            verify_threshold=(args.threshold
+                              if args.threshold is not None else 0.5),
+        ).select("id_a", "id_b")
+    if args.method == "simhash":
+        from claimskg_generator_spark.operators.dedup import simhash_near_dups
+
+        return simhash_near_dups(
+            docs, max_hamming=args.max_hamming
+        ).select("id_a", "id_b")
+    if args.method == "ngram":
+        from claimskg_generator_spark.operators.dedup import (
+            ngram_jaccard_pairs,
+        )
+
+        return ngram_jaccard_pairs(
+            docs, n=args.ngram,
+            threshold=(args.threshold
+                       if args.threshold is not None else 0.5),
+        ).select("id_a", "id_b")
+    from claimskg_generator_spark.operators.similarity import lsh_cosine_pairs
+
+    return lsh_cosine_pairs(
+        docs,
+        threshold=(args.threshold if args.threshold is not None else 0.9),
+        dim=args.dim, id_col=args.id_col, vec_col=args.vec_col,
+    ).select("id_a", "id_b")
+
+
+def main(argv=None) -> int:
+    parser = build_arg_parser()
+    args = parser.parse_args(argv)
+    if args.method == "embedding" and args.dim is None:
+        parser.error("--method embedding requires --dim (the hyperplanes "
+                     "are plan-time literals of that length)")
+
+    spark = (
+        SparkSession.builder.appName("claimskg_dedup")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .getOrCreate()
+    )
+    from claimskg_generator_spark.operators.components import (
+        dedup_corpus,
+        dedup_groups,
+    )
+
+    docs = spark.read.parquet(args.input)
+    if args.id_col != "doc_id":
+        docs = docs.withColumnRenamed(args.id_col, "doc_id")
+    pairs = _pairs(args, docs)
+    # pairs feed up to three consumers (pairs/groups/survivors): keep the
+    # accepted pair stream materialized once instead of re-running the
+    # candidate machinery per sink
+    from pyspark import StorageLevel
+
+    pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+    if args.pairs_output:
+        pairs.write.mode("overwrite").parquet(args.pairs_output)
+    if args.groups_output:
+        dedup_groups(pairs).write.mode("overwrite").parquet(
+            args.groups_output)
+    survivors = dedup_corpus(docs, pairs)
+    if args.id_col != "doc_id":
+        survivors = survivors.withColumnRenamed("doc_id", args.id_col)
+    survivors.write.mode("overwrite").parquet(args.output)
+    n_pairs = pairs.count()
+    pairs.unpersist()
+    print(f"method={args.method} pairs={n_pairs} survivors at "
+          f"{args.output}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
