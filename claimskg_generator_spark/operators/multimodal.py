@@ -94,6 +94,69 @@ def extract_features(media: DataFrame, fake: bool = True,
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("out_width", T.IntegerType()),
+        T.StructField("out_height", T.IntegerType()),
+        T.StructField("resized_sha256", T.StringType()),
+    ]
+)
+
+
+def resize_stub(payload: bytes, out_w: int, out_h: int, fake: bool) -> str:
+    """Placeholder for the real resampler (PIL.Image.resize / ffmpeg
+    scale).  The deterministic fake 'resizes' by digesting the payload
+    together with the target geometry, so the output is a pure function of
+    (payload, out_w, out_h) that an external SQL oracle can replay."""
+    if not fake:
+        raise NotImplementedError(
+            "media resizing requires codec libraries not present in this "
+            "environment; pass fake=True for the deterministic stand-in"
+        )
+    return hashlib.sha256(
+        payload + f"|{out_w}x{out_h}".encode()
+    ).hexdigest()
+
+
+def resize_media(media: DataFrame, target_width: int = 512,
+                 fake: bool = True) -> DataFrame:
+    """mapInPandas resize over image/video rows (audio has no geometry and
+    is excluded).  Output geometry is integer-exact — out_w = min(width,
+    target), out_h = height * out_w // max(width, 1) — so the aspect-
+    preserving math replays identically in SQL (no float rounding-mode
+    drift between engines); the decode+resample step itself is the stubbed
+    codec (resize_stub)."""
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for batch in batches:
+            out_ws, out_hs, digests = [], [], []
+            for payload, w, h in zip(batch["payload"], batch["width"],
+                                     batch["height"]):
+                w0 = max(int(w), 1)
+                out_w = min(w0, target_width)
+                out_h = int(h) * out_w // w0
+                out_ws.append(out_w)
+                out_hs.append(out_h)
+                digests.append(resize_stub(bytes(payload), out_w, out_h,
+                                           fake))
+            yield pd.DataFrame(
+                {
+                    "media_id": batch["media_id"],
+                    "kind": batch["kind"],
+                    "out_width": out_ws,
+                    "out_height": out_hs,
+                    "resized_sha256": digests,
+                }
+            )
+
+    return media.filter(F.col("kind") != "audio").mapInPandas(
+        run, schema=RESIZE_SCHEMA
+    )
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: one row per frame timestamp to decode —
     the explode happens JVM-side; the (stubbed) decode would run per frame
