@@ -37,6 +37,29 @@ def with_token_stats(documents: DataFrame) -> DataFrame:
     )
 
 
+# GPT-2-style pretokenizer, simplified to the lookahead-free subset so the
+# SAME pattern runs under Java regex (Spark) and RE2 (DuckDB): contraction
+# suffixes, space-prefixed letter runs, digit runs, punctuation runs,
+# whitespace runs.  Matches that are pure whitespace are not counted as
+# tokens (GPT-2 folds a single leading space into the next token; for
+# COUNTING purposes the two conventions agree on non-whitespace runs).
+SUBWORD_PAT = r"'(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def with_subword_token_count(documents: DataFrame) -> DataFrame:
+    """LLM-budget token counting: the number of BPE pretokenizer pieces is
+    the standard proxy for a document's token cost before running the real
+    tokenizer (each piece maps to >= 1 BPE token, and pieces are what the
+    merges operate within).  Pure JVM regex — no Python in the plan."""
+    pieces = F.regexp_extract_all(F.col("text"), F.lit(SUBWORD_PAT), 0)
+    non_ws = F.filter(pieces, lambda t: t.rlike(r"\S"))
+    return documents.select(
+        "doc_id",
+        F.size(non_ws).alias("n_subword_pieces"),
+        F.size(tokens(F.col("text"))).alias("n_ws_tokens"),
+    )
+
+
 def with_quality_score(documents: DataFrame) -> DataFrame:
     """Length/stopword-ratio quality score in [0,1] — the standard cheap
     pre-training quality gate shape."""
