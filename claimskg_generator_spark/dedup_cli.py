@@ -95,10 +95,11 @@ def _pairs(args, docs):
         ).select("id_a", "id_b")
     from claimskg_generator_spark.operators.similarity import lsh_cosine_pairs
 
+    # the caller already renamed args.id_col -> doc_id on the frame
     return lsh_cosine_pairs(
         docs,
         threshold=(args.threshold if args.threshold is not None else 0.9),
-        dim=args.dim, id_col=args.id_col, vec_col=args.vec_col,
+        dim=args.dim, id_col="doc_id", vec_col=args.vec_col,
     ).select("id_a", "id_b")
 
 

@@ -62,3 +62,28 @@ def test_dedup_cli_embedding_requires_dim():
     with pytest.raises(SystemExit):
         main(["--input", "/tmp/x", "--output", "/tmp/y",
               "--method", "embedding"])
+
+
+def test_dedup_cli_embedding_with_id_col(spark):
+    """--method embedding over the embeddings table with --id-col vec_id:
+    the rename happens once at ingress and every downstream operator sees
+    doc_id; survivors carry the caller's id column name back."""
+    from claimskg_generator_spark.dedup_cli import main
+    from claimskg_generator_spark.operators.components import dedup_corpus
+    from claimskg_generator_spark.operators.similarity import lsh_cosine_pairs
+
+    base = tempfile.mkdtemp(prefix="claimskg_dedupcli_emb_")
+    out = os.path.join(base, "out")
+    rc = main(["--input", "/root/testdata/sf0.001/embeddings.parquet",
+               "--output", out, "--method", "embedding", "--dim", "64",
+               "--id-col", "vec_id", "--threshold", "0.25"])
+    assert rc == 0
+    got = {r["vec_id"] for r in
+           spark.read.parquet(out).select("vec_id").collect()}
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    pairs = lsh_cosine_pairs(emb, threshold=0.25, dim=64,
+                             id_col="vec_id").select("id_a", "id_b")
+    want = {r["vec_id"] for r in dedup_corpus(
+        emb.withColumnRenamed("vec_id", "doc_id"), pairs
+    ).withColumnRenamed("doc_id", "vec_id").select("vec_id").collect()}
+    assert got == want and got
