@@ -1,0 +1,64 @@
+"""Deterministic stratified corpus sampling (domain / language mixing).
+
+A pre-training pipeline re-weights its corpus by stratum (language,
+source domain, quality band) before tokenization.  `df.sample` is
+nondeterministic across retries and partitionings, so at scale the
+standard trick is a HASH GATE: keep a row iff a stable hash of its id
+falls below the stratum's rate threshold.  The decision is a pure
+function of (id, stratum) — reproducible run-to-run, under AQE retries,
+and across engines (md5 is shared with DuckDB, so the driver's oracle
+re-derives the exact sample).
+
+Pure narrow map: no shuffle, no state, trivially parallel at 100 TB.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# 16-bit hash gate: compare the first 4 hex chars of md5(id) against
+# rate * 0x10000, rendered as a 4-char lowercase hex literal.  String
+# comparison == numeric comparison because both sides are fixed-width hex.
+_GATE_BITS = 16
+
+
+def _threshold_hex(rate: float) -> str:
+    return format(min(int(rate * (1 << _GATE_BITS)), (1 << _GATE_BITS)), "04x")
+
+
+def hash_gate(id_col: Column, rate: float) -> Column:
+    """True iff this id survives a `rate`-probability deterministic gate."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    if rate >= 1.0:
+        return F.lit(True)
+    return F.substring(F.md5(id_col.cast("string")), 1, 4) < F.lit(
+        _threshold_hex(rate)
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: Mapping[str, float],
+    id_col: str,
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Keep each row with its stratum's rate, deterministically.
+
+    `rates` maps stratum value -> keep probability; strata not listed use
+    `default_rate`.  The rate dispatch is a when-chain (a handful of
+    strata), not a join — zero shuffle.
+    """
+    sid = F.col(id_col)
+    keep = None
+    for value, rate in sorted(rates.items()):
+        cond = hash_gate(sid, rate) & (F.col(strata_col) == value)
+        keep = cond if keep is None else keep | cond
+    others = ~F.col(strata_col).isin(*rates.keys()) if rates else F.lit(True)
+    default_gate = hash_gate(sid, default_rate) & others
+    keep = default_gate if keep is None else keep | default_gate
+    return df.filter(keep)

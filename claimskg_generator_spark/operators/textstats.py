@@ -92,6 +92,63 @@ def with_langid(documents: DataFrame) -> DataFrame:
     )
 
 
+def with_repetition_metrics(documents: DataFrame) -> DataFrame:
+    """Gopher-style repetition quality gates (Rae et al. 2021 §A1.1): the
+    fraction of duplicate tokens and the fraction of all bigrams accounted
+    for by the single most frequent bigram.  Highly repetitive documents
+    (boilerplate, keyword stuffing, decoding loops) score high on both and
+    are the standard early drop in a pre-training data pipeline.
+
+    Output: (doc_id, n_tokens, dup_token_frac, top_bigram_frac).
+
+    Scale shape: dup_token_frac is a pure per-row column expression (no
+    shuffle).  top_bigram_frac explodes bigrams and counts via
+    groupBy(doc_id, bigram) — map-side partial aggregation applies, and the
+    only shuffle key is doc_id (never skewed beyond document length).  The
+    left join back is on doc_id, broadcast-eligible per AQE at small
+    corpora and a co-partitioned equi-join at large ones.
+    """
+    toks = tokens(F.lower(F.col("text")))
+    d = documents.select(
+        "doc_id",
+        F.when(F.length(F.trim("text")) == 0, F.array().cast("array<string>"))
+        .otherwise(toks)
+        .alias("toks"),
+    ).withColumn("n_tokens", F.size("toks"))
+    d = d.withColumn(
+        "dup_token_frac",
+        F.round(
+            F.when(
+                F.col("n_tokens") > 0,
+                1.0
+                - F.size(F.array_distinct("toks"))
+                / F.col("n_tokens").cast("double"),
+            ).otherwise(F.lit(0.0)),
+            4,
+        ),
+    )
+    bigrams = F.when(
+        F.size("toks") >= 2,
+        F.expr(
+            "transform(sequence(0, size(toks) - 2),"
+            " i -> concat(toks[i], ' ', toks[i + 1]))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bg = (
+        d.select("doc_id", F.explode(bigrams).alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg((F.max("c") / F.sum("c").cast("double")).alias("tbf"))
+    )
+    return d.join(bg, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        "dup_token_frac",
+        F.round(F.coalesce("tbf", F.lit(0.0)), 4).alias("top_bigram_frac"),
+    )
+
+
 def with_fingerprint(documents: DataFrame) -> DataFrame:
     """Document fingerprint: md5 over whitespace-normalized lowercase text
     (exact-dup key); plus a 64-bit rolling-style prefix hash."""

@@ -1,0 +1,261 @@
+"""Unit tests for the round-4 corpus-pipeline additions: repetition
+metrics, as-of join, bucketed range join, stratified hash-gate sampling,
+PII scrub."""
+
+import datetime as dt
+import hashlib
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from claimskg_generator_spark.functions.pii import redact, with_pii_scrub
+from claimskg_generator_spark.operators.asof import (
+    asof_join,
+    range_join_by_bucket,
+)
+from claimskg_generator_spark.operators.sampling import (
+    hash_gate,
+    stratified_sample,
+)
+from claimskg_generator_spark.operators.textstats import (
+    with_repetition_metrics,
+)
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+# ---------------------------------------------------------------------------
+# repetition metrics
+# ---------------------------------------------------------------------------
+
+def test_repetition_metrics_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a a"),          # 4 tokens, 1 distinct; bigram 'a a' x3
+            (2, "w x y z"),          # all unique; 3 bigrams each once
+            (3, "only"),             # 1 token, no bigrams
+            (4, ""),                 # empty
+            (5, "go go stop go go"),  # 'go go' 2 of 4 bigrams
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in with_repetition_metrics(docs).collect()
+    }
+    assert out[1]["n_tokens"] == 4
+    assert out[1]["dup_token_frac"] == 0.75
+    assert out[1]["top_bigram_frac"] == 1.0
+    assert out[2]["dup_token_frac"] == 0.0
+    assert out[2]["top_bigram_frac"] == pytest.approx(1 / 3, abs=1e-4)
+    assert out[3]["n_tokens"] == 1
+    assert out[3]["top_bigram_frac"] == 0.0
+    assert out[4]["n_tokens"] == 0
+    assert out[4]["dup_token_frac"] == 0.0
+    assert out[5]["top_bigram_frac"] == 0.5
+
+
+def test_repetition_metrics_case_insensitive(spark):
+    docs = spark.createDataFrame([(1, "The THE the")], ["doc_id", "text"])
+    row = with_repetition_metrics(docs).collect()[0]
+    assert row["dup_token_frac"] == pytest.approx(2 / 3, abs=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# as-of join
+# ---------------------------------------------------------------------------
+
+def test_asof_join_basic_ties_and_unmatched(spark):
+    left = spark.createDataFrame(
+        [
+            (100, 1, _ts("2024-01-01T10:00:00")),
+            (101, 1, _ts("2024-01-01T09:00:00")),  # before any right row
+            (102, 2, _ts("2024-01-01T10:00:00")),  # key with no right rows
+        ],
+        ["lid", "k", "ts"],
+    )
+    right = spark.createDataFrame(
+        [
+            (7, 1, _ts("2024-01-01T09:30:00")),
+            (8, 1, _ts("2024-01-01T10:00:00")),  # equal ts -> <= matches
+            (9, 1, _ts("2024-01-01T10:00:00")),  # tie: greatest rid wins
+            (5, 1, _ts("2024-01-01T11:00:00")),  # in the future -> never
+        ],
+        ["rid", "k", "ts"],
+    )
+    out = {
+        r["lid"]: r
+        for r in asof_join(
+            left, right, on=["k"], right_cols=["rid"]
+        ).collect()
+    }
+    assert out[100]["rid_right"] == 9  # ties on ts broken to max rid
+    assert out[100]["ts_right"] == _ts("2024-01-01T10:00:00")
+    assert out[101]["rid_right"] is None
+    assert out[102]["rid_right"] is None
+    assert len(out) == 3
+
+
+def test_asof_join_strictly_prior_match(spark):
+    left = spark.createDataFrame(
+        [(1, 1, _ts("2024-01-01T12:00:00"))], ["lid", "k", "ts"]
+    )
+    right = spark.createDataFrame(
+        [
+            (10, 1, _ts("2024-01-01T11:00:00")),
+            (11, 1, _ts("2024-01-01T11:59:59")),
+        ],
+        ["rid", "k", "ts"],
+    )
+    row = asof_join(left, right, on=["k"], right_cols=["rid"]).collect()[0]
+    assert row["rid_right"] == 11
+
+
+# ---------------------------------------------------------------------------
+# bucketed range join
+# ---------------------------------------------------------------------------
+
+def test_range_join_boundaries(spark):
+    t0 = _ts("2024-01-01T10:00:00")
+    left = spark.createDataFrame([(1, t0)], ["lid", "lts"])
+    right = spark.createDataFrame(
+        [
+            (1, t0 - dt.timedelta(seconds=60)),       # exactly -60 s: in
+            (2, t0 + dt.timedelta(seconds=60)),       # exactly +60 s: in
+            (3, t0 - dt.timedelta(seconds=60, microseconds=1)),  # out
+            (4, t0 + dt.timedelta(seconds=61)),       # out
+            (5, t0),                                   # same instant: in
+        ],
+        ["rid", "rts"],
+    )
+    out = range_join_by_bucket(
+        left, right, "lts", "rts", tolerance_us=60_000_000
+    )
+    assert sorted(r["rid"] for r in out.collect()) == [1, 2, 5]
+
+
+def test_range_join_no_duplicate_pairs_across_bins(spark):
+    # Right rows near bin boundaries must appear exactly once per left row.
+    t0 = _ts("2024-01-01T00:00:00")
+    left = spark.createDataFrame(
+        [(i, t0 + dt.timedelta(seconds=7 * i)) for i in range(40)],
+        ["lid", "lts"],
+    )
+    right = spark.createDataFrame(
+        [(i, t0 + dt.timedelta(seconds=5 * i)) for i in range(60)],
+        ["rid", "rts"],
+    )
+    out = range_join_by_bucket(
+        left, right, "lts", "rts", tolerance_us=30_000_000
+    )
+    pairs = [(r["lid"], r["rid"]) for r in out.collect()]
+    assert len(pairs) == len(set(pairs))
+    # cross-check against the naive quadratic answer
+    lrows = {r["lid"]: r["lts"] for r in left.collect()}
+    rrows = {r["rid"]: r["rts"] for r in right.collect()}
+    expect = {
+        (li, ri)
+        for li, lt in lrows.items()
+        for ri, rt in rrows.items()
+        if abs((lt - rt).total_seconds()) <= 30
+    }
+    assert set(pairs) == expect
+
+
+def test_range_join_left_keeps_unmatched(spark):
+    t0 = _ts("2024-01-01T00:00:00")
+    left = spark.createDataFrame(
+        [(1, t0), (2, t0 + dt.timedelta(hours=5))], ["lid", "lts"]
+    )
+    right = spark.createDataFrame([(9, t0)], ["rid", "rts"])
+    out = range_join_by_bucket(
+        left, right, "lts", "rts", tolerance_us=60_000_000, how="left"
+    ).collect()
+    by_lid = {r["lid"]: r for r in out}
+    assert by_lid[1]["rid"] == 9
+    assert by_lid[2]["rid"] is None
+
+
+# ---------------------------------------------------------------------------
+# stratified hash-gate sampling
+# ---------------------------------------------------------------------------
+
+def test_stratified_sample_matches_stdlib_md5(spark):
+    rows = [(i, ["en", "fr", "zh"][i % 3]) for i in range(300)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    rates = {"en": 0.5, "fr": 0.25}
+    kept = {
+        r["doc_id"]
+        for r in stratified_sample(df, "lang", rates, "doc_id", 0.1).collect()
+    }
+
+    def gate(i, rate):
+        h = hashlib.md5(str(i).encode()).hexdigest()[:4]
+        return h < format(int(rate * 65536), "04x")
+
+    expect = {
+        i for i, lang in rows if gate(i, rates.get(lang, 0.1))
+    }
+    assert kept == expect
+
+
+def test_stratified_sample_deterministic_and_rate_extremes(spark):
+    df = spark.createDataFrame(
+        [(i, "en") for i in range(100)], ["doc_id", "lang"]
+    )
+    all_kept = stratified_sample(df, "lang", {"en": 1.0}, "doc_id").count()
+    none_kept = stratified_sample(df, "lang", {"en": 0.0}, "doc_id").count()
+    assert (all_kept, none_kept) == (100, 0)
+    a = sorted(
+        r["doc_id"]
+        for r in stratified_sample(df, "lang", {"en": 0.3}, "doc_id").collect()
+    )
+    b = sorted(
+        r["doc_id"]
+        for r in stratified_sample(df, "lang", {"en": 0.3}, "doc_id").collect()
+    )
+    assert a == b
+
+
+def test_hash_gate_rejects_bad_rate(spark):
+    with pytest.raises(ValueError):
+        hash_gate(F.col("x"), 1.5)
+
+
+# ---------------------------------------------------------------------------
+# PII scrub
+# ---------------------------------------------------------------------------
+
+def test_pii_scrub_counts_and_redaction(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail alice.smith+x@corp.example.com now"),
+            (2, "server at 192.168.10.254 rebooted"),
+            (3, "call 555-867-5309 or 415.555.0100"),
+            (4, "clean text, nothing here"),
+            (5, "bob@10.0.0.1.example.org and 10.0.0.1"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in with_pii_scrub(df).collect()}
+    assert out[1]["n_emails"] == 1
+    assert out[1]["redacted"] == "mail <EMAIL> now"
+    assert out[2]["n_ipv4"] == 1
+    assert out[2]["redacted"] == "server at <IP> rebooted"
+    assert out[3]["n_phones"] == 2
+    assert out[3]["redacted"] == "call <PHONE> or <PHONE>"
+    assert out[4]["redacted"] == "clean text, nothing here"
+    # email redaction runs first, so the in-domain IP is consumed by it;
+    # the standalone IP is still caught
+    assert out[5]["n_emails"] == 1
+    assert out[5]["redacted"] == "<EMAIL> and <IP>"
+
+
+def test_pii_redact_column_composes(spark):
+    df = spark.createDataFrame([Row(t="x@y.org")])
+    assert df.select(redact(F.col("t")).alias("r")).collect()[0]["r"] == (
+        "<EMAIL>"
+    )
