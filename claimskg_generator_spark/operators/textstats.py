@@ -101,12 +101,13 @@ def with_repetition_metrics(documents: DataFrame) -> DataFrame:
 
     Output: (doc_id, n_tokens, dup_token_frac, top_bigram_frac).
 
-    Scale shape: dup_token_frac is a pure per-row column expression (no
-    shuffle).  top_bigram_frac explodes bigrams and counts via
-    groupBy(doc_id, bigram) — map-side partial aggregation applies, and the
-    only shuffle key is doc_id (never skewed beyond document length).  The
-    left join back is on doc_id, broadcast-eligible per AQE at small
-    corpora and a co-partitioned equi-join at large ones.
+    Scale shape: ZERO shuffle — both metrics are pure per-row column
+    expressions.  The top-bigram count needs no explode/groupBy: sorting
+    the row's bigram array groups equal bigrams adjacently, so the maximum
+    count is the longest equal run, found with one F.aggregate scan
+    (O(d log d) per row, entirely inside the row's own partition).  An
+    earlier draft used explode + groupBy(doc_id, bigram) + join-back: two
+    exchanges and a join that this formulation deletes outright.
     """
     toks = tokens(F.lower(F.col("text")))
     d = documents.select(
@@ -134,18 +135,40 @@ def with_repetition_metrics(documents: DataFrame) -> DataFrame:
             " i -> concat(toks[i], ' ', toks[i + 1]))"
         ),
     ).otherwise(F.array().cast("array<string>"))
-    bg = (
-        d.select("doc_id", F.explode(bigrams).alias("bigram"))
-        .groupBy("doc_id", "bigram")
-        .agg(F.count("*").alias("c"))
-        .groupBy("doc_id")
-        .agg((F.max("c") / F.sum("c").cast("double")).alias("tbf"))
+    # Longest equal run in the sorted bigram array == max bigram count.
+    # Accumulator: (prev bigram, current run length, best run length).
+    # Tokens are never empty strings (split of trimmed non-empty text), so
+    # the "" sentinel for prev cannot collide with a real bigram.
+    best_count = F.aggregate(
+        F.sort_array(bigrams),
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1))
+            .alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
     )
-    return d.join(bg, "doc_id", "left").select(
+    n_bigrams = F.size(bigrams)
+    return d.select(
         "doc_id",
         "n_tokens",
         "dup_token_frac",
-        F.round(F.coalesce("tbf", F.lit(0.0)), 4).alias("top_bigram_frac"),
+        F.round(
+            F.when(
+                n_bigrams > 0, best_count / n_bigrams.cast("double")
+            ).otherwise(F.lit(0.0)),
+            4,
+        ).alias("top_bigram_frac"),
     )
 
 
