@@ -152,6 +152,12 @@ BENCH_QUERIES = [
     # iterative large-star/small-star connected components (pair->group
     # resolution); times per-round overhead of the iterative operator
     "q33_connected_components",
+    # round-4 corpus-prep additions with distributed shapes worth timing:
+    # shuffle-free repetition metrics, single-shuffle as-of join, and the
+    # bucketed range join (q40/q41 are pure narrow maps, not timed)
+    "q38_repetition_filter",
+    "q39_asof_join",
+    "q42_range_join",
 ]
 
 # The 13-query round-2 headline set: its subtotal is reported alongside the

@@ -60,9 +60,13 @@ def with_subword_token_count(documents: DataFrame) -> DataFrame:
     )
 
 
-def with_quality_score(documents: DataFrame) -> DataFrame:
+def with_quality_score(
+    documents: DataFrame, keep_all: bool = False
+) -> DataFrame:
     """Length/stopword-ratio quality score in [0,1] — the standard cheap
-    pre-training quality gate shape."""
+    pre-training quality gate shape.  ``keep_all=True`` appends the score
+    columns to the full input row (for chaining gates in a corpus-prep
+    pipeline) instead of projecting down to the metric tuple."""
     toks = tokens(F.col("text"))
     n_tokens = F.size(toks)
     stop_hits = F.size(
@@ -70,12 +74,18 @@ def with_quality_score(documents: DataFrame) -> DataFrame:
     )
     stop_ratio = stop_hits / F.greatest(n_tokens, F.lit(1)).cast("double")
     len_score = F.least(n_tokens / F.lit(64.0), F.lit(1.0))
+    quality = F.round(
+        (len_score + F.least(stop_ratio * 4, F.lit(1.0))) / 2, 4
+    ).alias("quality")
+    if keep_all:
+        return documents.select(
+            "*", F.round(stop_ratio, 4).alias("stop_ratio"), quality
+        )
     return documents.select(
         "doc_id",
         n_tokens.alias("n_tokens"),
         F.round(stop_ratio, 4).alias("stop_ratio"),
-        F.round((len_score + F.least(stop_ratio * 4, F.lit(1.0))) / 2, 4)
-        .alias("quality"),
+        quality,
     )
 
 
@@ -92,14 +102,18 @@ def with_langid(documents: DataFrame) -> DataFrame:
     )
 
 
-def with_repetition_metrics(documents: DataFrame) -> DataFrame:
+def with_repetition_metrics(
+    documents: DataFrame, keep_all: bool = False
+) -> DataFrame:
     """Gopher-style repetition quality gates (Rae et al. 2021 §A1.1): the
     fraction of duplicate tokens and the fraction of all bigrams accounted
     for by the single most frequent bigram.  Highly repetitive documents
     (boilerplate, keyword stuffing, decoding loops) score high on both and
     are the standard early drop in a pre-training data pipeline.
 
-    Output: (doc_id, n_tokens, dup_token_frac, top_bigram_frac).
+    Output: (doc_id, n_tokens, dup_token_frac, top_bigram_frac) — or, with
+    ``keep_all=True``, the full input row plus (dup_token_frac,
+    top_bigram_frac) for gate chaining.
 
     Scale shape: ZERO shuffle — both metrics are pure per-row column
     expressions.  The top-bigram count needs no explode/groupBy: sorting
@@ -110,12 +124,15 @@ def with_repetition_metrics(documents: DataFrame) -> DataFrame:
     exchanges and a join that this formulation deletes outright.
     """
     toks = tokens(F.lower(F.col("text")))
-    d = documents.select(
-        "doc_id",
+    toks_guarded = (
         F.when(F.length(F.trim("text")) == 0, F.array().cast("array<string>"))
         .otherwise(toks)
-        .alias("toks"),
-    ).withColumn("n_tokens", F.size("toks"))
+        .alias("toks")
+    )
+    base_cols = ["*"] if keep_all else ["doc_id"]
+    d = documents.select(*base_cols, toks_guarded).withColumn(
+        "n_tokens", F.size("toks")
+    )
     d = d.withColumn(
         "dup_token_frac",
         F.round(
@@ -158,18 +175,23 @@ def with_repetition_metrics(documents: DataFrame) -> DataFrame:
         ),
         lambda acc: acc["best"],
     )
-    n_bigrams = F.size(bigrams)
-    return d.select(
-        "doc_id",
-        "n_tokens",
-        "dup_token_frac",
-        F.round(
-            F.when(
-                n_bigrams > 0, best_count / n_bigrams.cast("double")
-            ).otherwise(F.lit(0.0)),
-            4,
-        ).alias("top_bigram_frac"),
-    )
+    # size(bigrams) would re-evaluate the (interpreted, CodegenFallback)
+    # transform lambda per row — see the CSE note at dedup.py:_shingles;
+    # the count is just arithmetic on n_tokens.
+    n_bigrams = F.greatest(F.col("n_tokens") - 1, F.lit(0))
+    top_bigram_frac = F.round(
+        F.when(n_bigrams > 0, best_count / n_bigrams.cast("double")).otherwise(
+            F.lit(0.0)
+        ),
+        4,
+    ).alias("top_bigram_frac")
+    if keep_all:
+        keep = [c for c in documents.columns] + [
+            "dup_token_frac",
+            top_bigram_frac,
+        ]
+        return d.select(*keep)
+    return d.select("doc_id", "n_tokens", "dup_token_frac", top_bigram_frac)
 
 
 def with_fingerprint(documents: DataFrame) -> DataFrame:

@@ -259,3 +259,85 @@ def test_pii_redact_column_composes(spark):
     assert df.select(redact(F.col("t")).alias("r")).collect()[0]["r"] == (
         "<EMAIL>"
     )
+
+
+# ---------------------------------------------------------------------------
+# sequence packing (distributed prefix sum)
+# ---------------------------------------------------------------------------
+
+def test_pack_offsets_match_naive_prefix_sum(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, rng.randint(1, 200)) for i in range(500)]
+    df = spark.createDataFrame(rows, ["doc_id", "n_tokens"])
+    from claimskg_generator_spark.operators.packing import with_pack_offsets
+
+    out = {
+        r["doc_id"]: (r["start_offset"], r["chunk_id"])
+        for r in with_pack_offsets(
+            df, "n_tokens", "doc_id", seq_len=256, bucket_span=32
+        ).collect()
+    }
+    acc = 0
+    for i, n in rows:
+        assert out[i] == (acc, acc // 256)
+        acc += n
+
+
+def test_pack_offsets_sparse_ids_and_bucket_gaps(spark):
+    # ids with holes: empty buckets must not corrupt the prefix chain
+    rows = [(i * 97, 10) for i in range(50)]
+    df = spark.createDataFrame(rows, ["doc_id", "n_tokens"])
+    from claimskg_generator_spark.operators.packing import with_pack_offsets
+
+    out = {
+        r["doc_id"]: r["start_offset"]
+        for r in with_pack_offsets(
+            df, "n_tokens", "doc_id", seq_len=64, bucket_span=100
+        ).collect()
+    }
+    for rank, (i, _) in enumerate(sorted(rows)):
+        assert out[i] == rank * 10
+
+
+def test_pack_offsets_rejects_bad_params(spark):
+    from claimskg_generator_spark.operators.packing import with_pack_offsets
+
+    df = spark.createDataFrame([(1, 1)], ["doc_id", "n_tokens"])
+    with pytest.raises(ValueError):
+        with_pack_offsets(df, "n_tokens", "doc_id", seq_len=0)
+
+
+# ---------------------------------------------------------------------------
+# keep_all gate chaining
+# ---------------------------------------------------------------------------
+
+def test_keep_all_chaining_preserves_columns_and_values(spark):
+    from claimskg_generator_spark.operators.textstats import (
+        with_quality_score,
+        with_repetition_metrics,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat", "en"), (2, "go go go go", "zh")],
+        ["doc_id", "text", "lang"],
+    )
+    chained = with_repetition_metrics(
+        with_quality_score(docs, keep_all=True), keep_all=True
+    )
+    assert set(chained.columns) >= {
+        "doc_id", "text", "lang", "stop_ratio", "quality",
+        "dup_token_frac", "top_bigram_frac",
+    }
+    narrow_q = {
+        r["doc_id"]: r["quality"]
+        for r in with_quality_score(docs).collect()
+    }
+    narrow_r = {
+        r["doc_id"]: r["top_bigram_frac"]
+        for r in with_repetition_metrics(docs).collect()
+    }
+    for r in chained.collect():
+        assert r["quality"] == narrow_q[r["doc_id"]]
+        assert r["top_bigram_frac"] == narrow_r[r["doc_id"]]
