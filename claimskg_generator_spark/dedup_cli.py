@@ -15,6 +15,14 @@ Jaccard verify), simhash (pigeonhole tables, exact hamming verify), ngram
 verify; requires --dim).  Every method ends in dedup_corpus: pairs ->
 connected components -> survivors materialized with a runtime-sized
 anti-join (docs/PLANS.md).
+
+Corpus-prep gates (the q44 pipeline as a user surface): --quality-min /
+--max-top-bigram-frac filter BEFORE pair generation (narrow row
+expressions run ahead of the first shuffle, so gated rows never pay the
+dedup machinery); --sample lang=rate[,lang=rate...] applies the
+deterministic md5 hash-gate mix AFTER survivorship; --pii-redact
+replaces emails/IPv4s/phones in the survivor text with typed
+placeholders.
 """
 
 import argparse
@@ -54,7 +62,34 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         "literals, never inferred from data)")
     p.add_argument("--id-col", default="doc_id")
     p.add_argument("--vec-col", default="embedding")
+    p.add_argument("--quality-min", type=float, default=None,
+                   help="drop documents with quality score below this "
+                        "(textstats.with_quality_score, [0,1])")
+    p.add_argument("--max-top-bigram-frac", type=float, default=None,
+                   help="drop documents whose most frequent bigram "
+                        "accounts for more than this fraction "
+                        "(repetition gate, [0,1])")
+    p.add_argument("--sample", default=None,
+                   help="stratified hash-gate sampling rates, e.g. "
+                        "'en=0.5,fr=0.25' (applied to survivors)")
+    p.add_argument("--sample-default", type=float, default=1.0,
+                   help="rate for strata not listed in --sample "
+                        "(default 1.0: keep)")
+    p.add_argument("--strata-col", default="lang",
+                   help="column --sample stratifies on (default lang)")
+    p.add_argument("--pii-redact", action="store_true",
+                   help="redact emails/IPv4s/phones in survivor text")
     return p
+
+
+def _parse_rates(spec: str) -> dict:
+    rates = {}
+    for part in spec.split(","):
+        if "=" not in part:
+            raise ValueError(f"--sample entry {part!r} is not name=rate")
+        name, rate = part.split("=", 1)
+        rates[name.strip()] = float(rate)
+    return rates
 
 
 def _pairs(args, docs):
@@ -109,6 +144,12 @@ def main(argv=None) -> int:
     if args.method == "embedding" and args.dim is None:
         parser.error("--method embedding requires --dim (the hyperplanes "
                      "are plan-time literals of that length)")
+    sample_rates = None
+    if args.sample is not None:
+        try:
+            sample_rates = _parse_rates(args.sample)
+        except ValueError as exc:
+            parser.error(str(exc))
 
     spark = (
         SparkSession.builder.appName("claimskg_dedup")
@@ -125,6 +166,22 @@ def main(argv=None) -> int:
     docs = spark.read.parquet(args.input)
     if args.id_col != "doc_id":
         docs = docs.withColumnRenamed(args.id_col, "doc_id")
+    # quality/repetition gates: narrow row expressions, applied before any
+    # pair machinery so gated rows never reach a shuffle
+    if args.quality_min is not None or args.max_top_bigram_frac is not None:
+        from claimskg_generator_spark.operators.textstats import (
+            with_quality_score,
+            with_repetition_metrics,
+        )
+
+        in_cols = docs.columns
+        if args.quality_min is not None:
+            docs = with_quality_score(docs, keep_all=True).filter(
+                F.col("quality") >= args.quality_min)
+        if args.max_top_bigram_frac is not None:
+            docs = with_repetition_metrics(docs, keep_all=True).filter(
+                F.col("top_bigram_frac") <= args.max_top_bigram_frac)
+        docs = docs.select(*in_cols)
     pairs = _pairs(args, docs)
     # pairs feed up to three consumers (pairs/groups/survivors): keep the
     # accepted pair stream materialized once instead of re-running the
@@ -138,6 +195,18 @@ def main(argv=None) -> int:
         dedup_groups(pairs).write.mode("overwrite").parquet(
             args.groups_output)
     survivors = dedup_corpus(docs, pairs)
+    if sample_rates is not None:
+        from claimskg_generator_spark.operators.sampling import (
+            stratified_sample,
+        )
+
+        survivors = stratified_sample(
+            survivors, args.strata_col, sample_rates, "doc_id",
+            default_rate=args.sample_default)
+    if args.pii_redact:
+        from claimskg_generator_spark.functions.pii import redact
+
+        survivors = survivors.withColumn("text", redact(F.col("text")))
     if args.id_col != "doc_id":
         survivors = survivors.withColumnRenamed("doc_id", args.id_col)
     survivors.write.mode("overwrite").parquet(args.output)

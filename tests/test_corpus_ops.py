@@ -341,3 +341,70 @@ def test_keep_all_chaining_preserves_columns_and_values(spark):
     for r in chained.collect():
         assert r["quality"] == narrow_q[r["doc_id"]]
         assert r["top_bigram_frac"] == narrow_r[r["doc_id"]]
+
+
+# ---------------------------------------------------------------------------
+# term relevance (tf-idf / BM25)
+# ---------------------------------------------------------------------------
+
+def test_tfidf_hand_computed(spark):
+    import math
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana apple"),
+            (2, "banana cherry"),
+            (3, "cherry cherry durian"),
+        ],
+        ["doc_id", "text"],
+    )
+    from claimskg_generator_spark.operators.relevance import top_terms
+
+    out = {
+        (r["doc_id"], r["term"]): r
+        for r in top_terms(docs, k=5, method="tfidf").collect()
+    }
+    # N=3; df: apple 1, banana 2, cherry 2, durian 1
+    idf1 = math.log(4 / 2)   # df=1
+    idf2 = math.log(4 / 3)   # df=2
+    assert out[(1, "apple")]["score"] == pytest.approx(
+        round(2 * idf1, 4), abs=1e-9
+    )
+    assert out[(1, "banana")]["score"] == pytest.approx(
+        round(1 * idf2, 4), abs=1e-9
+    )
+    assert out[(1, "apple")]["rank"] == 1
+    assert out[(3, "cherry")]["tf"] == 2
+
+
+def test_bm25_length_normalization_and_determinism(spark):
+    from claimskg_generator_spark.operators.relevance import top_terms
+
+    # same tf for 'x' in docs 1 and 2, but doc 2 is much longer -> lower
+    # score; doc 3 keeps df < N so the smoothed idf stays positive
+    docs = spark.createDataFrame(
+        [
+            (1, "x y"),
+            (2, "x " + " ".join(f"w{i}" for i in range(20))),
+            (3, "y z"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = top_terms(docs, k=50, method="bm25")
+    rows = {(r["doc_id"], r["term"]): r["score"] for r in out.collect()}
+    assert rows[(1, "x")] > rows[(2, "x")]
+    again = {
+        (r["doc_id"], r["term"]): r["score"]
+        for r in top_terms(docs, k=50, method="bm25").collect()
+    }
+    assert rows == again
+
+
+def test_top_terms_rejects_bad_args(spark):
+    from claimskg_generator_spark.operators.relevance import top_terms
+
+    docs = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        top_terms(docs, method="pagerank")
+    with pytest.raises(ValueError):
+        top_terms(docs, k=0)

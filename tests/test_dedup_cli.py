@@ -87,3 +87,62 @@ def test_dedup_cli_embedding_with_id_col(spark):
         emb.withColumnRenamed("vec_id", "doc_id"), pairs
     ).withColumnRenamed("doc_id", "vec_id").select("vec_id").collect()}
     assert got == want and got
+
+
+def test_dedup_cli_corpus_prep_gates_sample_and_redact(spark, docs):
+    """--quality-min/--max-top-bigram-frac pre-gates, --sample post-mix,
+    --pii-redact: the CLI must equal the composed operators."""
+    import os
+    import tempfile
+
+    from claimskg_generator_spark.functions.pii import redact
+    from claimskg_generator_spark.operators.components import dedup_corpus
+    from claimskg_generator_spark.operators.dedup import exact_duplicates
+    from claimskg_generator_spark.operators.sampling import stratified_sample
+    from claimskg_generator_spark.operators.textstats import (
+        with_quality_score,
+        with_repetition_metrics,
+    )
+    from pyspark.sql import functions as F
+
+    base = tempfile.mkdtemp(prefix="claimskg_prepcli_")
+    out = os.path.join(base, "out")
+    from claimskg_generator_spark.dedup_cli import main
+
+    rc = main(["--input", "/root/testdata/sf0.001/documents.parquet",
+               "--output", out, "--method", "exact",
+               "--quality-min", "0.35", "--max-top-bigram-frac", "0.9",
+               "--sample", "en=0.5,fr=0.25", "--sample-default", "0.2",
+               "--pii-redact"])
+    assert rc == 0
+    got = spark.read.parquet(out)
+
+    gated = (
+        with_repetition_metrics(
+            with_quality_score(docs, keep_all=True), keep_all=True
+        )
+        .filter((F.col("quality") >= 0.35)
+                & (F.col("top_bigram_frac") <= 0.9))
+        .select(*docs.columns)
+    )
+    d = exact_duplicates(gated)
+    pairs = (d.filter(F.col("doc_id") != F.col("survivor_id"))
+             .select(F.col("survivor_id").alias("id_a"),
+                     F.col("doc_id").alias("id_b")))
+    want = stratified_sample(
+        dedup_corpus(gated, pairs), "lang",
+        {"en": 0.5, "fr": 0.25}, "doc_id", default_rate=0.2,
+    ).withColumn("text", redact(F.col("text")))
+    got_rows = {(r["doc_id"], r["text"]) for r in
+                got.select("doc_id", "text").collect()}
+    want_rows = {(r["doc_id"], r["text"]) for r in
+                 want.select("doc_id", "text").collect()}
+    assert got_rows == want_rows
+    assert 0 < len(got_rows) < docs.count()
+
+
+def test_dedup_cli_rejects_bad_sample_spec():
+    from claimskg_generator_spark.dedup_cli import main
+
+    with pytest.raises(SystemExit):
+        main(["--input", "x", "--output", "y", "--sample", "en:0.5"])
