@@ -282,3 +282,63 @@ def test_streaming_embedding_neardup_matches_batch(spark):
 
     raw = spark.read.parquet(out_dir)
     assert raw.count() == raw.dropDuplicates(["id_a", "id_b"]).count()
+
+
+def test_watermarked_window_agg_emits_and_drops_late(spark):
+    """Watermark + tumbling-window agg (streaming/windowed.py): finalized
+    windows emit exactly once across availableNow drains, and a row
+    arriving later than the persisted watermark is dropped — never
+    counted, even though its window is emitted afterwards."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    from claimskg_generator_spark.streaming.windowed import (
+        windowed_event_counts,
+    )
+
+    base = tempfile.mkdtemp(prefix="claimskg_window_")
+    inp, out, ck = (os.path.join(base, d) for d in ("in", "out", "ck"))
+    os.makedirs(inp, exist_ok=True)
+
+    def t(minute, second=0):
+        return dt.datetime(2024, 1, 1, 10, minute, second)
+
+    def write(rows):
+        spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, "
+                  "event_type string, value double"
+        ).coalesce(1).write.mode("append").parquet(inp)
+
+    def drain():
+        q = windowed_event_counts(spark, inp, out, ck)
+        q.awaitTermination(180)
+
+    # run 1: window [10:00,10:10) gets 2 clicks; max ts 10:19 -> watermark
+    # persists at 10:14 (19 - 5 delay); nothing finalized yet
+    write([(1, t(1), 1, "click", 1.0), (2, t(4), 1, "click", 2.0),
+           (3, t(19), 2, "view", 1.0)])
+    drain()
+
+    # run 2: a LATE click at 10:02 (older than the 10:14 watermark ->
+    # dropped) plus fresh data at 10:25; [10:00,10:10) is finalized NOW,
+    # without the late row
+    write([(4, t(2), 3, "click", 100.0), (5, t(25), 2, "view", 1.0)])
+    drain()
+
+    # run 3: push the watermark past 10:20 so [10:10,10:20) finalizes too
+    write([(6, t(40), 2, "view", 1.0)])
+    drain()
+
+    rows = {
+        (r["win_start"], r["event_type"]): r
+        for r in spark.read.parquet(out).collect()
+    }
+    first = rows[(t(0), "click")]
+    # the late 10:02 click (value 100.0) must NOT be in the finalized window
+    assert first["n_events"] == 2
+    assert first["sum_value"] == 3.0
+    assert rows[(t(10), "view")]["n_events"] == 1
+    # each finalized window emitted exactly once across the three drains
+    all_rows = spark.read.parquet(out).collect()
+    assert len(all_rows) == len(rows)
