@@ -35,6 +35,66 @@ def exact_duplicates(documents: DataFrame) -> DataFrame:
     )
 
 
+def duplicated_spans(
+    documents: DataFrame, width: int = 16, min_count: int = 2
+) -> DataFrame:
+    """Exact-substring (span-level) duplication profile, the practical
+    Spark shape of suffix-array training-data dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): every
+    ``width``-token window is hashed; a window whose hash occurs
+    ``min_count``+ times corpus-wide (same doc counts) is a duplicated
+    span.  Output per document: total spans, duplicated spans, and the
+    duplicated fraction — the drop/trim signal.
+
+    Scale shape: explode is linear in token volume; the span-hash
+    groupBy is map-side combinable; the join back is co-partitioned on
+    the hash.  Hashes are md5 of the space-joined window so a DuckDB
+    oracle reproduces them byte-for-byte.  The token array is
+    materialized behind a column alias before the higher-order transform
+    (CodegenFallback lambdas get no CSE — see _shingles below).
+    """
+    if width < 1:
+        raise ValueError("width must be >= 1")
+    toks = F.split(F.lower(F.trim("text")), r"\s+")
+    d = documents.select("doc_id", toks.alias("toks"))
+    spans = F.when(
+        F.size("toks") >= width,
+        F.expr(
+            f"transform(sequence(0, size(toks) - {width}),"
+            f" i -> md5(array_join(slice(toks, i + 1, {width}), ' ')))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sp = d.select("doc_id", F.explode(spans).alias("k"))
+    hot = (
+        sp.groupBy("k")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= min_count)
+        .select("k")
+    )
+    dup_counts = (
+        sp.join(hot, "k")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_dup_spans"))
+    )
+    totals = d.select(
+        "doc_id",
+        F.greatest(F.size("toks") - (width - 1), F.lit(0)).alias("n_spans"),
+    )
+    return totals.join(dup_counts, "doc_id", "left").select(
+        "doc_id",
+        "n_spans",
+        F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+        F.round(
+            F.when(
+                F.col("n_spans") > 0,
+                F.coalesce("n_dup_spans", F.lit(0))
+                / F.col("n_spans").cast("double"),
+            ).otherwise(F.lit(0.0)),
+            4,
+        ).alias("dup_span_frac"),
+    )
+
+
 def _shingles(col, n=3):
     """Word n-gram shingles (distinct) of lowercased text.
 

@@ -408,3 +408,46 @@ def test_top_terms_rejects_bad_args(spark):
         top_terms(docs, method="pagerank")
     with pytest.raises(ValueError):
         top_terms(docs, k=0)
+
+
+# ---------------------------------------------------------------------------
+# exact-substring span dedup
+# ---------------------------------------------------------------------------
+
+def test_duplicated_spans_hand_computed(spark):
+    from claimskg_generator_spark.operators.dedup import duplicated_spans
+
+    shared = "one two three four"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{shared} alpha"),          # spans: 2 (4-grams)
+            (2, f"beta {shared}"),           # shares the '{shared}' 4-gram
+            (3, "five six seven"),           # too short for width=4
+            (4, "x y z q r"),                # 2 unique spans
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in duplicated_spans(docs, width=4).collect()
+    }
+    # docs 1 and 2 both contain the 'one two three four' window
+    assert out[1]["n_spans"] == 2 and out[1]["n_dup_spans"] == 1
+    assert out[2]["n_spans"] == 2 and out[2]["n_dup_spans"] == 1
+    assert out[1]["dup_span_frac"] == 0.5
+    assert out[3]["n_spans"] == 0 and out[3]["dup_span_frac"] == 0.0
+    assert out[4]["n_dup_spans"] == 0
+
+
+def test_duplicated_spans_counts_within_doc_repeats(spark):
+    from claimskg_generator_spark.operators.dedup import duplicated_spans
+
+    # the same window twice INSIDE one doc is a duplicate too
+    docs = spark.createDataFrame(
+        [(1, "a b a b a b")], ["doc_id", "text"]
+    )
+    row = duplicated_spans(docs, width=2).collect()[0]
+    # windows: ab ba ab ba ab -> every span duplicated
+    assert row["n_spans"] == 5
+    assert row["n_dup_spans"] == 5
+    assert row["dup_span_frac"] == 1.0
