@@ -76,3 +76,43 @@ def with_pack_offsets(
         )
         .drop("__pk_bucket", "__pk_prefix")
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split documents into overlapping fixed-size token chunks — the
+    standard pre-embedding segmentation (RAG / long-context prep).
+    Chunks start every ``chunk_tokens - overlap`` tokens; the last chunk
+    may be shorter, and a document shorter than one chunk yields exactly
+    one chunk.  Pure narrow map + posexplode: no shuffle, embarrassingly
+    parallel at any corpus size.
+
+    Output: (id, chunk_idx, chunk_start, n_chunk_tokens, chunk_md5) with
+    chunk_md5 the md5 of the space-joined chunk tokens (cross-engine
+    replayable for the oracle).
+    """
+    if chunk_tokens <= 0 or not 0 <= overlap < chunk_tokens:
+        raise ValueError("need chunk_tokens > 0 and 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = F.split(F.lower(F.trim(text_col)), r"\s+")
+    d = df.select(F.col(id_col), toks.alias("toks"))
+    chunks = F.expr(
+        f"transform(sequence(0, greatest(size(toks) - 1, 0), {stride}),"
+        f" s -> struct(s as chunk_start,"
+        f"  slice(toks, s + 1, {chunk_tokens}) as ctoks))"
+    )
+    ex = d.select(
+        id_col, F.posexplode(chunks).alias("chunk_idx", "c")
+    )
+    return ex.select(
+        id_col,
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.col("c.chunk_start").cast("int").alias("chunk_start"),
+        F.size("c.ctoks").alias("n_chunk_tokens"),
+        F.md5(F.array_join("c.ctoks", " ")).alias("chunk_md5"),
+    )

@@ -80,3 +80,48 @@ def windowed_event_counts(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def sessionized_event_counts(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    gap: str = "30 minutes",
+    delay: str = "5 minutes",
+):
+    """Streaming sessionization: per-user session windows (sessions close
+    after ``gap`` of inactivity), the streaming twin of the batch q13
+    sessionize query.  Uses Spark's native session_window with a
+    watermark: a session is emitted (append mode, exactly once) when the
+    watermark passes its end, i.e. once no in-order event can extend it;
+    rows older than the watermark are dropped.  State holds only open
+    sessions — bounded by active users, not stream length."""
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 64)
+        .parquet(input_dir)
+    )
+    agg = (
+        stream.withWatermark("ts", delay)
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("session_window.start").alias("sess_start"),
+            F.col("session_window.end").alias("sess_end"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+    return (
+        agg.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

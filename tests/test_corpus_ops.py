@@ -451,3 +451,40 @@ def test_duplicated_spans_counts_within_doc_repeats(spark):
     assert row["n_spans"] == 5
     assert row["n_dup_spans"] == 5
     assert row["dup_span_frac"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# document chunking
+# ---------------------------------------------------------------------------
+
+def test_chunk_documents_overlap_and_short_docs(spark):
+    import hashlib
+
+    from claimskg_generator_spark.operators.packing import chunk_documents
+
+    words = [f"w{i}" for i in range(10)]
+    docs = spark.createDataFrame(
+        [(1, " ".join(words)), (2, "tiny doc")], ["doc_id", "text"]
+    )
+    out = sorted(
+        chunk_documents(docs, chunk_tokens=4, overlap=2).collect(),
+        key=lambda r: (r["doc_id"], r["chunk_idx"]),
+    )
+    one = [r for r in out if r["doc_id"] == 1]
+    # stride 2 over 10 tokens -> starts 0,2,4,6,8
+    assert [(r["chunk_start"], r["n_chunk_tokens"]) for r in one] == [
+        (0, 4), (2, 4), (4, 4), (6, 4), (8, 2)
+    ]
+    assert one[1]["chunk_md5"] == hashlib.md5(
+        " ".join(words[2:6]).encode()
+    ).hexdigest()
+    two = [r for r in out if r["doc_id"] == 2]
+    assert len(two) == 1 and two[0]["n_chunk_tokens"] == 2
+
+
+def test_chunk_documents_rejects_bad_params(spark):
+    from claimskg_generator_spark.operators.packing import chunk_documents
+
+    docs = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=4, overlap=4)

@@ -342,3 +342,61 @@ def test_watermarked_window_agg_emits_and_drops_late(spark):
     # each finalized window emitted exactly once across the three drains
     all_rows = spark.read.parquet(out).collect()
     assert len(all_rows) == len(rows)
+
+
+def test_streaming_sessionization_matches_batch_semantics(spark):
+    """session_window + watermark: sessions merge across drains while
+    open, emit exactly once when closed, and match the batch gap
+    semantics (q13's 30-minute rule) for every closed session."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    from claimskg_generator_spark.streaming.windowed import (
+        sessionized_event_counts,
+    )
+
+    base = tempfile.mkdtemp(prefix="claimskg_sess_")
+    inp, out, ck = (os.path.join(base, d) for d in ("in", "out", "ck"))
+    os.makedirs(inp, exist_ok=True)
+
+    def t(hour, minute=0):
+        return dt.datetime(2024, 1, 1, hour, minute)
+
+    def write(rows):
+        spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, "
+                  "event_type string, value double"
+        ).coalesce(1).write.mode("append").parquet(inp)
+
+    def drain():
+        q = sessionized_event_counts(spark, inp, out, ck, gap="30 minutes")
+        q.awaitTermination(180)
+
+    # user 1: events at 10:00 and 10:20 chain one session (gap < 30 min);
+    # 11:30 starts another.  user 2: single event.
+    write([(1, t(10, 0), 1, "click", 1.0), (2, t(10, 20), 1, "click", 1.0),
+           (3, t(10, 5), 2, "view", 2.0)])
+    drain()
+    # 11:30 closes user 1's first session (watermark passes 10:50) and
+    # opens a new one; 13:00 in the next drain closes everything open
+    write([(4, t(11, 30), 1, "click", 5.0)])
+    drain()
+    write([(5, t(13, 0), 3, "view", 1.0), (6, t(14, 0), 3, "view", 1.0)])
+    drain()
+    write([(7, t(16, 0), 4, "view", 1.0)])
+    drain()
+
+    rows = {
+        (r["user_id"], r["sess_start"]): r
+        for r in spark.read.parquet(out).collect()
+    }
+    s1 = rows[(1, t(10, 0))]
+    assert s1["n_events"] == 2
+    assert s1["sess_end"] == t(10, 50)   # last event + gap
+    assert s1["sum_value"] == 2.0
+    assert rows[(2, t(10, 5))]["n_events"] == 1
+    assert rows[(1, t(11, 30))]["n_events"] == 1
+    # sessions are emitted exactly once
+    all_rows = spark.read.parquet(out).collect()
+    assert len(all_rows) == len(rows)
