@@ -153,11 +153,15 @@ BENCH_QUERIES = [
     # resolution); times per-round overhead of the iterative operator
     "q33_connected_components",
     # round-4 corpus-prep additions with distributed shapes worth timing:
-    # shuffle-free repetition metrics, single-shuffle as-of join, and the
-    # bucketed range join (q40/q41 are pure narrow maps, not timed)
+    # shuffle-free repetition metrics, single-shuffle as-of join, the
+    # bucketed range join, tf-idf's aggregate chain, and the span-dedup
+    # hash groupBy (q40/q41/q43/q44/q48 are narrow maps / tiny
+    # composites, not timed)
     "q38_repetition_filter",
     "q39_asof_join",
     "q42_range_join",
+    "q45_tfidf_terms",
+    "q47_duplicated_spans",
 ]
 
 # The 13-query round-2 headline set: its subtotal is reported alongside the
