@@ -488,3 +488,70 @@ def test_chunk_documents_rejects_bad_params(spark):
     docs = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
     with pytest.raises(ValueError):
         chunk_documents(docs, chunk_tokens=4, overlap=4)
+
+
+# ---------------------------------------------------------------------------
+# randomized cross-checks vs naive references
+# ---------------------------------------------------------------------------
+
+def test_asof_join_random_matches_naive(spark):
+    import random
+
+    rng = random.Random(11)
+    t0 = _ts("2024-01-01T00:00:00")
+    lrows = [
+        (i, rng.randint(1, 5),
+         t0 + dt.timedelta(seconds=rng.randint(0, 500)))
+        for i in range(120)
+    ]
+    rrows = [
+        (1000 + i, rng.randint(1, 5),
+         t0 + dt.timedelta(seconds=rng.randint(0, 500)))
+        for i in range(150)
+    ]
+    left = spark.createDataFrame(lrows, ["lid", "k", "ts"])
+    right = spark.createDataFrame(rrows, ["rid", "k", "ts"])
+    got = {
+        r["lid"]: r["rid_right"]
+        for r in asof_join(left, right, on=["k"],
+                           right_cols=["rid"]).collect()
+    }
+
+    def naive(lk, lt):
+        cands = [(rt, rid) for rid, rk, rt in rrows
+                 if rk == lk and rt <= lt]
+        return max(cands)[1] if cands else None
+
+    for lid, lk, lt in lrows:
+        assert got[lid] == naive(lk, lt), lid
+    assert len(got) == len(lrows)
+
+
+def test_duplicated_spans_random_matches_naive(spark):
+    import collections
+    import random
+
+    rng = random.Random(23)
+    vocab = [f"t{i}" for i in range(12)]
+    texts = {
+        i: " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 30)))
+        for i in range(60)
+    }
+    from claimskg_generator_spark.operators.dedup import duplicated_spans
+
+    docs = spark.createDataFrame(list(texts.items()), ["doc_id", "text"])
+    W = 3
+    got = {
+        r["doc_id"]: (r["n_spans"], r["n_dup_spans"])
+        for r in duplicated_spans(docs, width=W).collect()
+    }
+    counts = collections.Counter()
+    spans = {}
+    for i, txt in texts.items():
+        toks = txt.split()
+        spans[i] = [tuple(toks[j:j + W])
+                    for j in range(len(toks) - W + 1)]
+        counts.update(spans[i])
+    for i in texts:
+        n_dup = sum(1 for s in spans[i] if counts[s] >= 2)
+        assert got[i] == (len(spans[i]), n_dup), i
