@@ -203,3 +203,34 @@ def with_fingerprint(documents: DataFrame) -> DataFrame:
         F.md5(norm).alias("fingerprint"),
         F.xxhash64(norm).alias("fingerprint64"),
     )
+
+
+def distribution_stats(
+    documents: DataFrame,
+    value_col: str = "n_chars",
+    by: str = "lang",
+    exact: bool = True,
+) -> DataFrame:
+    """Per-group distribution profile of a numeric column (corpus length
+    audits: median / p95 / mean / extremes per language or source).
+
+    ``exact=True`` uses Spark's exact interpolated percentile — which
+    BUFFERS each group's values in the aggregation state, so it is the
+    small-group/audit path and the one the DuckDB oracle (quantile_cont,
+    same type-7 interpolation — verified equal to the rounded digit)
+    checks.  At 100 TB with large groups, pass ``exact=False`` for
+    approx_percentile (t-digest sketch, bounded memory, mergeable across
+    partitions) — same schema, rows-only checkable.
+    """
+    pct = F.percentile if exact else (
+        lambda c, p: F.approx_percentile(c, p, F.lit(10000))
+    )
+    v = F.col(value_col)
+    return documents.groupBy(by).agg(
+        F.count("*").alias("n"),
+        F.round(pct(v, F.lit(0.5)), 4).alias("p50"),
+        F.round(pct(v, F.lit(0.95)), 4).alias("p95"),
+        F.round(F.avg(v), 4).alias("mean_val"),
+        F.min(v).alias("min_val"),
+        F.max(v).alias("max_val"),
+    )

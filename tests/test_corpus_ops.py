@@ -555,3 +555,23 @@ def test_duplicated_spans_random_matches_naive(spark):
     for i in texts:
         n_dup = sum(1 for s in spans[i] if counts[s] >= 2)
         assert got[i] == (len(spans[i]), n_dup), i
+
+
+def test_distribution_stats_exact_vs_approx_schema(spark):
+    from claimskg_generator_spark.operators.textstats import (
+        distribution_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 2 else "fr", float(i)) for i in range(1, 41)],
+        ["doc_id", "lang", "n_chars"],
+    )
+    exact = distribution_stats(docs).collect()
+    approx = distribution_stats(docs, exact=False)
+    assert approx.columns == distribution_stats(docs).columns
+    by = {r["lang"]: r for r in exact}
+    # en = odd 1..39 (20 values): median = 20.0 interpolated
+    assert by["en"]["p50"] == 20.0
+    assert by["en"]["n"] == 20
+    assert by["fr"]["max_val"] == 40.0
+    assert approx.count() == 2
