@@ -62,3 +62,35 @@ def stratified_sample(
     default_gate = hash_gate(sid, default_rate) & others
     keep = default_gate if keep is None else keep | default_gate
     return df.filter(keep)
+
+
+def assign_splits(
+    df: DataFrame,
+    id_col: str,
+    fractions: Mapping[str, float] | None = None,
+) -> DataFrame:
+    """Deterministic train/val/test assignment: a PARTITION of the corpus
+    (every row gets exactly one split), not a filter.  The split is a
+    pure function of md5(id) against cumulative fraction thresholds —
+    stable across runs, retries, partitionings, and engines, and rows
+    never migrate between splits when unrelated data changes (the
+    property `randomSplit` cannot give you).  Narrow map, zero shuffle.
+    """
+    fractions = dict(fractions or {"train": 0.8, "val": 0.1, "test": 0.1})
+    if not fractions:
+        raise ValueError("fractions must be non-empty")
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    h = F.substring(F.md5(F.col(id_col).cast("string")), 1, 4)
+    names = list(fractions)
+    expr = None
+    cum = 0.0
+    for name in names[:-1]:
+        cum += fractions[name]
+        cond = h < F.lit(_threshold_hex(cum))
+        branch = F.when(cond, F.lit(name))
+        expr = branch if expr is None else expr.when(cond, F.lit(name))
+    last = F.lit(names[-1])
+    split = last if expr is None else expr.otherwise(last)
+    return df.withColumn("split", split)

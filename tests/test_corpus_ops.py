@@ -575,3 +575,41 @@ def test_distribution_stats_exact_vs_approx_schema(spark):
     assert by["en"]["n"] == 20
     assert by["fr"]["max_val"] == 40.0
     assert approx.count() == 2
+
+
+def test_assign_splits_partition_properties(spark):
+    import hashlib
+
+    from claimskg_generator_spark.operators.sampling import assign_splits
+
+    df = spark.createDataFrame(
+        [(i,) for i in range(500)], ["doc_id"]
+    )
+    out = {r["doc_id"]: r["split"]
+           for r in assign_splits(df, "doc_id").collect()}
+    # total partition: every row assigned exactly one split
+    assert len(out) == 500
+    assert set(out.values()) <= {"train", "val", "test"}
+
+    def expect(i):
+        h = hashlib.md5(str(i).encode()).hexdigest()[:4]
+        if h < format(int(0.8 * 65536), "04x"):
+            return "train"
+        if h < format(int(0.9 * 65536), "04x"):
+            return "val"
+        return "test"
+
+    assert all(out[i] == expect(i) for i in range(500))
+    # roughly the right proportions at n=500
+    from collections import Counter
+
+    c = Counter(out.values())
+    assert 330 <= c["train"] <= 460 and c["val"] >= 20 and c["test"] >= 20
+
+
+def test_assign_splits_rejects_bad_fractions(spark):
+    from claimskg_generator_spark.operators.sampling import assign_splits
+
+    df = spark.createDataFrame([(1,)], ["doc_id"])
+    with pytest.raises(ValueError):
+        assign_splits(df, "doc_id", {"train": 0.5, "val": 0.2})
