@@ -233,3 +233,56 @@ def canonicalize_sameas(triples: DataFrame,
         )
     )
     return rest.unionByName(star)
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iters: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Fixed-iteration PageRank over an undirected edge list (each edge
+    contributes both directions).  r_{k+1}(v) = (1-d)/N + d * sum over
+    in-neighbors u of r_k(u)/outdeg(u).
+
+    Iterative DataFrame loop: each iteration is one co-partitioned join
+    (ranks x out-edges on the source) + one groupBy(dst) sum — the
+    standard distributed power-iteration shape.  Degrees and the
+    symmetric edge list are computed once and persisted (they are
+    re-read every iteration); the rank frame stays (node, rank) slim.
+    Fixed n_iters keeps the result deterministic and oracle-checkable
+    (an unrolled SQL twin); convergence-threshold stopping is the
+    production variant and changes only the loop condition.
+    """
+    if n_iters < 0:
+        raise ValueError("n_iters must be >= 0")
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
+    sym = e.unionByName(
+        e.select(F.col("t").alias("s"), F.col("s").alias("t"))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    deg = sym.groupBy("s").agg(F.count("*").alias("od"))
+    out_edges = sym.join(deg, "s").persist(StorageLevel.MEMORY_AND_DISK)
+    nodes = sym.select(F.col("s").alias("node")).distinct()
+    n_nodes = nodes.count()  # one intentional action: sizes the teleport term
+    if n_nodes == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
+    teleport = (1.0 - damping) / n_nodes
+    for _ in range(n_iters):
+        contrib = (
+            out_edges.join(ranks, out_edges["s"] == ranks["node"])
+            .select(
+                F.col("t").alias("node"),
+                (F.col("rank") / F.col("od")).alias("c"),
+            )
+        )
+        ranks = (
+            contrib.groupBy("node")
+            .agg((F.lit(teleport) + damping * F.sum("c")).alias("rank"))
+        )
+    out = nodes.join(ranks, "node", "left").select(
+        "node",
+        F.round(F.coalesce("rank", F.lit(teleport)), 6).alias("rank"),
+    )
+    return out

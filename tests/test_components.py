@@ -148,3 +148,28 @@ def test_canonicalize_sameas_star_form(spark):
     assert got == want
     # star form never grows the edge set
     assert len(got) <= len(set(pairs))
+
+
+def test_pagerank_mass_conservation_and_symmetry(spark):
+    from claimskg_generator_spark.operators.components import pagerank
+
+    # path graph a-b-c: b is the hub
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], ["src", "dst"]
+    )
+    out = {r["node"]: r["rank"] for r in pagerank(edges, n_iters=10).collect()}
+    # undirected, no dangling nodes -> total mass stays 1
+    assert abs(sum(out.values()) - 1.0) < 1e-6
+    # symmetry: a and c are interchangeable; the hub outranks both
+    assert abs(out["a"] - out["c"]) < 1e-9
+    assert out["b"] > out["a"]
+
+
+def test_pagerank_zero_iters_is_uniform(spark):
+    from claimskg_generator_spark.operators.components import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("c", "d")], ["src", "dst"]
+    )
+    out = {r["node"]: r["rank"] for r in pagerank(edges, n_iters=0).collect()}
+    assert all(r == 0.25 for r in out.values())
