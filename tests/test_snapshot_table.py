@@ -294,3 +294,41 @@ def test_admin_cli_end_to_end(spark, tmp_path, capsys):
     assert main([tdir, "vacuum"]) == 0
     assert [s["snapshot_id"] for s in t.snapshots()] == [3]
     assert t.read().count() == 200
+
+
+def test_optimize_layout_improves_file_skipping(spark, tmp_path):
+    """Range-clustered writes make the manifest's min/max stats
+    selective: a lang-filtered scan over the clustered table must prune
+    strictly more files than over the unclustered one."""
+    from claimskg_generator_spark.operators.sampling import optimize_layout
+    from claimskg_generator_spark.sources.snapshot_table import SnapshotTable
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).repartition(8)  # deliberately scrambled: every file sees every lang
+
+    plain = SnapshotTable(spark, str(tmp_path / "plain"),
+                          stat_cols=["lang"])
+    plain.append(docs)
+    clustered = SnapshotTable(spark, str(tmp_path / "clustered"),
+                              stat_cols=["lang"])
+    clustered.append(optimize_layout(docs, ["lang"], n_partitions=8))
+
+    where = ("lang", "=", "de")
+    s_plain = plain.scan_stats(where=where)
+    s_clus = clustered.scan_stats(where=where)
+    # unclustered: every file straddles 'de' -> nothing skipped
+    assert s_plain["kept_files"] == s_plain["total_files"]
+    # clustered: only the file(s) whose [min,max] band covers 'de' remain
+    assert s_clus["kept_files"] < s_clus["total_files"]
+    # and the pruned read still returns exactly the right rows
+    got = clustered.read(where=where).count()
+    want = docs.filter("lang = 'de'").count()
+    assert got == want
+
+
+def test_optimize_layout_rejects_empty_cols(spark):
+    from claimskg_generator_spark.operators.sampling import optimize_layout
+
+    with pytest.raises(ValueError):
+        optimize_layout(spark.range(3), [])
