@@ -162,6 +162,8 @@ BENCH_QUERIES = [
     "q42_range_join",
     "q45_tfidf_terms",
     "q47_duplicated_spans",
+    # iterative graph family over the derived co-mention graph
+    "q55_pagerank",
 ]
 
 # The 13-query round-2 headline set: its subtotal is reported alongside the
