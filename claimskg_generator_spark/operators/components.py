@@ -286,3 +286,50 @@ def pagerank(
         F.round(F.coalesce("rank", F.lit(teleport)), 6).alias("rank"),
     )
     return out
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iters: int = 2,
+) -> DataFrame:
+    """Synchronous label propagation (community detection) over an
+    undirected edge list.  Each iteration every node adopts the most
+    frequent label among its neighbors, ties broken to the
+    lexicographically smallest label — which makes the fixed-iteration
+    result fully deterministic (classic async LPA is order-dependent;
+    the synchronous min-tie-break variant is the reproducible twin).
+
+    Per iteration: one co-partitioned labels x edges join, a
+    (node, label) count aggregate, and a row_number window for the
+    argmax — all keyed on the node, the same shuffle profile as one
+    PageRank step.
+    """
+    if n_iters < 0:
+        raise ValueError("n_iters must be >= 0")
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
+    sym = e.unionByName(
+        e.select(F.col("t").alias("s"), F.col("s").alias("t"))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    labels = sym.select(F.col("s").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    from pyspark.sql import Window
+
+    for _ in range(n_iters):
+        neigh = (
+            sym.join(labels, sym["s"] == labels["node"])
+            .select(F.col("t").alias("node"), "label")
+            .groupBy("node", "label")
+            .agg(F.count("*").alias("c"))
+        )
+        w = Window.partitionBy("node").orderBy(
+            F.desc("c"), F.asc("label")
+        )
+        labels = (
+            neigh.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+        )
+    return labels

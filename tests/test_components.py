@@ -173,3 +173,35 @@ def test_pagerank_zero_iters_is_uniform(spark):
     )
     out = {r["node"]: r["rank"] for r in pagerank(edges, n_iters=0).collect()}
     assert all(r == 0.25 for r in out.values())
+
+
+def test_label_propagation_two_cliques(spark):
+    from claimskg_generator_spark.operators.components import (
+        label_propagation,
+    )
+
+    # two triangles joined by nothing: each converges to its min label
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"),
+         ("x", "y"), ("y", "z"), ("x", "z")],
+        ["src", "dst"],
+    )
+    out = {r["node"]: r["label"]
+           for r in label_propagation(edges, n_iters=3).collect()}
+    assert out["a"] == out["b"] == out["c"] == "a"
+    assert out["x"] == out["y"] == out["z"] == "x"
+
+
+def test_label_propagation_deterministic_tie_break(spark):
+    from claimskg_generator_spark.operators.components import (
+        label_propagation,
+    )
+
+    # node 'm' sees neighbors 'a' and 'z' once each after iter 1 ->
+    # min-label tie-break picks 'a'
+    edges = spark.createDataFrame(
+        [("a", "m"), ("z", "m")], ["src", "dst"]
+    )
+    out = {r["node"]: r["label"]
+           for r in label_propagation(edges, n_iters=1).collect()}
+    assert out["m"] == "a"
