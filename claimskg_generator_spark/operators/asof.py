@@ -46,15 +46,25 @@ def asof_join(
     right_ts: str = "ts",
     right_cols: Sequence[str] = (),
     suffix: str = "_right",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: attach to every left row the right row sharing
-    the ``on`` key with the greatest ``right_ts`` <= ``left_ts`` (ties on
-    ``right_ts`` broken toward the greatest ``right_cols`` tuple, so the
-    result is deterministic).  Left rows with no prior right row keep NULLs.
+    """As-of join: attach to every left row one right row sharing the
+    ``on`` key — ``direction='backward'`` (default) picks the greatest
+    ``right_ts`` <= ``left_ts`` (ties broken toward the greatest
+    ``right_cols`` tuple); ``direction='forward'`` picks the smallest
+    ``right_ts`` >= ``left_ts`` (ties toward the smallest tuple).  Both
+    are deterministic.  Left rows with no match keep NULLs.
+
+    The forward variant is the same union + running-window machinery on
+    the REVERSED time order (ts desc): right rows at-or-after the left
+    row sort before it, so ``last(ignorenulls)`` lands on the nearest
+    following match — still ONE shuffle total.
 
     Output: all left columns, then each of ``right_cols`` and the matched
     right timestamp, suffixed with ``suffix``.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"unknown direction {direction!r}")
     on = list(on)
     right_cols = [c for c in right_cols if c not in on]
     payload = F.struct(
@@ -75,11 +85,16 @@ def asof_join(
     )
     u = l2.unionByName(r2, allowMissingColumns=True)
     # Right rows sort before left rows at an equal timestamp (_MARK 0 < 1),
-    # giving <=, not <, semantics; among equal-ts right rows the struct
-    # ordering makes `last` pick the greatest payload tuple.
+    # giving inclusive (<= / >=) semantics; among equal-ts right rows the
+    # struct ordering makes `last` pick the greatest (backward) or
+    # smallest (forward) payload tuple.
+    if direction == "backward":
+        order = [F.asc(_TS), F.asc(_MARK), F.asc(_PAYLOAD)]
+    else:
+        order = [F.desc(_TS), F.asc(_MARK), F.desc(_PAYLOAD)]
     w = (
         Window.partitionBy(*on)
-        .orderBy(_TS, _MARK, _PAYLOAD)
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = u.withColumn(

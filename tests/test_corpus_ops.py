@@ -613,3 +613,57 @@ def test_assign_splits_rejects_bad_fractions(spark):
     df = spark.createDataFrame([(1,)], ["doc_id"])
     with pytest.raises(ValueError):
         assign_splits(df, "doc_id", {"train": 0.5, "val": 0.2})
+
+
+def test_asof_join_forward_direction(spark):
+    left = spark.createDataFrame(
+        [
+            (100, 1, _ts("2024-01-01T10:00:00")),
+            (101, 1, _ts("2024-01-01T12:30:00")),  # after all right rows
+            (102, 2, _ts("2024-01-01T10:00:00")),  # key with no right rows
+        ],
+        ["lid", "k", "ts"],
+    )
+    right = spark.createDataFrame(
+        [
+            (7, 1, _ts("2024-01-01T09:30:00")),  # before: never matches
+            (8, 1, _ts("2024-01-01T10:00:00")),  # equal ts -> >= matches
+            (9, 1, _ts("2024-01-01T10:00:00")),  # tie: SMALLEST rid wins
+            (5, 1, _ts("2024-01-01T11:00:00")),
+        ],
+        ["rid", "k", "ts"],
+    )
+    out = {
+        r["lid"]: r
+        for r in asof_join(left, right, on=["k"], right_cols=["rid"],
+                           direction="forward").collect()
+    }
+    assert out[100]["rid_right"] == 8
+    assert out[101]["rid_right"] is None
+    assert out[102]["rid_right"] is None
+
+
+def test_asof_join_forward_random_matches_naive(spark):
+    import random
+
+    rng = random.Random(31)
+    t0 = _ts("2024-01-01T00:00:00")
+    lrows = [(i, rng.randint(1, 4),
+              t0 + dt.timedelta(seconds=rng.randint(0, 400)))
+             for i in range(100)]
+    rrows = [(1000 + i, rng.randint(1, 4),
+              t0 + dt.timedelta(seconds=rng.randint(0, 400)))
+             for i in range(120)]
+    left = spark.createDataFrame(lrows, ["lid", "k", "ts"])
+    right = spark.createDataFrame(rrows, ["rid", "k", "ts"])
+    got = {r["lid"]: r["rid_right"]
+           for r in asof_join(left, right, on=["k"], right_cols=["rid"],
+                              direction="forward").collect()}
+
+    def naive(lk, lt):
+        cands = [(rt, rid) for rid, rk, rt in rrows
+                 if rk == lk and rt >= lt]
+        return min(cands)[1] if cands else None
+
+    for lid, lk, lt in lrows:
+        assert got[lid] == naive(lk, lt), lid
