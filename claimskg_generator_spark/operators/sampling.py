@@ -58,7 +58,13 @@ def stratified_sample(
     for value, rate in sorted(rates.items()):
         cond = hash_gate(sid, rate) & (F.col(strata_col) == value)
         keep = cond if keep is None else keep | cond
-    others = ~F.col(strata_col).isin(*rates.keys()) if rates else F.lit(True)
+    # NULL strata route to the default gate: bare ~isin(...) is NULL (not
+    # True) for a NULL stratum, which would silently drop those rows no
+    # matter what default_rate says
+    others = (
+        (F.col(strata_col).isNull() | ~F.col(strata_col).isin(*rates.keys()))
+        if rates else F.lit(True)
+    )
     default_gate = hash_gate(sid, default_rate) & others
     keep = default_gate if keep is None else keep | default_gate
     return df.filter(keep)
@@ -79,6 +85,8 @@ def assign_splits(
     fractions = dict(fractions or {"train": 0.8, "val": 0.1, "test": 0.1})
     if not fractions:
         raise ValueError("fractions must be non-empty")
+    if any(not 0.0 <= v <= 1.0 for v in fractions.values()):
+        raise ValueError(f"each fraction must be in [0, 1], got {fractions}")
     total = sum(fractions.values())
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"fractions must sum to 1, got {total}")
@@ -88,7 +96,11 @@ def assign_splits(
     cum = 0.0
     for name in names[:-1]:
         cum += fractions[name]
-        cond = h < F.lit(_threshold_hex(cum))
+        # cum >= 1 must short-circuit to True: _threshold_hex(1.0) is the
+        # 5-char '10000', which string-compares BELOW hashes starting
+        # a-f and would misroute them into a zero-fraction tail split
+        cond = (F.lit(True) if cum >= 1.0 - 1e-9
+                else h < F.lit(_threshold_hex(cum)))
         branch = F.when(cond, F.lit(name))
         expr = branch if expr is None else expr.when(cond, F.lit(name))
     last = F.lit(names[-1])

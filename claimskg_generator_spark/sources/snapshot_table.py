@@ -29,21 +29,29 @@ Scale posture:
   At 10^12-row scale the manifest holds one entry per parquet file (a
   few 100k entries at healthy file sizes) — the same driver-side budget
   Iceberg's avro manifests target.
-- Commits are optimistic + atomic: the manifest is written with
-  O_CREAT|O_EXCL (first writer wins snapshot id; a racing committer
-  retries against the new current), and `_current` advances via
-  os.replace — readers see the old or the new snapshot, never a partial
-  table.  Data files are written BEFORE the manifest, so a failed commit
-  leaves only unreferenced files (safe to garbage-collect), never a
-  corrupt table.
+- Commits are optimistic + atomic: the manifest is FULLY WRITTEN to a
+  temp file (fsync'd) and then CLAIMS its snapshot id with os.link — an
+  atomic first-writer-wins publish of a complete file, so a manifest
+  that exists is always readable; there is no window where snap-N.json
+  is truncated or mid-write.  `_current` advances monotonically under an
+  flock'd pointer lock, so a slow committer can never move the pointer
+  backwards over a newer snapshot.  A writer that crashes between the
+  manifest link and the pointer advance leaves a complete ORPHAN
+  manifest: the next committer that loses the id race to it validates
+  and ADOPTS it (advances `_current` to it) instead of wedging — the
+  crash costs at most one adopted snapshot, never a stuck table.  Data
+  files are written BEFORE the manifest, so a failed commit leaves only
+  unreferenced files (safe to garbage-collect), never a corrupt table.
 - Stats-based skipping: min/max per stat column per file; a reader
   predicate (col, op, literal) drops files whose range cannot match —
   partition pruning without hive directories, which is exactly how a
   pred-bucketed triple table stays one-scan-per-predicate at scale.
 """
 
+import fcntl
 import json
 import os
+import time
 import uuid
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -166,15 +174,25 @@ class SnapshotTable:
         except FileNotFoundError:
             raise SnapshotTableError(
                 f"no snapshot {sid} in {self.table_dir}")
+        except json.JSONDecodeError as exc:
+            raise SnapshotTableError(
+                f"unreadable manifest for snapshot {sid} in "
+                f"{self.table_dir} (pre-atomic-writer debris?): {exc}")
 
     def snapshots(self) -> List[Dict]:
-        """All snapshots, oldest first: (id, parent, operation, rows)."""
+        """All snapshots, oldest first: (id, parent, operation, rows).
+        Unreadable manifests (pre-atomic-writer debris) are skipped — the
+        listing degrades, it never crashes; vacuum() separately refuses to
+        collect while such debris exists."""
         mdir = os.path.join(self.table_dir, _MANIFEST_DIR)
         out = []
         for name in sorted(os.listdir(mdir)):
             if name.startswith("snap-") and name.endswith(".json"):
-                with open(os.path.join(mdir, name)) as f:
-                    m = json.load(f)
+                try:
+                    with open(os.path.join(mdir, name)) as f:
+                        m = json.load(f)
+                except (json.JSONDecodeError, FileNotFoundError):
+                    continue
                 out.append({
                     "snapshot_id": m["snapshot_id"],
                     "parent_id": m["parent_id"],
@@ -230,19 +248,79 @@ class SnapshotTable:
                 "files": files,
             }
             path = _manifest_path(self.table_dir, sid)
-            try:
-                fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            except FileExistsError:
-                continue  # lost the race: recompute against new current
-            with os.fdopen(fd, "w") as f:
-                json.dump(manifest, f, indent=1, default=str)
-            tmp = os.path.join(self.table_dir, f"{_CURRENT}.tmp.{sid}")
+            # publish-then-claim: the manifest is COMPLETE on disk (fsync'd
+            # temp file) before os.link atomically claims the snapshot id.
+            # A manifest that exists is therefore always readable — a crash
+            # anywhere in this sequence leaves either nothing (tmp is
+            # uniquely named, reclaimed lazily) or a complete orphan that
+            # the loser-side handler below adopts.
+            tmp = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
             with open(tmp, "w") as f:
-                f.write(str(sid))
-            os.replace(tmp, os.path.join(self.table_dir, _CURRENT))
+                json.dump(manifest, f, indent=1, default=str)
+                f.flush()
+                os.fsync(f.fileno())
+            try:
+                os.link(tmp, path)
+            except FileExistsError:
+                os.unlink(tmp)
+                # lost the id race.  The winner's manifest is complete (it
+                # was linked the same way); if the winner crashed before
+                # advancing _current, adopt its snapshot so the table can
+                # never wedge on a permanent orphan.
+                self._adopt_orphan(sid, path)
+                continue
+            os.unlink(tmp)
+            self._advance_current(sid)
             return sid
         raise CommitConflict(
             f"lost {retries} commit races on {self.table_dir}")
+
+    def _adopt_orphan(self, sid: int, path: str) -> None:
+        """After losing the claim race for ``sid``: if the winner is alive
+        it advances ``_current`` itself momentarily; if it crashed between
+        link and advance, the manifest is a complete orphan — validate it
+        and advance the pointer on its behalf (idempotent with the live
+        winner doing the same).  A manifest that does not parse can only
+        be pre-atomic-writer debris (current writers link complete files);
+        quarantine it after a grace period so the id becomes claimable."""
+        for attempt in range(2):
+            cur = self.current_snapshot_id() or 0
+            if cur >= sid:
+                return  # winner (or a previous adopter) already advanced
+            try:
+                with open(path) as f:
+                    m = json.load(f)
+                if m.get("snapshot_id") == sid:
+                    self._advance_current(sid)
+                    return
+            except (FileNotFoundError, json.JSONDecodeError):
+                pass
+            if attempt == 0:
+                time.sleep(0.05)  # grace for a live legacy mid-writer
+        # still unreadable: dead debris — move it aside atomically so the
+        # retry loop can claim the id (never deleted: kept for forensics)
+        try:
+            os.rename(path, f"{path}.corrupt.{uuid.uuid4().hex[:8]}")
+        except FileNotFoundError:
+            pass
+
+    def _advance_current(self, sid: int) -> None:
+        """Monotonic pointer advance: under an flock'd lock so a slow
+        committer (or an adopter racing the live winner) can never move
+        ``_current`` backwards over a newer snapshot."""
+        lock_path = os.path.join(self.table_dir, f"{_CURRENT}.lock")
+        with open(lock_path, "w") as lock:
+            fcntl.flock(lock, fcntl.LOCK_EX)
+            cur = self.current_snapshot_id() or 0
+            if cur >= sid:
+                return
+            tmp = os.path.join(
+                self.table_dir, f"{_CURRENT}.tmp.{uuid.uuid4().hex[:8]}")
+            with open(tmp, "w") as f:
+                f.write(str(sid))
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, os.path.join(self.table_dir, _CURRENT))
 
     def _snapshot(self, df: DataFrame, operation: str) -> int:
         # provisional id only names the data directory; the real id is
@@ -276,22 +354,31 @@ class SnapshotTable:
         if rng is None:
             return "some"
         lo, hi = rng
-        any_match = {
-            "=": lo <= lit <= hi,
-            "<": lo < lit,
-            "<=": lo <= lit,
-            ">": hi > lit,
-            ">=": hi >= lit,
-        }[op]
+        try:
+            any_match = {
+                "=": lo <= lit <= hi,
+                "<": lo < lit,
+                "<=": lo <= lit,
+                ">": hi > lit,
+                ">=": hi >= lit,
+            }[op]
+        except TypeError:
+            # literal/stat type mismatch (e.g. int literal vs string
+            # stats): stats prove nothing — rewrite-filter the file.
+            # Degrading to 'some' is always correct, just unpruned.
+            return "some"
         if not any_match:
             return "none"
-        all_match = {
-            "=": lo == lit and hi == lit,
-            "<": hi < lit,
-            "<=": hi <= lit,
-            ">": lo > lit,
-            ">=": lo >= lit,
-        }[op]
+        try:
+            all_match = {
+                "=": lo == lit and hi == lit,
+                "<": hi < lit,
+                "<=": hi <= lit,
+                ">": lo > lit,
+                ">=": lo >= lit,
+            }[op]
+        except TypeError:
+            return "some"
         if all_match and f.get("nulls", {}).get(col) == 0:
             return "all"
         return "some"
@@ -390,6 +477,29 @@ class SnapshotTable:
         markers in otherwise-unreferenced directories.  Never touches a
         file any retained snapshot lists, so time travel over retained
         history is preserved.  Returns the removed paths."""
+        mdir = os.path.join(self.table_dir, _MANIFEST_DIR)
+        for name in sorted(os.listdir(mdir)):
+            if name.startswith("snap-") and name.endswith(".json"):
+                try:
+                    with open(os.path.join(mdir, name)) as f:
+                        json.load(f)
+                except json.JSONDecodeError:
+                    # conservative: an unreadable manifest's references are
+                    # unknown, so collecting now could delete live data
+                    raise SnapshotTableError(
+                        f"vacuum refused: unreadable manifest {name} in "
+                        f"{mdir} — quarantine or repair it first")
+        # crashed-committer temp manifests: uniquely named, only ever live
+        # for the instant between write and link — reclaim stale ones
+        now = time.time()
+        for name in os.listdir(mdir):
+            if ".json.tmp." in name:
+                p = os.path.join(mdir, name)
+                try:
+                    if now - os.path.getmtime(p) > 3600:
+                        os.remove(p)
+                except OSError:
+                    pass
         referenced = set()
         for s in self.snapshots():
             for f in self.manifest(s["snapshot_id"])["files"]:
@@ -433,13 +543,16 @@ class SnapshotTable:
                 kept.append(f)  # no stats -> cannot skip
                 continue
             lo, hi = rng
-            matchable = {
-                "=": lo <= lit <= hi,
-                "<": lo < lit,
-                "<=": lo <= lit,
-                ">": hi > lit,
-                ">=": hi >= lit,
-            }[op]
+            try:
+                matchable = {
+                    "=": lo <= lit <= hi,
+                    "<": lo < lit,
+                    "<=": lo <= lit,
+                    ">": hi > lit,
+                    ">=": hi >= lit,
+                }[op]
+            except TypeError:
+                matchable = True  # type-mismatched literal: cannot prune
             if matchable:
                 kept.append(f)
         return kept

@@ -615,6 +615,43 @@ def test_assign_splits_rejects_bad_fractions(spark):
         assign_splits(df, "doc_id", {"train": 0.5, "val": 0.2})
 
 
+def test_assign_splits_zero_fraction_tail_gets_nothing(spark):
+    """ADVICE r4: an intermediate cumulative fraction of exactly 1.0 used
+    to render as the 5-char threshold '10000', which string-compares
+    below any a-f hash and misrouted ~37.5% of rows into the
+    zero-fraction tail split.  cum >= 1 must short-circuit to True."""
+    from claimskg_generator_spark.operators.sampling import assign_splits
+
+    df = spark.createDataFrame([(i,) for i in range(400)], ["doc_id"])
+    out = [r["split"] for r in assign_splits(
+        df, "doc_id", {"train": 0.5, "val": 0.5, "test": 0.0}).collect()]
+    assert out.count("test") == 0
+    assert out.count("train") + out.count("val") == 400
+    assert out.count("train") > 100 and out.count("val") > 100
+    with pytest.raises(ValueError):
+        assign_splits(df, "doc_id", {"train": 1.5, "val": -0.5})
+
+
+def test_stratified_sample_null_strata_use_default_rate(spark):
+    """ADVICE r4: NULL strata must route to the default gate (bare
+    ~isin(...) is NULL for NULL input, which silently dropped the rows
+    regardless of default_rate)."""
+    from claimskg_generator_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "en"), (2, None), (3, None), (4, "fr")],
+        ["doc_id", "lang"],
+    )
+    kept = stratified_sample(df, "lang", {"en": 1.0}, "doc_id",
+                             default_rate=1.0).collect()
+    assert sorted(r["doc_id"] for r in kept) == [1, 2, 3, 4]
+    none_default = stratified_sample(df, "lang", {"en": 1.0}, "doc_id",
+                                     default_rate=0.0).collect()
+    assert sorted(r["doc_id"] for r in none_default) == [1]
+
+
 def test_asof_join_forward_direction(spark):
     left = spark.createDataFrame(
         [

@@ -124,16 +124,96 @@ def test_exhausted_retries_raise_commit_conflict(spark, tmp_path, monkeypatch):
     t = SnapshotTable(spark, str(tmp_path / "t"))
     t.append(_docs(spark, 0, 5))
 
-    real_open = os.open
+    def always_exists(src, dst, *a, **k):
+        raise FileExistsError(dst)
 
-    def always_exists(path, flags, *a, **k):
-        if "_manifests" in str(path) and (flags & os.O_EXCL):
-            raise FileExistsError(path)
-        return real_open(path, flags, *a, **k)
-
-    monkeypatch.setattr(os, "open", always_exists)
+    monkeypatch.setattr(os, "link", always_exists)
     with pytest.raises(CommitConflict):
         t._commit([], "append", [("doc_id", "bigint"), ("fp", "string")])
+
+
+def test_crashed_commit_orphan_is_adopted_not_wedged(spark, tmp_path):
+    """ADVICE r4: a writer that crashed between manifest link and pointer
+    advance leaves a complete snap-N.json with _current still at N-1.
+    The next committer must adopt the orphan (advance the pointer) and
+    land on top of it — not spin on FileExistsError until CommitConflict.
+    """
+    t = SnapshotTable(spark, str(tmp_path / "t"), stat_cols=["doc_id"])
+    t.append(_docs(spark, 0, 10))
+    orphan = {
+        "snapshot_id": 2, "parent_id": 1, "operation": "overwrite",
+        "schema": [["doc_id", "bigint"], ["fp", "string"]],
+        "stat_cols": ["doc_id"], "files": [],
+    }
+    mpath = os.path.join(str(tmp_path / "t"), "_manifests",
+                         "snap-0000000002.json")
+    with open(mpath, "w") as f:
+        json.dump(orphan, f)
+    # _current deliberately NOT advanced (the crash window)
+    assert t.current_snapshot_id() == 1
+    sid = t.append(_docs(spark, 10, 20))
+    assert sid == 3
+    assert t.manifest()["parent_id"] == 2  # built on the adopted orphan
+    assert t.read().count() == 10  # orphan was an empty overwrite + our 10
+
+
+def test_truncated_legacy_manifest_is_quarantined(spark, tmp_path):
+    """A half-written manifest (pre-atomic-writer debris) blocks the next
+    snapshot id: the committer must quarantine it and claim the id, and
+    snapshots() must skip it rather than crash."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(_docs(spark, 0, 10))
+    mdir = os.path.join(str(tmp_path / "t"), "_manifests")
+    bad = os.path.join(mdir, "snap-0000000002.json")
+    with open(bad, "w") as f:
+        f.write('{"snapshot_id": 2, "parent_id": 1, "files": [{"pa')
+    assert [s["snapshot_id"] for s in t.snapshots()] == [1]  # skipped
+    with pytest.raises(SnapshotTableError, match="unreadable"):
+        t.manifest(2)
+    sid = t.append(_docs(spark, 10, 20))
+    assert sid == 2  # quarantined the debris and claimed the id
+    assert t.read().count() == 20
+    assert any(n.startswith("snap-0000000002.json.corrupt.")
+               for n in os.listdir(mdir))
+
+
+def test_vacuum_refuses_with_unreadable_manifest(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(_docs(spark, 0, 10))
+    bad = os.path.join(str(tmp_path / "t"), "_manifests",
+                       "snap-0000000099.json")
+    with open(bad, "w") as f:
+        f.write("{not json")
+    with pytest.raises(SnapshotTableError, match="vacuum refused"):
+        t.vacuum()
+    os.remove(bad)
+    assert t.vacuum() == []
+
+
+def test_pointer_never_moves_backwards(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(_docs(spark, 0, 5))
+    t.append(_docs(spark, 5, 10))
+    assert t.current_snapshot_id() == 2
+    t._advance_current(1)  # a slow committer/adopter replaying an old id
+    assert t.current_snapshot_id() == 2
+
+
+def test_type_mismatched_literal_degrades_instead_of_raising(
+        spark, tmp_path):
+    """ADVICE r4: an int literal against string min/max stats must not
+    TypeError out of delete-planning or read-pruning — it degrades to
+    'cannot prove anything' (rewrite the file / keep the file)."""
+    f = {"path": "x.parquet", "rows": 10, "bytes": 100,
+         "stats": {"fp": ["0a", "ff"]}, "nulls": {"fp": 0}}
+    assert SnapshotTable._delete_class(f, ("fp", ">", 5)) == "some"
+    assert SnapshotTable._delete_class(f, ("fp", "=", 5)) == "some"
+    t = SnapshotTable(spark, str(tmp_path / "t"), stat_cols=["fp"])
+    t.append(_docs(spark, 0, 20))
+    # read-side pruning hint with a mismatched literal keeps every file
+    assert t.read(where=("fp", "=", 5)).count() == 20
+    s = t.scan_stats(where=("fp", ">", 5))
+    assert s["kept_files"] == s["total_files"]
 
 
 def test_triples_pipeline_into_snapshot_table(spark, tmp_path):
