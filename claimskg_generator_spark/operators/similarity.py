@@ -62,7 +62,8 @@ def cosine_topk(embeddings: DataFrame, query_ids: List[int], k: int = 5,
 def ivf_topk(embeddings: DataFrame, query_ids: List[int], k: int = 5,
              n_centroids: int = 32, n_probe: int = 4,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             n_iters: int = 0) -> DataFrame:
+             n_iters: int = 0,
+             quantize_means: Optional[int] = None) -> DataFrame:
     """IVF-style ANN: coarse-quantize the corpus into inverted lists, probe
     only the lists nearest each query, exact top-k within them — the
     classic sub-linear alternative to the hyperplane-LSH path.
@@ -77,6 +78,13 @@ def ivf_topk(embeddings: DataFrame, query_ids: List[int], k: int = 5,
     into trained centroids — the 100 TB upgrade the sample stands in for;
     the plan shape — broadcast centroids, one hash-agg argmax assignment
     pass, per-query probe-list candidate join — is identical either way.
+    ``quantize_means`` rounds each Lloyd cluster mean HALF_UP to that many
+    decimals: the mean is the ONE order-sensitive float reduction in the
+    plan (every other reduction is a within-row left fold), so quantizing
+    it makes the trained path deterministic across partitionings — and
+    replayable by the driver-side twin oracle_corpus.ivf_topk_py, which is
+    how q30 carries a value golden.  Precision loss at 9 decimals is far
+    below any meaningful centroid resolution.
 
     Each Lloyd pass is one assignment map + one narrow mean shuffle: the
     per-cluster mean aggregates (cent, pos, val) rows from posexplode —
@@ -147,8 +155,11 @@ def ivf_topk(embeddings: DataFrame, query_ids: List[int], k: int = 5,
             .groupBy("m_cent", "pos")
             .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("c"))
         )
+        avg = F.col("s") / F.col("c")
+        if quantize_means is not None:
+            avg = F.round(avg, quantize_means)
         means = (
-            sums.withColumn("avg", F.col("s") / F.col("c"))
+            sums.withColumn("avg", avg)
             .groupBy("m_cent")
             .agg(F.array_sort(
                 F.collect_list(F.struct("pos", "avg"))).alias("pa"))

@@ -46,6 +46,7 @@ THETA = 0.25
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 GOLDEN_DIR = os.path.join(REPO, "golden")
 SF001_DOCS = "/root/testdata/sf0.01/documents.parquet"
+SF001_EMBS = "/root/testdata/sf0.01/embeddings.parquet"
 
 
 def round6_half_up(x: float) -> float:
@@ -109,13 +110,37 @@ def main():
             for c, _mt, s, e in mmatchers[vocab].find_keyword_matches(kw):
                 q31.append([kw, c, s, e])
 
+    # 6-8. production xxhash64 dedup paths + Lloyd-trained IVF over the
+    # driver's sf0.01 tables, re-derived by the row-at-a-time Python twins
+    # in oracle_corpus.py (functions/xxh64.py is the independent stand-in
+    # for Spark's xxhash64 — bit-parity pinned by test_xxh64_matches_spark)
+    from claimskg_generator_spark.oracle_corpus import (
+        ivf_topk_py,
+        minhash_lsh_pairs_py,
+        simhash_near_dups_py,
+    )
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM '{SF001_DOCS}' ORDER BY doc_id"
+    ).fetchall()
+    q28 = [list(r) for r in minhash_lsh_pairs_py(
+        docs, n=3, num_hashes=32, bands=8, verify_threshold=0.1)]
+    q29 = [list(r) for r in simhash_near_dups_py(docs, max_hamming=3)]
+    embs = [(r[0], [float(x) for x in r[1]]) for r in duckdb.sql(
+        f"SELECT vec_id, embedding FROM '{SF001_EMBS}' ORDER BY vec_id"
+    ).fetchall()]
+    q30 = [list(r) for r in ivf_topk_py(
+        embs, [0, 1, 2, 3, 4], k=5, n_centroids=32, n_probe=4, n_iters=1,
+        quantize_means=9)]
+
     out = {"n": N, "seed": SEED, "theta": THETA,
            "q21": q21, "q23": q23, "q20": q20, "kw_dim": kw_dim,
-           "q31": q31}
+           "q31": q31, "q28": q28, "q29": q29, "q30": q30}
     with open(os.path.join(GOLDEN_DIR, "driver_goldens.json"), "w") as f:
         json.dump(out, f, indent=0)
     print(f"q21 families={len(q21)} q23 pairs={len(q23)} q20 rows={len(q20)} "
-          f"kw_dim rows={len(kw_dim)}")
+          f"kw_dim rows={len(kw_dim)} q28 pairs={len(q28)} "
+          f"q29 pairs={len(q29)} q30 rows={len(q30)}")
 
 
 if __name__ == "__main__":

@@ -390,3 +390,84 @@ def test_simhash_row_expr_matches_batch(spark):
                "doc_id", simhash_row_expr("text").alias("simhash"))
            .where(F.col("simhash").isNotNull()).collect()}
     assert got == want
+
+
+def test_xxh64_matches_spark(spark):
+    """functions/xxh64.py is the driver-side stand-in for Spark's
+    ``xxhash64`` in the q28/q29 goldens — it must be bit-identical on
+    strings (all tail-length classes + >32-byte block path + non-ASCII),
+    longs, and multi-column seed chaining."""
+    import random
+
+    from claimskg_generator_spark.functions.xxh64 import (
+        xxh64_long,
+        xxh64_str,
+    )
+
+    rng = random.Random(7)
+    strs = ["", "a", "abcd", "abcdefg", "abcdefgh", "x" * 31, "x" * 32,
+            "block " * 12, "ünïcodé ✓ 漢字", "tab\tand\nnewline"] + [
+        "".join(rng.choice("abcdefgh ,.:") for _ in range(rng.randrange(0, 90)))
+        for _ in range(25)
+    ]
+    df = spark.createDataFrame([(s,) for s in strs], ["s"])
+    got = df.select(
+        "s", F.xxhash64("s").alias("h"),
+        F.xxhash64(F.lit("pfx"), "s").alias("h2"),
+    ).collect()
+    pfx_seed = xxh64_str("pfx")
+    for r in got:
+        assert r["h"] == xxh64_str(r["s"]), r["s"]
+        assert r["h2"] == xxh64_str(r["s"], seed=pfx_seed), r["s"]
+    longs = [0, 1, -1, 42, 2**62, -(2**62), 1234567890123]
+    dfl = spark.createDataFrame([(v,) for v in longs], "v long")
+    for r in dfl.select("v", F.xxhash64("v").alias("h")).collect():
+        assert r["h"] == xxh64_long(r["v"]), r["v"]
+
+
+def test_python_twins_match_engine_on_planted_corpus(spark, planted_corpus):
+    """oracle_corpus.py (the golden generator for q28/q29) must reproduce
+    the engine's xxhash64 production paths value-for-value."""
+    from claimskg_generator_spark.oracle_corpus import (
+        minhash_lsh_pairs_py,
+        simhash_near_dups_py,
+    )
+
+    docs, _planted = planted_corpus
+    rows = sorted((r["doc_id"], r["text"]) for r in docs.collect())
+    sp_mh = sorted(
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in minhash_lsh_pairs(docs, n=3, verify_threshold=0.5).collect())
+    assert sp_mh == minhash_lsh_pairs_py(rows, n=3, verify_threshold=0.5)
+    sp_sh = sorted(
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_near_dups(docs, max_hamming=3).collect())
+    assert sp_sh == simhash_near_dups_py(rows, max_hamming=3)
+
+
+def test_ivf_trained_quantized_matches_python_twin(spark):
+    """The quantize_means Lloyd path (q30's golden source) must match
+    oracle_corpus.ivf_topk_py exactly: every reduction but the quantized
+    cluster-mean sum is a deterministic left fold both sides replay."""
+    import random
+
+    from claimskg_generator_spark.operators.similarity import ivf_topk
+    from claimskg_generator_spark.oracle_corpus import ivf_topk_py
+
+    rng = random.Random(3)
+    embs = [(i, [round(rng.uniform(-1, 1), 3) for _ in range(8)])
+            for i in range(120)]
+    vecs = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in embs],
+        "vec_id long, embedding array<float>")
+    got = sorted(
+        (r["query_id"], r["neighbor_id"], r["cosine"], r["rank"])
+        for r in ivf_topk(vecs, [0, 1, 2], k=4, n_centroids=8, n_probe=3,
+                          n_iters=2, quantize_means=9).collect())
+    # the twin consumes the float32-cast values the engine sees
+    import numpy as np
+
+    embs32 = [(i, [float(np.float32(x)) for x in v]) for i, v in embs]
+    want = ivf_topk_py(embs32, [0, 1, 2], k=4, n_centroids=8, n_probe=3,
+                       n_iters=2, quantize_means=9)
+    assert got == want

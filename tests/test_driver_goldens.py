@@ -53,3 +53,44 @@ def test_kw_dim_fresh(goldens):
             want = [f"{s}:{e}" for _c, _mt, s, e
                     in matchers[vocab].find_keyword_matches(kw)]
             assert spans == want, (kw, vocab)
+
+
+SF001_DOCS = "/root/testdata/sf0.01/documents.parquet"
+SF001_EMBS = "/root/testdata/sf0.01/embeddings.parquet"
+
+
+@pytest.mark.skipif(not os.path.exists(SF001_DOCS),
+                    reason="driver testdata not present")
+def test_q28_q29_goldens_fresh(goldens):
+    """The checked-in q28/q29 pair sets must equal what the pure-Python
+    xxhash64 twins produce over the driver's sf0.01 documents today."""
+    import duckdb
+
+    from claimskg_generator_spark.oracle_corpus import (
+        minhash_lsh_pairs_py,
+        simhash_near_dups_py,
+    )
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM '{SF001_DOCS}' ORDER BY doc_id"
+    ).fetchall()
+    assert [list(r) for r in minhash_lsh_pairs_py(
+        docs, n=3, num_hashes=32, bands=8, verify_threshold=0.1)] == \
+        [list(r) for r in goldens["q28"]]
+    assert [list(r) for r in simhash_near_dups_py(docs, max_hamming=3)] == \
+        [list(r) for r in goldens["q29"]]
+
+
+@pytest.mark.skipif(not os.path.exists(SF001_EMBS),
+                    reason="driver testdata not present")
+def test_q30_golden_fresh(goldens):
+    import duckdb
+
+    from claimskg_generator_spark.oracle_corpus import ivf_topk_py
+
+    embs = [(r[0], [float(x) for x in r[1]]) for r in duckdb.sql(
+        f"SELECT vec_id, embedding FROM '{SF001_EMBS}' ORDER BY vec_id"
+    ).fetchall()]
+    assert [list(r) for r in ivf_topk_py(
+        embs, [0, 1, 2, 3, 4], k=5, n_centroids=32, n_probe=4, n_iters=1,
+        quantize_means=9)] == [list(r) for r in goldens["q30"]]
