@@ -241,6 +241,8 @@ def pagerank(
     dst: str = "dst",
     n_iters: int = 3,
     damping: float = 0.85,
+    checkpoint_every: int = 8,
+    tol: Optional[float] = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank over an undirected edge list (each edge
     contributes both directions).  r_{k+1}(v) = (1-d)/N + d * sum over
@@ -252,11 +254,26 @@ def pagerank(
     symmetric edge list are computed once and persisted (they are
     re-read every iteration); the rank frame stays (node, rank) slim.
     Fixed n_iters keeps the result deterministic and oracle-checkable
-    (an unrolled SQL twin); convergence-threshold stopping is the
-    production variant and changes only the loop condition.
+    (an unrolled SQL twin).
+
+    ``checkpoint_every``: localCheckpoint the rank frame every that many
+    iterations (same truncation connected_components applies per round) —
+    without it the logical plan grows linearly in n_iters and a
+    30-iteration run pays multi-megabyte optimizer passes per action.
+    Values and the per-iteration shuffle profile are unchanged; pinned by
+    tests/test_components.py::test_pagerank_deep_iteration_plan_bounded.
+
+    ``tol``: optional convergence stop (the production variant) — after
+    each iteration the max |r_{k+1} - r_k| over nodes is checked (one
+    small action per iteration, piggybacking the same slim rank frames)
+    and the loop exits early once it drops below ``tol``.  n_iters then
+    acts as the iteration CAP.  Leave None (default) for the fixed-
+    iteration oracle-deterministic behavior.
     """
     if n_iters < 0:
         raise ValueError("n_iters must be >= 0")
+    if checkpoint_every < 1:
+        raise ValueError("checkpoint_every must be >= 1")
     e = edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
     sym = e.unionByName(
         e.select(F.col("t").alias("s"), F.col("s").alias("t"))
@@ -269,7 +286,8 @@ def pagerank(
         return nodes.withColumn("rank", F.lit(0.0))
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
     teleport = (1.0 - damping) / n_nodes
-    for _ in range(n_iters):
+    for i in range(n_iters):
+        prev_ranks = ranks
         contrib = (
             out_edges.join(ranks, out_edges["s"] == ranks["node"])
             .select(
@@ -281,6 +299,21 @@ def pagerank(
             contrib.groupBy("node")
             .agg((F.lit(teleport) + damping * F.sum("c")).alias("rank"))
         )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < n_iters:
+            ranks = ranks.localCheckpoint(eager=True)
+        if tol is not None:
+            delta = (
+                ranks.join(
+                    prev_ranks.select("node",
+                                      F.col("rank").alias("prev_rank")),
+                    "node", "left")
+                .agg(F.max(F.abs(
+                    F.col("rank") - F.coalesce("prev_rank", F.lit(0.0))
+                )).alias("d"))
+                .collect()[0]["d"]
+            )
+            if delta is not None and delta < tol:
+                break
     out = nodes.join(ranks, "node", "left").select(
         "node",
         F.round(F.coalesce("rank", F.lit(teleport)), 6).alias("rank"),
@@ -293,6 +326,7 @@ def label_propagation(
     src: str = "src",
     dst: str = "dst",
     n_iters: int = 2,
+    checkpoint_every: int = 8,
 ) -> DataFrame:
     """Synchronous label propagation (community detection) over an
     undirected edge list.  Each iteration every node adopts the most
@@ -304,10 +338,14 @@ def label_propagation(
     Per iteration: one co-partitioned labels x edges join, a
     (node, label) count aggregate, and a row_number window for the
     argmax — all keyed on the node, the same shuffle profile as one
-    PageRank step.
+    PageRank step.  ``checkpoint_every`` truncates the label frame's
+    lineage every that many iterations, exactly as in pagerank — deep
+    runs keep a bounded plan, values unchanged.
     """
     if n_iters < 0:
         raise ValueError("n_iters must be >= 0")
+    if checkpoint_every < 1:
+        raise ValueError("checkpoint_every must be >= 1")
     e = edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
     sym = e.unionByName(
         e.select(F.col("t").alias("s"), F.col("s").alias("t"))
@@ -317,7 +355,7 @@ def label_propagation(
     )
     from pyspark.sql import Window
 
-    for _ in range(n_iters):
+    for i in range(n_iters):
         neigh = (
             sym.join(labels, sym["s"] == labels["node"])
             .select(F.col("t").alias("node"), "label")
@@ -332,4 +370,6 @@ def label_propagation(
             .filter(F.col("rn") == 1)
             .select("node", "label")
         )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < n_iters:
+            labels = labels.localCheckpoint(eager=True)
     return labels

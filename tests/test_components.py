@@ -205,3 +205,71 @@ def test_label_propagation_deterministic_tie_break(spark):
     out = {r["node"]: r["label"]
            for r in label_propagation(edges, n_iters=1).collect()}
     assert out["m"] == "a"
+
+
+def _plan_chars(df):
+    return len(df._jdf.queryExecution().optimizedPlan().toString())
+
+
+def test_pagerank_deep_iteration_plan_bounded(spark):
+    """VERDICT r4 #4: the rank frame's lineage used to grow linearly in
+    n_iters.  With checkpoint_every the optimized plan of a 30-iteration
+    run must stay bounded (no bigger than a few un-truncated iterations),
+    and values must be identical to the un-truncated loop."""
+    from pyspark.sql import functions as F
+
+    from claimskg_generator_spark.operators.components import pagerank
+
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % 12) for i in range(12)] + [(0, 6), (3, 9)],
+        "src long, dst long")
+    deep = pagerank(edges, n_iters=30, checkpoint_every=5)
+    unbounded_short = pagerank(edges, n_iters=10, checkpoint_every=10**9)
+    assert _plan_chars(deep) < _plan_chars(unbounded_short)
+    # truncation must not change values: 6 iters with and without it
+    a = sorted(map(tuple, pagerank(edges, n_iters=6,
+                                   checkpoint_every=2).collect()))
+    b = sorted(map(tuple, pagerank(edges, n_iters=6,
+                                   checkpoint_every=10**9).collect()))
+    assert a == b
+    total = deep.agg(F.sum("rank")).collect()[0][0]
+    assert abs(total - 1.0) < 1e-3  # mass conserved through 30 rounds
+    with pytest.raises(ValueError):
+        pagerank(edges, n_iters=3, checkpoint_every=0)
+
+
+def test_pagerank_tol_early_stop_matches_deep_run(spark):
+    """The tol convergence stop (production variant) must land on the
+    power-iteration fixed point: ranks within tol-ish of a deep fixed-
+    iteration run, while stopping well before the cap."""
+    from claimskg_generator_spark.operators.components import pagerank
+
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % 10) for i in range(10)] + [(0, 5)],
+        "src long, dst long")
+    tol = sorted(map(tuple, pagerank(edges, n_iters=200, tol=1e-9,
+                                     checkpoint_every=5).collect()))
+    deep = sorted(map(tuple, pagerank(edges, n_iters=60,
+                                      checkpoint_every=5).collect()))
+    assert [n for n, _ in tol] == [n for n, _ in deep]
+    for (_, a), (_, b) in zip(tol, deep):
+        assert abs(a - b) < 1e-6
+
+
+def test_label_propagation_deep_iteration_plan_bounded(spark):
+    from claimskg_generator_spark.operators.components import (
+        label_propagation,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % 9) for i in range(9)], "src long, dst long")
+    deep = label_propagation(edges, n_iters=20, checkpoint_every=4)
+    unbounded_short = label_propagation(edges, n_iters=8,
+                                        checkpoint_every=10**9)
+    assert _plan_chars(deep) < _plan_chars(unbounded_short)
+    a = sorted(map(tuple, label_propagation(edges, n_iters=4,
+                                            checkpoint_every=2).collect()))
+    b = sorted(map(tuple,
+                   label_propagation(edges, n_iters=4,
+                                     checkpoint_every=10**9).collect()))
+    assert a == b
