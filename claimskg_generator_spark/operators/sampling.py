@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from typing import Mapping
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # 16-bit hash gate: compare the first 4 hex chars of md5(id) against
@@ -106,6 +106,82 @@ def assign_splits(
     last = F.lit(names[-1])
     split = last if expr is None else expr.otherwise(last)
     return df.withColumn("split", split)
+
+
+def budget_cap(
+    df: DataFrame,
+    group_col: str,
+    size_col: str,
+    id_col: str,
+    budget: int,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Per-group size-budget selection: keep, for every group (domain /
+    source / language), a deterministic pseudo-random prefix of its rows
+    whose cumulative ``size_col`` stays within ``budget`` — the "take N
+    tokens per domain" corpus-mixing step of a pre-training pipeline.
+
+    Order within a group is md5(id) (ties broken by id): stable across
+    runs, retries, partitionings, and engines, so adding rows to one
+    group never changes which EARLIER-hashed rows of any group survive.
+
+    Scale shape: the naive form is one window per group, which puts an
+    entire group in one task — a 50 TB domain would be a single-partition
+    cumsum.  This is the grouped variant of packing.with_pack_offsets's
+    two-phase distributed prefix sum instead: rows bucket by the first
+    hex byte of their order hash (a PREFIX of the order key, so bucket
+    order == hash order), per-(group, bucket) totals get the running sum
+    on a tiny table (``n_buckets`` rows per group), and the within-bucket
+    cumsum runs under partitionBy(group, bucket) — parallel across
+    buckets even inside one group.  No task ever holds more than
+    1/``n_buckets`` of a group.
+
+    Output: the surviving rows of ``df`` plus ``cum_size`` (cumulative
+    size including this row, in selection order).
+    """
+    if budget < 0:
+        raise ValueError("budget must be >= 0")
+    if not 1 <= n_buckets <= 65536:
+        raise ValueError("n_buckets must be in [1, 65536]")
+    # bucket = a PREFIX of the order hash scaled into [0, n_buckets):
+    # 2 leading hex chars cover n_buckets <= 256, 4 cover <= 65536; the
+    # floor-scaled form keeps bucket order == hash order (the two-phase
+    # correctness requirement), unlike a modulo
+    n_hex = 2 if n_buckets <= 256 else 4
+    h = F.md5(F.col(id_col).cast("string"))
+    bucket = (
+        F.conv(F.substring(h, 1, n_hex), 16, 10).cast("bigint")
+        * n_buckets / (16 ** n_hex)
+    ).cast("int")
+    d = df.withColumn("__bc_h", h).withColumn("__bc_b", bucket)
+    totals = d.groupBy(group_col, "__bc_b").agg(
+        F.sum(F.col(size_col).cast("bigint")).alias("__bc_total")
+    )
+    wb = Window.partitionBy(group_col).orderBy("__bc_b").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    prefixes = totals.select(
+        group_col,
+        "__bc_b",
+        (F.sum("__bc_total").over(wb) - F.col("__bc_total")).alias(
+            "__bc_prefix"
+        ),
+    )
+    win = Window.partitionBy(group_col, "__bc_b").orderBy(
+        "__bc_h", id_col
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = F.col("__bc_prefix") + F.sum(
+        F.col(size_col).cast("bigint")
+    ).over(win)
+    # the per-(group, bucket) prefix table is slim (n_buckets rows per
+    # group) but not necessarily broadcast-small when groups number in
+    # the millions — leave the join strategy to AQE
+    return (
+        d.join(prefixes, [group_col, "__bc_b"])
+        .withColumn("cum_size", cum)
+        .filter(F.col("cum_size") <= budget)
+        .drop("__bc_h", "__bc_b", "__bc_prefix")
+    )
 
 
 def optimize_layout(

@@ -120,18 +120,32 @@ def main():
         simhash_near_dups_py,
     )
 
-    docs = duckdb.sql(
-        f"SELECT doc_id, text FROM '{SF001_DOCS}' ORDER BY doc_id"
-    ).fetchall()
-    q28 = [list(r) for r in minhash_lsh_pairs_py(
-        docs, n=3, num_hashes=32, bands=8, verify_threshold=0.1)]
-    q29 = [list(r) for r in simhash_near_dups_py(docs, max_hamming=3)]
-    embs = [(r[0], [float(x) for x in r[1]]) for r in duckdb.sql(
-        f"SELECT vec_id, embedding FROM '{SF001_EMBS}' ORDER BY vec_id"
-    ).fetchall()]
-    q30 = [list(r) for r in ivf_topk_py(
-        embs, [0, 1, 2, 3, 4], k=5, n_centroids=32, n_probe=4, n_iters=1,
-        quantize_means=9)]
+    # Scale-keyed: the driver's gate runs at sf0.01 but the local
+    # entry-contract replica defaults to sf0.001 — pin BOTH, keyed by
+    # md5(text) of doc_id 0 (row counts collide: both scales hold 500
+    # docs with different texts, so the content fingerprint is the
+    # discriminator the oracle SQL can recompute from its views).
+    q28, q29, q30 = {}, {}, {}
+    for sf in ("0.001", "0.01"):
+        key = duckdb.sql(
+            f"SELECT md5(text) FROM '/root/testdata/sf{sf}/"
+            "documents.parquet' WHERE doc_id = 0"
+        ).fetchone()[0]
+        docs = duckdb.sql(
+            f"SELECT doc_id, text FROM '/root/testdata/sf{sf}/"
+            "documents.parquet' ORDER BY doc_id"
+        ).fetchall()
+        q28[key] = [list(r) for r in minhash_lsh_pairs_py(
+            docs, n=3, num_hashes=32, bands=8, verify_threshold=0.1)]
+        q29[key] = [
+            list(r) for r in simhash_near_dups_py(docs, max_hamming=3)]
+        embs = [(r[0], [float(x) for x in r[1]]) for r in duckdb.sql(
+            f"SELECT vec_id, embedding FROM '/root/testdata/sf{sf}/"
+            "embeddings.parquet' ORDER BY vec_id"
+        ).fetchall()]
+        q30[key] = [list(r) for r in ivf_topk_py(
+            embs, [0, 1, 2, 3, 4], k=5, n_centroids=32, n_probe=4,
+            n_iters=1, quantize_means=9)]
 
     out = {"n": N, "seed": SEED, "theta": THETA,
            "q21": q21, "q23": q23, "q20": q20, "kw_dim": kw_dim,
@@ -139,8 +153,10 @@ def main():
     with open(os.path.join(GOLDEN_DIR, "driver_goldens.json"), "w") as f:
         json.dump(out, f, indent=0)
     print(f"q21 families={len(q21)} q23 pairs={len(q23)} q20 rows={len(q20)} "
-          f"kw_dim rows={len(kw_dim)} q28 pairs={len(q28)} "
-          f"q29 pairs={len(q29)} q30 rows={len(q30)}")
+          f"kw_dim rows={len(kw_dim)} "
+          f"q28 pairs={ {k: len(v) for k, v in q28.items()} } "
+          f"q29 pairs={ {k: len(v) for k, v in q29.items()} } "
+          f"q30 rows={ {k: len(v) for k, v in q30.items()} }")
 
 
 if __name__ == "__main__":

@@ -736,3 +736,167 @@ def test_asof_join_forward_random_matches_naive(spark):
 
     for lid, lk, lt in lrows:
         assert got[lid] == naive(lk, lt), lid
+
+
+# ---------------------------------------------------------------------------
+# eval contamination (q58) and token-budget mixing (q59)
+# ---------------------------------------------------------------------------
+
+def test_eval_contamination_hand_computed(spark):
+    from claimskg_generator_spark.operators.contamination import (
+        eval_contamination,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            # eval doc fully contained in train doc 10
+            (1, "the quick brown fox jumps"),
+            # eval doc sharing no window with train
+            (2, "completely novel benchmark prompt here"),
+            # eval doc shorter than the window -> 0 spans, clean
+            (3, "too short"),
+            # train docs
+            (10, "prefix the quick brown fox jumps suffix"),
+            (11, "unrelated training text about other things"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in eval_contamination(
+            docs, F.col("doc_id") < 10, width=3
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    assert out[1]["n_spans"] == 3 and out[1]["n_dirty_spans"] == 3
+    assert out[1]["contaminated"] == 1 and out[1]["dirty_frac"] == 1.0
+    assert out[2]["n_spans"] == 3 and out[2]["n_dirty_spans"] == 0
+    assert out[2]["contaminated"] == 0
+    assert out[3]["n_spans"] == 0 and out[3]["contaminated"] == 0
+    assert out[3]["dirty_frac"] == 0.0
+
+
+def test_eval_contamination_counts_repeated_windows_per_position(spark):
+    from claimskg_generator_spark.operators.contamination import (
+        eval_contamination,
+    )
+
+    # eval doc repeats the dirty window twice -> both positions count
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b"),
+            (10, "x a b y"),
+        ],
+        ["doc_id", "text"],
+    )
+    row = eval_contamination(docs, F.col("doc_id") == 1, width=2).collect()
+    (r,) = row
+    # windows: 'a b', 'b a', 'a b'; train has 'a b' (and 'x a', 'b y')
+    assert r["n_spans"] == 3
+    assert r["n_dirty_spans"] == 2
+    assert r["dirty_frac"] == pytest.approx(2 / 3, abs=1e-4)
+
+
+def test_eval_contamination_random_matches_naive(spark):
+    import random
+
+    from claimskg_generator_spark.operators.contamination import (
+        eval_contamination,
+    )
+
+    rng = random.Random(13)
+    vocab = [f"w{i}" for i in range(12)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 14))))
+        for i in range(60)
+    ]
+    width = 4
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_spans"], r["n_dirty_spans"], r["contaminated"])
+        for r in eval_contamination(
+            docs, F.col("doc_id") % 5 == 0, width=width
+        ).collect()
+    }
+
+    def windows(text):
+        toks = text.strip().lower().split()
+        return [
+            tuple(toks[i:i + width])
+            for i in range(len(toks) - width + 1)
+        ] if len(toks) >= width else []
+
+    train_keys = set()
+    for i, text in rows:
+        if i % 5 != 0:
+            train_keys.update(windows(text))
+    expect = {}
+    for i, text in rows:
+        if i % 5 == 0:
+            w = windows(text)
+            dirty = sum(1 for x in w if x in train_keys)
+            expect[i] = (len(w), dirty, int(dirty > 0))
+    assert got == expect
+
+
+def test_budget_cap_matches_single_window_naive(spark):
+    import random
+
+    from claimskg_generator_spark.operators.sampling import budget_cap
+
+    rng = random.Random(7)
+    rows = [
+        (i, f"g{i % 3}", rng.randint(1, 50)) for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, ["id", "grp", "sz"])
+    budget = 300
+    got = {
+        (r["grp"], r["id"]): r["cum_size"]
+        for r in budget_cap(df, "grp", "sz", "id", budget,
+                            n_buckets=8).collect()
+    }
+    # naive: per group, order by (md5(id), id), cumulative sum <= budget
+    expect = {}
+    bygrp = {}
+    for i, g, s in rows:
+        bygrp.setdefault(g, []).append((hashlib.md5(str(i).encode())
+                                        .hexdigest(), i, s))
+    for g, items in bygrp.items():
+        cum = 0
+        for h, i, s in sorted(items):
+            cum += s
+            if cum <= budget:
+                expect[(g, i)] = cum
+    assert got == expect
+
+
+def test_budget_cap_bucket_count_invariance(spark):
+    from claimskg_generator_spark.operators.sampling import budget_cap
+
+    rows = [(i, "only", 10) for i in range(100)]
+    df = spark.createDataFrame(rows, ["id", "grp", "sz"])
+    a = sorted(
+        (r["id"], r["cum_size"])
+        for r in budget_cap(df, "grp", "sz", "id", 400, n_buckets=1)
+        .collect()
+    )
+    b = sorted(
+        (r["id"], r["cum_size"])
+        for r in budget_cap(df, "grp", "sz", "id", 400, n_buckets=64)
+        .collect()
+    )
+    assert a == b and len(a) == 40
+
+
+def test_budget_cap_edges(spark):
+    from claimskg_generator_spark.operators.sampling import budget_cap
+
+    df = spark.createDataFrame([(1, "g", 5)], ["id", "grp", "sz"])
+    # zero budget keeps nothing; row bigger than budget is dropped
+    assert budget_cap(df, "grp", "sz", "id", 0).count() == 0
+    assert budget_cap(df, "grp", "sz", "id", 4).count() == 0
+    assert budget_cap(df, "grp", "sz", "id", 5).count() == 1
+    with pytest.raises(ValueError):
+        budget_cap(df, "grp", "sz", "id", -1)
+    with pytest.raises(ValueError):
+        budget_cap(df, "grp", "sz", "id", 10, n_buckets=0)

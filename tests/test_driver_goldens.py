@@ -59,11 +59,21 @@ SF001_DOCS = "/root/testdata/sf0.01/documents.parquet"
 SF001_EMBS = "/root/testdata/sf0.01/embeddings.parquet"
 
 
+def _scale_key(docs_path):
+    import duckdb
+
+    return duckdb.sql(
+        f"SELECT md5(text) FROM '{docs_path}' WHERE doc_id = 0"
+    ).fetchone()[0]
+
+
 @pytest.mark.skipif(not os.path.exists(SF001_DOCS),
                     reason="driver testdata not present")
-def test_q28_q29_goldens_fresh(goldens):
-    """The checked-in q28/q29 pair sets must equal what the pure-Python
-    xxhash64 twins produce over the driver's sf0.01 documents today."""
+@pytest.mark.parametrize("sf", ["0.001", "0.01"])
+def test_q28_q29_goldens_fresh(goldens, sf):
+    """The checked-in q28/q29 pair sets (scale-keyed by the doc-0 text
+    fingerprint) must equal what the pure-Python xxhash64 twins produce
+    over each scale's documents today."""
     import duckdb
 
     from claimskg_generator_spark.oracle_corpus import (
@@ -71,26 +81,31 @@ def test_q28_q29_goldens_fresh(goldens):
         simhash_near_dups_py,
     )
 
+    docs_path = f"/root/testdata/sf{sf}/documents.parquet"
+    key = _scale_key(docs_path)
     docs = duckdb.sql(
-        f"SELECT doc_id, text FROM '{SF001_DOCS}' ORDER BY doc_id"
+        f"SELECT doc_id, text FROM '{docs_path}' ORDER BY doc_id"
     ).fetchall()
     assert [list(r) for r in minhash_lsh_pairs_py(
         docs, n=3, num_hashes=32, bands=8, verify_threshold=0.1)] == \
-        [list(r) for r in goldens["q28"]]
+        [list(r) for r in goldens["q28"][key]]
     assert [list(r) for r in simhash_near_dups_py(docs, max_hamming=3)] == \
-        [list(r) for r in goldens["q29"]]
+        [list(r) for r in goldens["q29"][key]]
 
 
 @pytest.mark.skipif(not os.path.exists(SF001_EMBS),
                     reason="driver testdata not present")
-def test_q30_golden_fresh(goldens):
+@pytest.mark.parametrize("sf", ["0.001", "0.01"])
+def test_q30_golden_fresh(goldens, sf):
     import duckdb
 
     from claimskg_generator_spark.oracle_corpus import ivf_topk_py
 
+    key = _scale_key(f"/root/testdata/sf{sf}/documents.parquet")
     embs = [(r[0], [float(x) for x in r[1]]) for r in duckdb.sql(
-        f"SELECT vec_id, embedding FROM '{SF001_EMBS}' ORDER BY vec_id"
+        f"SELECT vec_id, embedding FROM '/root/testdata/sf{sf}/"
+        "embeddings.parquet' ORDER BY vec_id"
     ).fetchall()]
     assert [list(r) for r in ivf_topk_py(
         embs, [0, 1, 2, 3, 4], k=5, n_centroids=32, n_probe=4, n_iters=1,
-        quantize_means=9)] == [list(r) for r in goldens["q30"]]
+        quantize_means=9)] == [list(r) for r in goldens["q30"][key]]
