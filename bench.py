@@ -78,10 +78,11 @@ def _effective_task_sizing(cpus: int):
 _LAST_SIZING: dict = {}
 
 
-def build_session(cpus: int):
+def build_session(cpus: int, task_cpus: int = None, shuffle_parts: int = None):
     from pyspark.sql import SparkSession
 
-    task_cpus, shuffle_parts = _effective_task_sizing(cpus)
+    if task_cpus is None or shuffle_parts is None:
+        task_cpus, shuffle_parts = _effective_task_sizing(cpus)
     return (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("claimskg_generator_spark_bench")
@@ -177,50 +178,180 @@ COMMON_R2_QUERIES = [
 ]
 
 
+# Undoctored-sizing comparison subset: the queries the capacity-adaptive
+# task sizing moves most (Python-UDF / shuffle-heavy).  Reported per round
+# so the task-sizing delta vs the official number stays visible.
+PLAIN_QUERIES = [
+    "q12_ngram_jaccard", "q21_claims_triples", "q23_claims_reconcile",
+    "q28_minhash_prod",
+]
+
+# sf-scale audit subset: the heavy distributed family.  q23 is excluded by
+# design: its OUTPUT grows quadratically in the replicated corpus (fixed
+# template diversity -> every new near-dup matches all prior ones), so its
+# wall is output-cardinality-bound, not plan-bound; the per-pair-normalized
+# audit lives in BENCH.md (round-5 sf-scale section).
+SFSCALE_QUERIES = [
+    "q12_ngram_jaccard", "q17_minhash_lsh", "q18_simhash",
+    "q21_claims_triples", "q33_connected_components", "q55_pagerank",
+]
+
+
+def _time_queries(spark, entry_mod, names, sf_dir, budget_s=None,
+                  tag="") -> dict:
+    """Time each query's .count() on an existing session; returns
+    {name: seconds} plus name->'skipped_budget' for queries dropped once
+    ``budget_s`` of timed wall is spent (no silent caps: skips are
+    reported, never hidden)."""
+    qmap = entry_mod.queries()
+    timings = {}
+    spent = 0.0
+    for name in names:
+        if budget_s is not None and spent > budget_s:
+            timings[name] = "skipped_budget"
+            print(f"# {tag}{name}: SKIPPED (budget {budget_s}s spent)",
+                  file=sys.stderr)
+            continue
+        t0 = time.time()
+        n = qmap[name](spark, sf_dir).count()
+        dt = time.time() - t0
+        timings[name] = round(dt, 3)
+        spent += dt
+        print(f"# {tag}{name}: {dt:.2f}s ({n} rows)", file=sys.stderr)
+    return timings
+
+
+def _warm_corpus(entry_mod, spark, sf_dir):
+    """Materialize the deterministic synthesized input corpus (untimed,
+    the same policy as run_pipeline_throughput's pre-generated corpus):
+    the timed window measures query compute over given inputs, not the
+    per-row Python of the input generator."""
+    try:
+        entry_mod._claims_corpus(spark, sf_dir).count()
+    except Exception:
+        pass
+
+
 def run_bench(sf_dir: str, cpus: int) -> dict:
     import __spark_entry__ as entry_mod
 
     spark = build_session(cpus)
     spark.sparkContext.setLogLevel("ERROR")
-    qmap = entry_mod.queries()
     # iteration knob: comma-separated subset of BENCH_QUERIES (official
     # runs leave it unset and time the full headline set)
     only = os.environ.get("SPARK_GRAFT_ONLY")
     bench_queries = ([q for q in BENCH_QUERIES if q in only.split(",")]
                      if only else BENCH_QUERIES)
-    timings = {}
-    total = 0.0
     # warm the JVM + python workers once with a trivial job
     spark.range(1000).count()
-    # materialize the deterministic synthesized input corpus (untimed, the
-    # same policy as run_pipeline_throughput's pre-generated corpus): the
-    # headline window measures query compute over given inputs, not the
-    # per-row Python of the input generator
-    try:
-        entry_mod._claims_corpus(spark, sf_dir).count()
-    except Exception:
-        pass
-    for name in bench_queries:
-        t0 = time.time()
-        n = qmap[name](spark, sf_dir).count()
-        dt = time.time() - t0
-        timings[name] = round(dt, 3)
-        total += dt
-        print(f"# {name}: {dt:.2f}s ({n} rows)", file=sys.stderr)
-    spark.stop()
+    _warm_corpus(entry_mod, spark, sf_dir)
+    timings = _time_queries(spark, entry_mod, bench_queries, sf_dir)
+    sizing = dict(_LAST_SIZING)
+    # per-section host-grant probe: the shared host's capacity swings
+    # minute to minute, so every timed section records the grant it ran
+    # under — cross-section comparisons are only meaningful at similar
+    # capacity readings
+    cap_official = round(_parallel_capacity(8), 2)
+    total = sum(v for v in timings.values() if isinstance(v, float))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    return {
+    out = {
         "metric": "headline_query_wall_clock",
         "value": round(total, 3),
+        "host_capacity_of_8": cap_official,
         "value_common_r2": round(
-            sum(timings[q] for q in COMMON_R2_QUERIES if q in timings), 3
+            sum(timings[q] for q in COMMON_R2_QUERIES
+                if isinstance(timings.get(q), float)), 3
         ),
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cpus": cpus,
-        **_LAST_SIZING,
+        **sizing,
     }
+    spark.stop()
+
+    # --- undoctored sizing twin (VERDICT r4 #7) -------------------------
+    # One plain task_cpus=1 / shuffle=cpus run of the sizing-sensitive
+    # subset whenever the adaptive sizing actually kicked in, so the
+    # official capacity-adaptive number never stands alone.
+    if (os.environ.get("SPARK_GRAFT_PLAIN32", "1") != "0"
+            and sizing.get("task_cpus", 1) > 1 and not only):
+        budget = float(os.environ.get("SPARK_GRAFT_PLAIN_BUDGET", "240"))
+        plain = build_session(cpus, task_cpus=1, shuffle_parts=cpus)
+        plain.sparkContext.setLogLevel("ERROR")
+        plain.range(1000).count()
+        _warm_corpus(entry_mod, plain, sf_dir)
+        pt = _time_queries(plain, entry_mod, PLAIN_QUERIES, sf_dir,
+                           budget_s=budget, tag="plain/")
+        plain.stop()
+        out["plain_local_n"] = {
+            "task_cpus": 1, "shuffle_partitions": cpus, "cpus": cpus,
+            "host_capacity_of_8": round(_parallel_capacity(8), 2),
+            "value": round(sum(v for v in pt.values()
+                               if isinstance(v, float)), 3),
+            "queries": pt,
+            "official_same_queries": round(
+                sum(timings[q] for q in pt
+                    if isinstance(timings.get(q), float)
+                    and isinstance(pt[q], float)), 3),
+        }
+
+    # --- sf-scale audit (VERDICT r4 #3) ---------------------------------
+    # Time the heavy family on a deterministic FACTOR-replicated copy of
+    # sf0.1 (scripts/make_scale_dir.py; replicas are salted so they are
+    # NOT near-dups of each other — an honest linear-scaling reference).
+    # ratio_linear = t_scaled / (factor * t_headline): 1.0 = perfectly
+    # linear, < 1 = sub-linear (fixed overhead amortizing).
+    if os.environ.get("SPARK_GRAFT_SFSCALE", "1") != "0" and not only:
+        factor = int(os.environ.get("SPARK_GRAFT_SFSCALE_FACTOR", "10"))
+        budget = float(os.environ.get("SPARK_GRAFT_SFSCALE_BUDGET", "420"))
+        repo = os.path.dirname(os.path.abspath(__file__))
+        scale_dir = os.environ.get(
+            "SPARK_GRAFT_SFSCALE_DIR",
+            os.path.join(repo, ".scale", f"sf{round(0.1 * factor, 2)}"))
+        try:
+            sc_spark = build_session(cpus)
+            sc_spark.sparkContext.setLogLevel("ERROR")
+            if not os.path.exists(
+                    os.path.join(scale_dir, "documents.parquet")):
+                sys.path.insert(0, os.path.join(repo, "scripts"))
+                from make_scale_dir import build_scale_dir
+
+                build_scale_dir(sc_spark, "/root/testdata/sf0.1",
+                                scale_dir, factor)
+            sc_spark.range(1000).count()
+            # the shared host's speed swings minute-to-minute, so the
+            # linearity denominator is a FRESH sf0.1 pass adjacent in time
+            # to the scaled pass (same session, same window) — not the
+            # headline numbers from minutes earlier
+            _warm_corpus(entry_mod, sc_spark, "/root/testdata/sf0.1")
+            _warm_corpus(entry_mod, sc_spark, scale_dir)
+            base = _time_queries(sc_spark, entry_mod, SFSCALE_QUERIES,
+                                 "/root/testdata/sf0.1",
+                                 budget_s=budget / 3, tag="sfscale-base/")
+            st = _time_queries(sc_spark, entry_mod, SFSCALE_QUERIES,
+                               scale_dir, budget_s=budget, tag="sfscale/")
+            sc_spark.stop()
+            ratios = {
+                q: round(st[q] / (factor * base[q]), 3)
+                for q in st
+                if isinstance(st.get(q), float)
+                and isinstance(base.get(q), float) and base[q] > 0
+            }
+            out["sf_scale"] = {
+                "factor": factor, "scale_dir": scale_dir,
+                "host_capacity_of_8": round(_parallel_capacity(8), 2),
+                "base_sf0.1_queries": base,
+                "queries": st,
+                "ratio_linear": ratios,
+                "note": ("ratio_linear = t_scaled / (factor * t_sf0.1), "
+                         "adjacent-in-time; q23 excluded: its output "
+                         "pairs grow quadratically in the corpus by "
+                         "construction; per-pair audit in BENCH.md"),
+            }
+        except Exception as e:  # never fail the official bench line
+            out["sf_scale"] = {"error": f"{type(e).__name__}: {e}"}
+    return out
 
 
 def _capacity_work(_):

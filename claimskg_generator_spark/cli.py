@@ -94,7 +94,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         "overwrite within the filesystem's mtime "
                         "granularity (~1-2 s) is not detected — use a "
                         "fresh directory when regenerating inputs in "
-                        "place")
+                        "place, or pass --checkpoint-content-probe")
+    p.add_argument("--checkpoint-content-probe", action="store_true",
+                   help="also hash the first/last 64 KiB of every input "
+                        "file into the checkpoint identity (two ranged "
+                        "reads per file): closes the same-size same-mtime "
+                        "overwrite window at a small I/O cost")
     p.add_argument("--mappings-output", default=None,
                    help="write the reconciliation mappings CSV (the "
                         "reference's per-side feature columns); requires "
@@ -150,7 +155,9 @@ def _file_input_fingerprint(spark: SparkSession, args) -> str:
         return "nockpt"
     from claimskg_generator_spark.plans.checkpoints import input_fingerprint
 
-    return input_fingerprint(spark, args.input)
+    return input_fingerprint(
+        spark, args.input,
+        content_probe=getattr(args, "checkpoint_content_probe", False))
 
 
 def main(argv=None) -> int:

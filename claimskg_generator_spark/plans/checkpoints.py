@@ -26,7 +26,9 @@ from typing import Optional
 from pyspark.sql import DataFrame, SparkSession
 
 
-def input_fingerprint(spark: SparkSession, path: str) -> str:
+def input_fingerprint(spark: SparkSession, path: str,
+                      content_probe: bool = False,
+                      probe_bytes: int = 65536) -> str:
     """Content identity for a file-based input: recursive Hadoop FS listing
     hashed over (file path, length, modification time).  Binding this into
     the checkpoint token means overwriting the input files at the SAME path
@@ -37,10 +39,12 @@ def input_fingerprint(spark: SparkSession, path: str) -> str:
     Granularity caveat (documented tradeoff): an overwrite with SAME-SIZE
     content inside the filesystem's mtime resolution (1 s on ext3/HFS+,
     2 s on FAT; coarser on some object-store emulations) is invisible to
-    this fingerprint and would silently resume a stale checkpoint.  Byte
-    sampling would close the window at the cost of opening every input
-    file; pass a fresh --checkpoint-dir when regenerating inputs in-place
-    within the same second (also called out in the CLI help)."""
+    the default listing-level fingerprint and would silently resume a
+    stale checkpoint.  ``content_probe=True`` closes that window by also
+    hashing each file's first and last ``probe_bytes`` (two ranged reads
+    per file — cheap on HDFS and exactly two ranged GETs on S3/GCS, but
+    no longer O(#files) metadata-only); it is off by default and exposed
+    as the CLI's ``--checkpoint-content-probe``."""
     jvm = spark._jvm
     jp = jvm.org.apache.hadoop.fs.Path(path)
     fs = jp.getFileSystem(spark._jsc.hadoopConfiguration())
@@ -48,14 +52,44 @@ def input_fingerprint(spark: SparkSession, path: str) -> str:
     it = fs.listFiles(jp, True)
     while it.hasNext():
         st = it.next()
-        entries.append(
+        entry = (
             f"{st.getPath().toUri().getPath()}\x00{st.getLen()}"
             f"\x00{st.getModificationTime()}"
         )
+        if content_probe:
+            entry += "\x00" + _edge_block_digest(
+                jvm, fs, st.getPath(), st.getLen(), probe_bytes)
+        entries.append(entry)
     h = hashlib.sha256()
     for e in sorted(entries):
         h.update(e.encode())
         h.update(b"\n")
+    return h.hexdigest()[:16]
+
+
+def _edge_block_digest(jvm, fs, jpath, length: int, probe_bytes: int) -> str:
+    """sha256 over the first and last ``probe_bytes`` of a file via two
+    ranged Hadoop FS reads (a seek on an FSDataInputStream maps to a
+    ranged GET on object stores).  Parquet puts its schema in the header
+    and the row-group index in the footer, so same-size overwrites with
+    different data virtually always differ in one of the two blocks."""
+    h = hashlib.sha256()
+    stream = fs.open(jpath)
+    try:
+        for start in sorted({0, max(length - probe_bytes, 0)}):
+            stream.seek(start)
+            want = min(probe_bytes, length - start)
+            baos = jvm.java.io.ByteArrayOutputStream(max(want, 1))
+            # bound the range with commons-io (ships with Spark), then the
+            # unambiguous (in, out, int buffSize, boolean close) copyBytes
+            # drains it; byte[] comes back to Python as bytes
+            bounded = jvm.org.apache.commons.io.input.BoundedInputStream(
+                stream, want)
+            jvm.org.apache.hadoop.io.IOUtils.copyBytes(
+                bounded, baos, 8192, False)
+            h.update(bytes(baos.toByteArray()))
+    finally:
+        stream.close()
     return h.hexdigest()[:16]
 
 

@@ -184,8 +184,9 @@ FASTTEXT_MAGIC = 793712314  # fastText/sent2vec file-format magic int32
 
 class Sent2VecBinaryEmbeddings:
     """Pure-Python reader for sent2vec/fastText ``.bin`` models — the
-    UNIGRAM-MEAN path only (reference vsm/embeddings.py:283-301 wraps the
-    native sent2vec lib, absent in this environment).
+    unigram-mean and fastText char-subword paths (reference
+    vsm/embeddings.py:283-301 wraps the native sent2vec lib, absent in
+    this environment).
 
     Layout read (the versioned fastText format sent2vec forked): int32
     magic 793712314 + int32 version; args (12 int32: dim ws epoch minCount
@@ -196,12 +197,25 @@ class Sent2VecBinaryEmbeddings:
     int64 m, int64 n, m*n little-endian float32.  The matrix is np.memmap'd
     — only rows actually touched are paged in.
 
-    Supported exactly: wordNgrams == 1, minn == 0 (no char subwords),
-    unquantized models — there the sentence embedding IS the arithmetic
-    mean of in-vocabulary token rows (plus the ``</s>`` EOS row, which the
-    tokenizer appends to every line).  wordNgrams > 1 (hashed n-gram
-    buckets), subword, and quantized models raise NotImplementedError with
-    the reason — mis-reading them silently would corrupt scores.
+    Supported exactly:
+
+    - wordNgrams == 1, minn == 0, unquantized: the sentence embedding IS
+      the arithmetic mean of in-vocabulary token rows (plus the ``</s>``
+      EOS row, which the tokenizer appends to every line).
+    - minn > 0 (fastText char-subword models), unquantized: every token
+      contributes its vocab row (when in vocabulary) PLUS its hashed
+      character-n-gram bucket rows, exactly as fastText's
+      Dictionary::getSubwords / computeSubwords (dictionary.cc): n-grams
+      of ``<word>`` (BOW/EOW markers) with code-point lengths
+      minn..maxn, skipping the length-1 bare markers; row id =
+      nwords + FNV-1a-32(ngram bytes) % bucket.  word_vector and
+      sentence_vector average ALL contributing rows by count — the
+      supervised-branch text vector (fasttext.cc getSentenceVector).
+
+    wordNgrams > 1 (sent2vec's hashed word-n-gram composition — distinct
+    semantics from char subwords) and quantized/pruned models raise
+    NotImplementedError with the reason — mis-reading them silently
+    would corrupt scores.
     """
 
     def __init__(self, path: str):
@@ -228,16 +242,23 @@ class Sent2VecBinaryEmbeddings:
             self._dim = dim
             if word_ngrams > 1:
                 raise NotImplementedError(
-                    f"{path}: wordNgrams={word_ngrams} models use hashed "
-                    "n-gram buckets; only the unigram-mean path is "
+                    f"{path}: wordNgrams={word_ngrams} models compose "
+                    "hashed word-n-gram buckets (sent2vec semantics); "
+                    "only the unigram-mean and char-subword paths are "
                     "implemented"
                 )
-            if minn > 0:
-                raise NotImplementedError(
-                    f"{path}: subword model (minn={minn}) unsupported"
-                )
+            self._bucket = bucket
+            self._minn = minn
+            self._maxn = maxn
             size, nwords, nlabels = struct.unpack("<3i", f.read(12))
+            self._nwords = nwords
             ntokens, pruneidx_size = struct.unpack("<2q", f.read(16))
+            if minn > 0 and pruneidx_size > 0:
+                raise NotImplementedError(
+                    f"{path}: pruned subword model (pruneidx_size="
+                    f"{pruneidx_size}); bucket ids are remapped in "
+                    "pruned models"
+                )
             self._index = {}
             for i in range(size):
                 chars = bytearray()
@@ -261,23 +282,92 @@ class Sent2VecBinaryEmbeddings:
                 raise ValueError(
                     f"{path}: matrix width {n} != args dim {dim}"
                 )
+            if self._minn > 0 and m < self._nwords + self._bucket:
+                raise ValueError(
+                    f"{path}: subword model input matrix has {m} rows < "
+                    f"nwords({self._nwords}) + bucket({self._bucket}) — "
+                    "unexpected layout"
+                )
             offset = f.tell()
         self._mat = np.memmap(path, dtype="<f4", mode="r",
                               offset=offset, shape=(m, n))
         self._eos = self._index.get("</s>")
 
+    @staticmethod
+    def _fnv1a(data: bytes) -> int:
+        """fastText Dictionary::hash — FNV-1a 32-bit over SIGNED chars
+        widened to uint32 (dictionary.cc: ``h ^ uint32_t(int8_t(c))``),
+        so bytes >= 0x80 xor in their sign-extended form."""
+        h = 2166136261
+        for b in data:
+            if b >= 0x80:
+                b |= 0xFFFFFF00  # int8 -> uint32 sign extension
+            h = (h ^ b) & 0xFFFFFFFF
+            h = (h * 16777619) & 0xFFFFFFFF
+        return h
+
+    def _subword_ids(self, word: str) -> List[int]:
+        """Row ids of ``word``'s character n-grams — a line-faithful port
+        of fastText Dictionary::computeSubwords over the UTF-8 bytes of
+        ``<word>``: n-grams start at code-point boundaries, lengths count
+        code points (minn..maxn), and the length-1 bare BOW/EOW markers
+        are excluded; row id = nwords + hash(ngram) % bucket."""
+        bs = ("<" + word + ">").encode("utf-8")
+        ids = []
+        n_bytes = len(bs)
+        for i in range(n_bytes):
+            if (bs[i] & 0xC0) == 0x80:
+                continue  # continuation byte: not a code-point start
+            j, n = i, 1
+            ngram = bytearray()
+            while j < n_bytes and n <= self._maxn:
+                ngram.append(bs[j])
+                j += 1
+                while j < n_bytes and (bs[j] & 0xC0) == 0x80:
+                    ngram.append(bs[j])
+                    j += 1
+                if n >= self._minn and not (
+                        n == 1 and (i == 0 or j == n_bytes)):
+                    h = self._fnv1a(bytes(ngram)) % self._bucket
+                    ids.append(self._nwords + h)
+                n += 1
+        return ids
+
+    def _token_ids(self, word: str) -> List[int]:
+        """All input-matrix rows a token contributes: its vocab row when
+        present, plus (subword models, token != EOS) its char-n-gram
+        bucket rows — Dictionary::getSubwords."""
+        ids = []
+        i = self._index.get(word)
+        if i is not None:
+            ids.append(i)
+        if self._minn > 0 and word != "</s>":
+            ids.extend(self._subword_ids(word))
+        return ids
+
     def dim(self) -> int:
         return self._dim
 
     def word_vector(self, word: str) -> List[float]:
+        if self._minn > 0:
+            ids = self._token_ids(word)
+            if not ids:
+                return [0.0] * self._dim
+            import numpy as np
+
+            return [float(x) for x in
+                    np.mean(self._mat[ids].astype(np.float64), axis=0)]
         i = self._index.get(word)
         if i is None:
             return [0.0] * self._dim
         return [float(x) for x in self._mat[i]]
 
     def sentence_vector(self, sentence: str) -> List[float]:
-        ids = [self._index[t] for t in sentence.split()
-               if t in self._index]
+        if self._minn > 0:
+            ids = [i for t in sentence.split() for i in self._token_ids(t)]
+        else:
+            ids = [self._index[t] for t in sentence.split()
+                   if t in self._index]
         if self._eos is not None:
             ids.append(self._eos)
         if not ids:
@@ -292,8 +382,9 @@ class Sent2VecEmbeddings:
     """Sentence-level model surface (reference vsm/embeddings.py:283-301
     Sent2VecEmbeddings).  Uses the native sent2vec lib when importable
     (bit-exact for every model type); otherwise falls back to the pure
-    Sent2VecBinaryEmbeddings reader, which covers unigram-mean models and
-    rejects n-gram/subword/quantized ones loudly."""
+    Sent2VecBinaryEmbeddings reader, which covers unigram-mean and
+    char-subword (minn > 0) models and rejects word-n-gram/quantized
+    ones loudly."""
 
     def __init__(self, model_path: str):
         try:

@@ -288,3 +288,73 @@ def test_cli_reference_csv_input_matches_parquet_shape(spark):
     got = {tuple(r) for r in spark.read.parquet(out_csv).collect()}
     want = {tuple(r) for r in spark.read.parquet(out_pq).collect()}
     assert got == want
+
+
+def test_content_probe_detects_same_size_same_mtime_overwrite(spark):
+    """ADVICE r4 #8: a same-length overwrite with the mtime pinned back to
+    the original value is INVISIBLE to the listing-level fingerprint but
+    must flip the content-probed one (first/last-block checksum)."""
+    from claimskg_generator_spark.plans.checkpoints import input_fingerprint
+
+    base = tempfile.mkdtemp(prefix="claimskg_probe_")
+    path = os.path.join(base, "input.txt")
+    with open(path, "w") as f:
+        f.write("A" * 1000)
+    st = os.stat(path)
+    fp_listing_1 = input_fingerprint(spark, path)
+    fp_probe_1 = input_fingerprint(spark, path, content_probe=True)
+    # same length, different content, mtime forced back to the original
+    with open(path, "w") as f:
+        f.write("B" * 1000)
+    os.utime(path, ns=(st.st_atime_ns, st.st_mtime_ns))
+    assert input_fingerprint(spark, path) == fp_listing_1  # documented gap
+    fp_probe_2 = input_fingerprint(spark, path, content_probe=True)
+    assert fp_probe_2 != fp_probe_1
+    # identical content at the same mtime keeps the probed fingerprint
+    with open(path, "w") as f:
+        f.write("B" * 1000)
+    os.utime(path, ns=(st.st_atime_ns, st.st_mtime_ns))
+    assert input_fingerprint(spark, path, content_probe=True) == fp_probe_2
+    # a file larger than one probe block only hashes its two edges: an
+    # interior-only change is the residual (documented) blind spot
+    big = os.path.join(base, "big.bin")
+    blob = bytearray(200 * 1024)
+    with open(big, "wb") as f:
+        f.write(blob)
+    bst = os.stat(big)
+    fp_big_1 = input_fingerprint(spark, big, content_probe=True)
+    blob[100 * 1024] = 7  # interior byte, outside both 64 KiB edges
+    with open(big, "wb") as f:
+        f.write(blob)
+    os.utime(big, ns=(bst.st_atime_ns, bst.st_mtime_ns))
+    assert input_fingerprint(spark, big, content_probe=True) == fp_big_1
+    blob[0] = 9  # header byte -> must flip
+    with open(big, "wb") as f:
+        f.write(blob)
+    os.utime(big, ns=(bst.st_atime_ns, bst.st_mtime_ns))
+    assert input_fingerprint(spark, big, content_probe=True) != fp_big_1
+
+
+def test_cli_content_probe_flag_invalidates_checkpoint(spark):
+    """End-to-end: --checkpoint-content-probe re-runs the pipeline after a
+    same-size mtime-pinned overwrite where the default fingerprint would
+    resume stale."""
+    from claimskg_generator_spark.cli import main
+
+    base = tempfile.mkdtemp(prefix="claimskg_probe_cli_")
+    inp = os.path.join(base, "corpus_parquet")
+    rows = gen_rows(30)
+    spark.createDataFrame(rows).coalesce(1).write.parquet(inp)
+    out1 = os.path.join(base, "t1")
+    ck = os.path.join(base, "ck")
+    args = ["--input", inp, "--output", out1, "--checkpoint-dir", ck,
+            "--checkpoint-content-probe"]
+    assert main(args) == 0
+    manifest = json.load(open(os.path.join(ck, "manifest.json")))
+    assert all(s["action"] == "write" for s in manifest)
+    # re-run unchanged -> resume
+    out2 = os.path.join(base, "t2")
+    assert main(["--input", inp, "--output", out2, "--checkpoint-dir", ck,
+                 "--checkpoint-content-probe"]) == 0
+    manifest = json.load(open(os.path.join(ck, "manifest.json")))
+    assert all(s["action"] == "resume" for s in manifest)

@@ -222,8 +222,8 @@ def test_reconcile_with_word2vec_binary(spark, tmp_path):
     assert all(r["score"] > THETA for r in rows)
 
 
-def _write_sent2vec_bin(path, words, mat, word_ngrams=1, minn=0, quant=0,
-                        magic=None, version=12):
+def _write_sent2vec_bin(path, words, mat, word_ngrams=1, minn=0, maxn=0,
+                        bucket=2000000, quant=0, magic=None, version=12):
     """Golden fastText/sent2vec binary writer (the layout
     Sent2VecBinaryEmbeddings documents): magic+version, args, dictionary,
     quant flag, input matrix."""
@@ -238,7 +238,7 @@ def _write_sent2vec_bin(path, words, mat, word_ngrams=1, minn=0, quant=0,
         f.write(struct.pack("<ii", FASTTEXT_MAGIC if magic is None else magic,
                             version))
         f.write(struct.pack("<12i", dim, 5, 10, 1, 10, word_ngrams, 1, 1,
-                            2000000, minn, 0, 100))
+                            bucket, minn, maxn, 100))
         f.write(struct.pack("<d", 1e-4))
         f.write(struct.pack("<3i", len(words), len(words), 0))
         f.write(struct.pack("<2q", 12345, -1))  # ntokens, no pruneidx
@@ -298,7 +298,10 @@ def test_sent2vec_binary_reader_guards(tmp_path):
     words, mat = ["</s>", "a"], [[1.0, 2.0], [3.0, 4.0]]
     cases = [
         ({"word_ngrams": 2}, NotImplementedError, "wordNgrams"),
-        ({"minn": 3}, NotImplementedError, "subword"),
+        # subword models are SUPPORTED now, but only with a full
+        # nwords+bucket input matrix — a short matrix means the layout
+        # is not what the reader assumes
+        ({"minn": 3, "maxn": 4, "bucket": 100}, ValueError, "rows"),
         ({"quant": 1}, NotImplementedError, "quantized"),
         ({"magic": 1234}, ValueError, "magic"),
     ]
@@ -307,6 +310,74 @@ def test_sent2vec_binary_reader_guards(tmp_path):
         _write_sent2vec_bin(str(p), words, mat, **kw)
         with pytest.raises(exc, match=msg):
             Sent2VecBinaryEmbeddings(str(p))
+
+
+def test_sent2vec_subword_reader(tmp_path):
+    """fastText char-subword path: n-gram bucket rows join the mean for
+    both in-vocabulary and OOV words, with the exact fastText hashing
+    (FNV-1a over signed chars, BOW/EOW markers, code-point n-grams)."""
+    import numpy as np
+
+    from claimskg_generator_spark.sources.embeddings import (
+        Sent2VecBinaryEmbeddings,
+    )
+
+    # independent FNV-1a twin (written from the dictionary.cc definition,
+    # not by importing the reader's helper)
+    def fnv(data):
+        h = 2166136261
+        for b in data:
+            v = b - 256 if b >= 128 else b
+            h = (h ^ (v & 0xFFFFFFFF)) & 0xFFFFFFFF
+            h = (h * 16777619) & 0xFFFFFFFF
+        return h
+
+    def grams(word, minn, maxn):
+        s = "<" + word + ">"
+        cps = list(s)
+        out = []
+        for i in range(len(cps)):
+            for n in range(minn, maxn + 1):
+                if i + n > len(cps):
+                    continue
+                if n == 1 and (i == 0 or i + n == len(cps)):
+                    continue
+                out.append("".join(cps[i:i + n]))
+        return out
+
+    bucket, minn, maxn, dim = 64, 2, 3, 2
+    words = ["</s>", "ab", "cé"]
+    nwords = len(words)
+    rng = np.random.RandomState(3)
+    mat = rng.uniform(-1, 1, size=(nwords + bucket, dim)).round(3)
+    p = tmp_path / "sub.bin"
+    _write_sent2vec_bin(str(p), words, mat.tolist(), minn=minn, maxn=maxn,
+                        bucket=bucket)
+    emb = Sent2VecBinaryEmbeddings(str(p))
+
+    def expect_ids(word, in_vocab_idx=None):
+        ids = [] if in_vocab_idx is None else [in_vocab_idx]
+        ids += [nwords + fnv(g.encode("utf-8")) % bucket
+                for g in grams(word, minn, maxn)]
+        return ids
+
+    # in-vocab word: vocab row + ngram rows; multi-byte char exercises
+    # the code-point (not byte) n-gram boundaries
+    for w, idx in (("ab", 1), ("cé", 2)):
+        ids = expect_ids(w, idx)
+        want = mat[ids].astype(np.float64).mean(axis=0)
+        assert np.allclose(emb.word_vector(w), want), w
+    # OOV word: ngram rows only
+    ids = expect_ids("zq")
+    assert np.allclose(emb.word_vector("zq"),
+                       mat[ids].astype(np.float64).mean(axis=0))
+    # EOS contributes no subwords; sentence mean = all token rows + EOS
+    sids = expect_ids("ab", 1) + expect_ids("zq") + [0]
+    assert np.allclose(emb.sentence_vector("ab zq"),
+                       mat[sids].astype(np.float64).mean(axis=0))
+    # n-gram order/count parity with the reader's port: same multiset
+    assert sorted(expect_ids("cé", 2)) == sorted(
+        [2] + emb._subword_ids("cé"))
 
 
 def test_open_embeddings_multibyte_sniff_boundary(tmp_path):
