@@ -108,6 +108,62 @@ def assign_splits(
     return df.withColumn("split", split)
 
 
+def temperature_mix(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    alpha: float = 0.5,
+    target_frac: float = 0.5,
+) -> DataFrame:
+    """Temperature-based mixture reweighting (the alpha-scaled domain
+    sampling of multilingual pre-training, e.g. mT5's p_d ∝ n_d^alpha):
+    flatten a skewed domain/language distribution by keeping domain d
+    with rate r_d = min(1, target_frac * N * n_d^alpha / (Σ_e n_e^alpha
+    * n_d)) — expected kept volume = target_frac * N distributed by the
+    tempered weights, so alpha < 1 up-samples small domains relative to
+    big ones.
+
+    The keep decision is the same deterministic md5 hash gate as
+    stratified_sample, but the per-domain rate is DATA-DEPENDENT: one
+    tiny groupBy computes domain counts, a one-row aggregate the
+    normalizer, and the slim rate dim broadcasts back — the corpus
+    itself is touched by exactly one narrow gated scan.  Rates are
+    quantized to 6 decimals before the 16-bit threshold so the oracle's
+    pow() reproduces the exact same gate.
+
+    Output: the kept rows plus their domain's ``mix_rate``.
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    if not 0.0 <= target_frac <= 1.0:
+        raise ValueError(f"target_frac must be in [0, 1], got {target_frac}")
+    counts = df.groupBy(group_col).agg(F.count("*").alias("__tm_n"))
+    totals = counts.agg(
+        F.sum("__tm_n").alias("__tm_total"),
+        F.sum(F.pow("__tm_n", F.lit(alpha))).alias("__tm_sumw"),
+    )
+    rates = counts.crossJoin(F.broadcast(totals)).select(
+        group_col,
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.lit(target_frac) * F.col("__tm_total")
+                * F.pow("__tm_n", F.lit(alpha))
+                / F.col("__tm_sumw") / F.col("__tm_n"),
+            ),
+            6,
+        ).alias("mix_rate"),
+    )
+    d = df.join(F.broadcast(rates), group_col)
+    # data-dependent twin of hash_gate: same 16-bit md5 threshold, with
+    # the rate >= 1 short-circuit (the 5-char '10000' string-compare trap)
+    h = F.substring(F.md5(F.col(id_col).cast("string")), 1, 4)
+    thresh = F.format_string(
+        "%04x", F.floor(F.col("mix_rate") * (1 << _GATE_BITS)).cast("int")
+    )
+    return d.filter((F.col("mix_rate") >= 1.0) | (h < thresh))
+
+
 def budget_cap(
     df: DataFrame,
     group_col: str,

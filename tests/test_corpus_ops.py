@@ -900,3 +900,58 @@ def test_budget_cap_edges(spark):
         budget_cap(df, "grp", "sz", "id", -1)
     with pytest.raises(ValueError):
         budget_cap(df, "grp", "sz", "id", 10, n_buckets=0)
+
+
+def test_temperature_mix_rates_and_determinism(spark):
+    from claimskg_generator_spark.operators.sampling import temperature_mix
+
+    # skewed domains: 160 'big', 40 'mid', 10 'small'
+    rows = ([(i, "big") for i in range(160)]
+            + [(200 + i, "mid") for i in range(40)]
+            + [(300 + i, "small") for i in range(10)])
+    df = spark.createDataFrame(rows, ["id", "dom"])
+    kept = temperature_mix(df, "dom", "id", alpha=0.5, target_frac=0.5)
+    out = kept.groupBy("dom").agg(
+        F.max("mix_rate").alias("rate"), F.count("*").alias("n")
+    ).collect()
+    got = {r["dom"]: (r["rate"], r["n"]) for r in out}
+    import math
+
+    n = {"big": 160, "mid": 40, "small": 10}
+    total = sum(n.values())
+    sumw = sum(math.sqrt(v) for v in n.values())
+    for dom, nd in n.items():
+        want = round(min(1.0, 0.5 * total * math.sqrt(nd) / sumw / nd), 6)
+        assert got[dom][0] == pytest.approx(want, abs=1e-9), dom
+    # alpha < 1 up-samples small domains: keep RATE ordering must invert
+    # the size ordering
+    assert got["small"][0] > got["mid"][0] > got["big"][0]
+    # deterministic: second run keeps the identical id set
+    a = sorted(r["id"] for r in kept.collect())
+    b = sorted(r["id"] for r in temperature_mix(
+        df, "dom", "id", alpha=0.5, target_frac=0.5).collect())
+    assert a == b
+    # hand-check the gate on one domain: exactly the ids whose md5 prefix
+    # clears the threshold survive
+    rate = got["big"][0]
+    thr = format(int(rate * 65536), "04x")
+    want_ids = [i for i in range(160)
+                if hashlib.md5(str(i).encode()).hexdigest()[:4] < thr]
+    assert sorted(r["id"] for r in kept.filter("dom = 'big'").collect()) \
+        == sorted(want_ids)
+
+
+def test_temperature_mix_alpha_one_is_uniform_rate(spark):
+    from claimskg_generator_spark.operators.sampling import temperature_mix
+
+    rows = [(i, "a" if i % 4 else "b") for i in range(100)]
+    df = spark.createDataFrame(rows, ["id", "dom"])
+    kept = temperature_mix(df, "dom", "id", alpha=1.0, target_frac=0.3)
+    rates = {r["dom"]: r["rate"] for r in kept.groupBy("dom")
+             .agg(F.max("mix_rate").alias("rate")).collect()}
+    # alpha = 1 -> every domain keeps the same target_frac rate
+    assert all(v == pytest.approx(0.3, abs=1e-9) for v in rates.values())
+    with pytest.raises(ValueError):
+        temperature_mix(df, "dom", "id", alpha=0.0)
+    with pytest.raises(ValueError):
+        temperature_mix(df, "dom", "id", alpha=0.5, target_frac=1.5)
