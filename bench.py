@@ -165,6 +165,12 @@ BENCH_QUERIES = [
     "q47_duplicated_spans",
     # iterative graph family over the derived co-mention graph
     "q55_pagerank",
+    # round-5 additions: decontamination's broadcast-semi double scan is
+    # the only one with a timing-relevant shape (q59/q60 are a window /
+    # a gated scan, <0.5 s at sf0.1 — timed anyway for coverage)
+    "q58_decontaminate",
+    "q59_token_budget_mix",
+    "q60_temperature_mix",
 ]
 
 # The 13-query round-2 headline set: its subtotal is reported alongside the
