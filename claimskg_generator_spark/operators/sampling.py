@@ -154,7 +154,13 @@ def temperature_mix(
             6,
         ).alias("mix_rate"),
     )
-    d = df.join(F.broadcast(rates), group_col)
+    # null-safe join: groupBy keeps a NULL domain as a real group, and a
+    # plain equi-join would silently drop its rows here (the same silent
+    # NULL-drop class as stratified_sample's r4 fix)
+    r = rates.withColumnRenamed(group_col, "__tm_g")
+    d = df.join(
+        F.broadcast(r), F.col(group_col).eqNullSafe(F.col("__tm_g"))
+    ).drop("__tm_g")
     # data-dependent twin of hash_gate: same 16-bit md5 threshold, with
     # the rate >= 1 short-circuit (the 5-char '10000' string-compare trap)
     h = F.substring(F.md5(F.col(id_col).cast("string")), 1, 4)
@@ -231,9 +237,14 @@ def budget_cap(
     ).over(win)
     # the per-(group, bucket) prefix table is slim (n_buckets rows per
     # group) but not necessarily broadcast-small when groups number in
-    # the millions — leave the join strategy to AQE
+    # the millions — leave the join strategy to AQE.  Null-safe on the
+    # group key: a NULL group is a real group (its own budget), not a
+    # silent drop
+    p = prefixes.withColumnRenamed(group_col, "__bc_g")
     return (
-        d.join(prefixes, [group_col, "__bc_b"])
+        d.join(p, F.col(group_col).eqNullSafe(F.col("__bc_g"))
+               & (d["__bc_b"] == p["__bc_b"]))
+        .drop(p["__bc_b"]).drop("__bc_g")
         .withColumn("cum_size", cum)
         .filter(F.col("cum_size") <= budget)
         .drop("__bc_h", "__bc_b", "__bc_prefix")

@@ -955,3 +955,22 @@ def test_temperature_mix_alpha_one_is_uniform_rate(spark):
         temperature_mix(df, "dom", "id", alpha=0.0)
     with pytest.raises(ValueError):
         temperature_mix(df, "dom", "id", alpha=0.5, target_frac=1.5)
+
+
+def test_budget_cap_and_temperature_mix_null_group_is_a_group(spark):
+    """NULL domains are real groups with their own budget/rate — never a
+    silent drop through the dim join (the stratified_sample NULL-strata
+    fix, applied to the data-dependent-dim operators)."""
+    from claimskg_generator_spark.operators.sampling import (
+        budget_cap,
+        temperature_mix,
+    )
+
+    rows = [(1, None, 5), (2, None, 5), (3, "g", 5)]
+    df = spark.createDataFrame(rows, "id long, grp string, sz int")
+    kept = budget_cap(df, "grp", "sz", "id", budget=100)
+    assert kept.count() == 3  # all fit; NULL rows included
+    got_null = {r["id"] for r in kept.filter("grp IS NULL").collect()}
+    assert got_null == {1, 2}
+    mixed = temperature_mix(df, "grp", "id", alpha=1.0, target_frac=1.0)
+    assert mixed.count() == 3  # rate 1.0 keeps everything incl. NULL grp
