@@ -189,3 +189,53 @@ def test_turtle_grouped_subjects(spark):
     assert flat == grouped
     # grouping actually produced multi-statement blocks
     assert any(l.rstrip().endswith(";") for l in read_lines(grp_dir))
+
+
+def test_decontamination_train_side_never_shuffles(spark):
+    """q58's 100 TB posture: the train span stream must reach its
+    LeftSemi probe with ZERO exchanges (broadcast semi against the
+    benchmark-sized eval key set), and no sort-merge join anywhere."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.q58_decontaminate(spark, SF))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin LeftSemi" in plan.replace("\n", " ") or \
+        re.search(r"BroadcastHashJoin.*LeftSemi", plan, re.S)
+    # walk the formatted tree: the LeftSemi's LEFT (streamed) child
+    # subtree — everything between the semi join's left branch scan and
+    # the join node — must contain no Exchange
+    # simpler structural invariant: every Exchange in the plan feeds a
+    # BroadcastExchange-bound small side or a post-semi aggregate, so
+    # the number of shuffle Exchanges must be exactly the 3 small-side
+    # ones (eval keys distinct, hits distinct, per-eval-doc rollup)
+    n_shuffles = len(re.findall(r"\) Exchange\b", plan))
+    assert n_shuffles == 3, plan
+
+
+def test_budget_cap_two_phase_window_shape(spark):
+    """q59: the big-side window must be partitioned by (group, bucket) —
+    never by group alone (single-partition hot-domain trap) and never a
+    global orderBy window."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.q59_token_budget_mix(spark, SF))
+    wins = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert wins, plan
+    # every window spec carries at least one partition column; the
+    # corpus-side spec partitions by both source and bucket
+    assert any("source" in w and "__bc_b" in w for w in wins), wins
+    assert all("source" in w for w in wins), wins
+
+
+def test_temperature_mix_corpus_single_scan_gate(spark):
+    """q60: the keep gate must evaluate inside the broadcast join of the
+    corpus scan against the tiny rate dim — no shuffle of corpus rows
+    before the gate, no sort-merge join of the corpus."""
+    import __spark_entry__ as e
+    from claimskg_generator_spark.operators.sampling import temperature_mix
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(temperature_mix(docs, "lang", "doc_id"))
+    assert "SortMergeJoin" not in plan
+    assert re.search(r"BroadcastHashJoin[\s\S]*?Join condition: .*mix_rate",
+                     plan), plan
