@@ -339,6 +339,83 @@ class SnapshotTable:
         snapshot stays readable by id — time travel, not deletion)."""
         return self._snapshot(df, "overwrite")
 
+    def merge(self, updates: DataFrame, key: str) -> int:
+        """Copy-on-write MERGE (upsert by ``key``): rows of ``updates``
+        replace same-key table rows, new keys are inserted — the
+        dedup-refresh / CDC-apply primitive (Iceberg/Delta MERGE INTO,
+        copy-on-write strategy).
+
+        File-granular like delete(): only files whose manifest [min, max]
+        range on ``key`` can intersect the updates' key range are
+        rewritten (read -> anti-join on key -> union updates); every
+        other file survives as an untouched manifest entry, so a merge
+        touching one hot region of a sort-clustered table (see
+        operators/sampling.optimize_layout) rewrites a sliver of it.
+        Parents stay time-travelable.
+
+        Semantics guards: ``updates`` must be key-unique (multiple update
+        rows for one key would be an arbitrary-winner write — rejected
+        loudly, the same rule Delta's MERGE enforces); NULL-key update
+        rows never match anything (SQL equality) and simply insert.
+        Two driver actions by design: the key-bounds aggregate and the
+        uniqueness check — both tiny.
+        """
+        schema = _schema_fingerprint(updates)
+        base = self.current_snapshot_id()
+        if base is None:
+            # empty table: merge == first append (after the key guard)
+            self._require_unique_keys(updates, key)
+            return self._snapshot(updates, "merge")
+        m = self.manifest(base)
+        if [tuple(c) for c in m["schema"]] != schema:
+            raise SnapshotTableError(
+                f"merge schema mismatch: table has {m['schema']}, "
+                f"updates have {schema}")
+        self._require_unique_keys(updates, key)
+        from pyspark.sql import functions as F
+
+        bounds = updates.agg(
+            F.min(key).alias("lo"), F.max(key).alias("hi")).collect()[0]
+        ulo, uhi = bounds["lo"], bounds["hi"]
+        kept, rewrite = [], []
+        for f in m["files"]:
+            rng = f["stats"].get(key)
+            if ulo is None:  # updates hold only NULL keys: pure insert
+                kept.append(f)
+                continue
+            if rng is None:
+                rewrite.append(f)  # no stats -> cannot prove disjoint
+                continue
+            lo, hi = rng
+            try:
+                overlaps = not (hi < ulo or lo > uhi)
+            except TypeError:
+                overlaps = True  # mismatched types: cannot prove disjoint
+            (rewrite if overlaps else kept).append(f)
+        cols = [n for n, _t in schema]
+        changed = updates.select(*cols)
+        if rewrite:
+            survivors = (
+                self.spark.read.parquet(*[f["path"] for f in rewrite])
+                .join(updates.select(key).distinct(), key, "left_anti")
+            )
+            changed = survivors.select(*cols).unionByName(changed)
+        new_files = self._write_data_files(changed, (base or 0) + 1)
+        entries = [e for e in _collect_file_stats(
+            self.spark, new_files, self.stat_cols) if e["rows"] > 0]
+        return self._commit(kept + entries, "merge", schema,
+                            require_parent=base)
+
+    def _require_unique_keys(self, updates: DataFrame, key: str) -> None:
+        from pyspark.sql import functions as F
+
+        dup = (updates.where(F.col(key).isNotNull()).groupBy(key).count()
+               .where("count > 1").limit(1).collect())
+        if dup:
+            raise SnapshotTableError(
+                f"merge updates are not unique on {key!r}: e.g. "
+                f"{dup[0][key]!r} appears {dup[0]['count']} times")
+
     # ---- delete / compact (manifest rewrites) ----
 
     @staticmethod
@@ -602,11 +679,11 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     """Table-maintenance admin surface:
 
         python -m claimskg_generator_spark.sources.snapshot_table TABLE_DIR \
-            {snapshots | delete COL OP LIT | compact [--target-bytes N] |
-             expire [--keep-last N] | vacuum}
+            {snapshots | delete COL OP LIT | merge PARQUET --key COL |
+             compact [--target-bytes N] | expire [--keep-last N] | vacuum}
 
-    delete/compact start a local Spark session; snapshots/expire/vacuum are
-    pure-metadata and touch no JVM.
+    delete/merge/compact start a local Spark session; snapshots/expire/
+    vacuum are pure-metadata and touch no JVM.
     """
     import argparse
 
@@ -619,6 +696,10 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     d.add_argument("col")
     d.add_argument("op", choices=["=", "<", "<=", ">", ">="])
     d.add_argument("lit")
+    mg = sub.add_parser("merge", help="copy-on-write upsert from a "
+                        "parquet path, keyed on --key")
+    mg.add_argument("updates_path")
+    mg.add_argument("--key", required=True)
     c = sub.add_parser("compact", help="bin-pack small data files")
     c.add_argument("--target-bytes", type=int, default=128 << 20)
     e = sub.add_parser("expire", help="drop old snapshot manifests")
@@ -628,7 +709,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
 
     spark = None
     created = False
-    if args.cmd in ("delete", "compact"):
+    if args.cmd in ("delete", "merge", "compact"):
         from pyspark.sql import SparkSession
 
         spark = SparkSession.getActiveSession()
@@ -652,6 +733,9 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     elif args.cmd == "delete":
         sid = t.delete((args.col, args.op, _parse_literal(args.lit)))
         print(f"committed delete snapshot {sid}")
+    elif args.cmd == "merge":
+        sid = t.merge(spark.read.parquet(args.updates_path), key=args.key)
+        print(f"committed merge snapshot {sid}")
     elif args.cmd == "compact":
         sid = t.compact(target_file_bytes=args.target_bytes)
         print(f"compacted into snapshot {sid}")

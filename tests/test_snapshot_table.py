@@ -412,3 +412,87 @@ def test_optimize_layout_rejects_empty_cols(spark):
 
     with pytest.raises(ValueError):
         optimize_layout(spark.range(3), [])
+
+
+# ---------------------------------------------------------------------------
+# merge (copy-on-write upsert)
+# ---------------------------------------------------------------------------
+
+def test_merge_upserts_and_inserts(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"), stat_cols=["doc_id"])
+    t.append(_docs(spark, 0, 50))
+    updates = spark.range(40, 60).selectExpr(
+        "id AS doc_id", "'UPDATED' AS fp")
+    sid = t.merge(updates, key="doc_id")
+    assert t.current_snapshot_id() == sid
+    rows = {r["doc_id"]: r["fp"] for r in t.read().collect()}
+    assert set(rows) == set(range(60))  # 0..39 kept, 40..49 replaced, 50..59 new
+    assert all(rows[i] == "UPDATED" for i in range(40, 60))
+    assert all(rows[i] != "UPDATED" for i in range(40))
+    # parent stays time-travelable with the pre-merge values
+    old = {r["doc_id"]: r["fp"] for r in t.read(snapshot_id=sid - 1).collect()}
+    assert set(old) == set(range(50)) and old[45] != "UPDATED"
+    assert t.manifest()["operation"] == "merge"
+
+
+def test_merge_rewrites_only_overlapping_files(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"), stat_cols=["doc_id"])
+    # two disjoint-range commits -> disjoint file sets with doc_id stats
+    t.append(_docs(spark, 0, 100).coalesce(1))
+    t.append(_docs(spark, 1000, 1100).coalesce(1))
+    before = {f["path"] for f in t.manifest()["files"]}
+    low_files = {f["path"] for f in t.manifest()["files"]
+                 if f["stats"]["doc_id"][1] < 1000}
+    updates = spark.range(1050, 1060).selectExpr(
+        "id AS doc_id", "'U' AS fp")
+    t.merge(updates, key="doc_id")
+    after = {f["path"] for f in t.manifest()["files"]}
+    # the low-range file survived untouched; the high-range file did not
+    assert low_files <= after
+    assert not (before - low_files) <= after
+    rows = {r["doc_id"]: r["fp"] for r in t.read().collect()}
+    assert len(rows) == 200
+    assert all(rows[i] == "U" for i in range(1050, 1060))
+
+
+def test_merge_guards(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"), stat_cols=["doc_id"])
+    t.append(_docs(spark, 0, 10))
+    dup = spark.createDataFrame(
+        [(1, "a"), (1, "b")], "doc_id long, fp string")
+    with pytest.raises(SnapshotTableError, match="not unique"):
+        t.merge(dup, key="doc_id")
+    bad_schema = spark.range(3).selectExpr("id AS doc_id", "id AS other")
+    with pytest.raises(SnapshotTableError, match="schema"):
+        t.merge(bad_schema, key="doc_id")
+    # empty table: merge == first commit
+    t2 = SnapshotTable(spark, str(tmp_path / "t2"), stat_cols=["doc_id"])
+    t2.merge(_docs(spark, 0, 5), key="doc_id")
+    assert t2.read().count() == 5
+    assert t2.manifest()["operation"] == "merge"
+
+
+def test_merge_null_keys_insert_without_matching(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"), stat_cols=["doc_id"])
+    t.append(spark.createDataFrame(
+        [(None, "old-null"), (1, "one")], "doc_id long, fp string"))
+    updates = spark.createDataFrame(
+        [(None, "new-null")], "doc_id long, fp string")
+    t.merge(updates, key="doc_id")
+    fps = sorted(r["fp"] for r in t.read().collect())
+    # NULL never matches: both null rows retained, 'one' untouched
+    assert fps == ["new-null", "old-null", "one"]
+
+
+def test_merge_cli(spark, tmp_path, capsys):
+    from claimskg_generator_spark.sources.snapshot_table import main
+
+    tdir = str(tmp_path / "t")
+    t = SnapshotTable(spark, tdir, stat_cols=["doc_id"])
+    t.append(_docs(spark, 0, 20))
+    upath = str(tmp_path / "updates")
+    spark.range(15, 25).selectExpr(
+        "id AS doc_id", "'U' AS fp").write.parquet(upath)
+    assert main([tdir, "merge", upath, "--key", "doc_id"]) in (0, None)
+    rows = {r["doc_id"]: r["fp"] for r in t.read().collect()}
+    assert len(rows) == 25 and rows[20] == "U" and rows[0] != "U"
