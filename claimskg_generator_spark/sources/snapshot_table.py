@@ -215,7 +215,8 @@ class SnapshotTable:
     def _commit(self, new_files: List[Dict], operation: str,
                 schema: List[Tuple[str, str]],
                 retries: int = 5,
-                require_parent: Optional[int] = None) -> int:
+                require_parent: Optional[int] = None,
+                extra: Optional[Dict] = None) -> int:
         for _ in range(retries):
             parent = self.current_snapshot_id()
             if require_parent is not None and parent != require_parent:
@@ -246,6 +247,10 @@ class SnapshotTable:
                 "schema": schema,
                 "stat_cols": self.stat_cols,
                 "files": files,
+                # caller annotations (e.g. the streaming sink's epoch ids)
+                # ride INSIDE the atomic commit — no post-commit stamp
+                # window
+                **(extra or {}),
             }
             path = _manifest_path(self.table_dir, sid)
             # publish-then-claim: the manifest is COMPLETE on disk (fsync'd
@@ -322,17 +327,21 @@ class SnapshotTable:
                 os.fsync(f.fileno())
             os.replace(tmp, os.path.join(self.table_dir, _CURRENT))
 
-    def _snapshot(self, df: DataFrame, operation: str) -> int:
+    def _snapshot(self, df: DataFrame, operation: str,
+                  extra: Optional[Dict] = None) -> int:
         # provisional id only names the data directory; the real id is
         # assigned at commit time (a racing writer may take ours first)
         provisional = (self.current_snapshot_id() or 0) + 1
         files = self._write_data_files(df, provisional)
         entries = _collect_file_stats(self.spark, files, self.stat_cols)
-        return self._commit(entries, operation, _schema_fingerprint(df))
+        return self._commit(entries, operation, _schema_fingerprint(df),
+                            extra=extra)
 
-    def append(self, df: DataFrame) -> int:
-        """Commit a new snapshot = parent's files + df's files."""
-        return self._snapshot(df, "append")
+    def append(self, df: DataFrame, extra: Optional[Dict] = None) -> int:
+        """Commit a new snapshot = parent's files + df's files.
+        ``extra``: caller annotations merged into the manifest inside the
+        same atomic commit (e.g. streaming epoch ids)."""
+        return self._snapshot(df, "append", extra=extra)
 
     def overwrite(self, df: DataFrame) -> int:
         """Commit a new snapshot containing ONLY df's files (the old

