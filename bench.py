@@ -171,6 +171,10 @@ BENCH_QUERIES = [
     "q58_decontaminate",
     "q59_token_budget_mix",
     "q60_temperature_mix",
+    # the bigram-LM gate's (w1, w2) scoring join is the widest shuffle
+    # added this round; the recognizer is a broadcast pure-map stage
+    "q61_lm_perplexity",
+    "q62_concept_recognize",
 ]
 
 # The 13-query round-2 headline set: its subtotal is reported alongside the

@@ -1,0 +1,128 @@
+"""Bigram language-model perplexity scoring — the CCNet-style quality
+gate a web-scale training-data pipeline runs before anything else.
+
+An add-alpha bigram LM trained ON the corpus scores every document's
+per-token negative log-likelihood; high-perplexity documents are the
+classic "garbage" signal (Wenzek et al., CCNet, LREC 2020 use a
+KenLM trained on Wikipedia — here the LM is trained on the input
+corpus itself with one extra aggregate, which keeps the entire
+operator inside the SQL engine and makes it fully oracle-checkable).
+Pass a pre-trained ``lm`` frame to score against an external corpus
+instead.
+
+Scale shape (what matters at 100 TB):
+
+* ONE explode pass -> per-(doc, w1, w2) counts ``m`` (map-side
+  combinable; already slimmer than the raw token explode);
+* the LM tables derive from THAT frame, never from a second scan of
+  the text: c12 = regroup of (w1, w2), c1 = regroup of c12 — both
+  slim count frames;
+* vocab size rides a one-row broadcast cross join (no driver action);
+* scoring is ONE shuffle join of doc-bigrams against the enriched LM
+  on (w1, w2) followed by a map-side-combinable per-doc weighted
+  aggregate.
+
+No Window, no UDF, no ``collect``.  Every arithmetic step is a plain
+column expression so a DuckDB oracle re-derives the scores to the
+rounded digit (see __spark_entry__.q61 oracle).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def doc_bigrams(documents: DataFrame, doc_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Per-document bigram counts (doc, w1, w2, m) with a ``<s>``
+    sentinel so the first real token is conditioned too.
+
+    Tokenization matches the rest of the corpus operators
+    (split(trim(lower(text)), '\\s+'), see operators/relevance.py): an
+    engine that tokenizes one way for tf-idf and another for the LM
+    would silently disagree with itself.
+    """
+    tk = F.concat(
+        F.array(F.lit("<s>")),
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+    )
+    d = documents.select(F.col(doc_col), tk.alias("tk"))
+    # adjacent pairs generated WITHIN the row (0-based transform index
+    # against the 1-based slice), then one combinable groupBy
+    pairs = F.expr(
+        "transform(slice(tk, 1, size(tk) - 1), "
+        "(w, i) -> struct(w AS w1, tk[i + 1] AS w2))"
+    )
+    return (
+        d.select(doc_col, F.explode(pairs).alias("b"))
+        .select(doc_col, "b.w1", "b.w2")
+        .groupBy(doc_col, "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+
+
+def train_bigram_lm(doc_bg: DataFrame) -> DataFrame:
+    """Collapse per-doc bigram counts into the LM table
+    (w1, w2, c12, c1): bigram count and context count, both regroups
+    of the already-slim (doc, w1, w2, m) frame."""
+    c12 = doc_bg.groupBy("w1", "w2").agg(F.sum("m").alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    return c12.join(c1, "w1")
+
+
+def bigram_lm_perplexity(documents: DataFrame, alpha: float = 0.1,
+                         max_ppl: Optional[float] = None,
+                         lm: Optional[DataFrame] = None,
+                         persist: bool = True,
+                         doc_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """Score every document with an add-``alpha`` bigram LM.
+
+    p(w2 | w1) = (c12 + alpha) / (c1 + alpha * V) where V is the
+    bigram-successor vocabulary size; avg_nll is the count-weighted
+    mean of -ln p over the document's bigrams and ppl = exp(avg_nll).
+
+    Output: (doc_col, n_tokens, avg_nll, ppl[, keep]) — ``keep`` is
+    emitted when ``max_ppl`` is given and compares the ROUNDED ppl so
+    the gate is engine-stable.  ``lm`` overrides the corpus-trained
+    model with a pre-trained (w1, w2, c12, c1) frame (the CCNet
+    configuration: LM from a reference corpus, scores on the target).
+
+    ``persist`` (default True) materializes the per-doc bigram-count
+    frame once (MEMORY_AND_DISK): the scoring branch and the LM
+    derivations all consume it, and exchange reuse only dedups one of
+    those branches in practice (canonicalization of the re-aliased
+    self-join subtrees is partial), so without the persist the TEXT —
+    the 100 TB side — is tokenized up to four times.  The persisted
+    frame is the slim aggregated (doc, w1, w2, m) table, a fraction of
+    the raw text bytes, and spills to disk when it doesn't fit.
+    """
+    if alpha <= 0:
+        raise ValueError("alpha must be positive")
+    bg = doc_bigrams(documents, doc_col=doc_col, text_col=text_col)
+    if persist:
+        from pyspark import StorageLevel
+
+        bg = bg.persist(StorageLevel.MEMORY_AND_DISK)
+    model = train_bigram_lm(bg) if lm is None else lm
+    vsz = model.agg(F.countDistinct("w2").alias("vsz"))
+    scored = bg.join(model, ["w1", "w2"]).crossJoin(F.broadcast(vsz))
+    logp = F.log(
+        (F.col("c12") + F.lit(alpha)) / (F.col("c1") + F.lit(alpha) * F.col("vsz"))
+    )
+    per_doc = scored.groupBy(doc_col).agg(
+        F.sum("m").cast("bigint").alias("n_tokens"),
+        (-F.sum(F.col("m") * logp) / F.sum("m")).alias("nll"),
+    )
+    out = per_doc.select(
+        doc_col,
+        "n_tokens",
+        F.round("nll", 4).alias("avg_nll"),
+        F.round(F.exp("nll"), 4).alias("ppl"),
+    )
+    if max_ppl is not None:
+        out = out.withColumn("keep", F.col("ppl") <= F.lit(max_ppl))
+    return out
