@@ -211,11 +211,20 @@ class Sent2VecBinaryEmbeddings:
       nwords + FNV-1a-32(ngram bytes) % bucket.  word_vector and
       sentence_vector average ALL contributing rows by count — the
       supervised-branch text vector (fasttext.cc getSentenceVector).
+    - wordNgrams > 1, minn == 0, unquantized (sent2vec's hashed
+      word-n-gram composition): the in-vocabulary word-id line
+      (INCLUDING the trailing EOS id, which is on the line before
+      composition) additionally contributes one bucket row per
+      word n-gram of length 2..wordNgrams, with the rolling uint64
+      hash from sent2vec dictionary.cc addWordNgramHashes (forked
+      from fastText's old Dictionary::addNgrams): ``h = id_i`` then
+      ``h = h * 116049371 + id_j`` for each extension, row id =
+      nwords + h % bucket; the sentence vector is the mean over
+      word rows + n-gram bucket rows (fasttext.cc textVectors).
 
-    wordNgrams > 1 (sent2vec's hashed word-n-gram composition — distinct
-    semantics from char subwords) and quantized/pruned models raise
-    NotImplementedError with the reason — mis-reading them silently
-    would corrupt scores.
+    The minn > 0 AND wordNgrams > 1 combination, and quantized/pruned
+    models, raise NotImplementedError with the reason — mis-reading
+    them silently would corrupt scores.
     """
 
     def __init__(self, path: str):
@@ -240,22 +249,23 @@ class Sent2VecBinaryEmbeddings:
                 "<12i", f.read(48))
             (self._t,) = struct.unpack("<d", f.read(8))
             self._dim = dim
-            if word_ngrams > 1:
+            if word_ngrams > 1 and minn > 0:
                 raise NotImplementedError(
-                    f"{path}: wordNgrams={word_ngrams} models compose "
-                    "hashed word-n-gram buckets (sent2vec semantics); "
-                    "only the unigram-mean and char-subword paths are "
-                    "implemented"
+                    f"{path}: wordNgrams={word_ngrams} with char "
+                    f"subwords (minn={minn}) composes both hash "
+                    "families on one line; only the pure char-subword "
+                    "and pure word-n-gram paths are implemented"
                 )
+            self._word_ngrams = word_ngrams
             self._bucket = bucket
             self._minn = minn
             self._maxn = maxn
             size, nwords, nlabels = struct.unpack("<3i", f.read(12))
             self._nwords = nwords
             ntokens, pruneidx_size = struct.unpack("<2q", f.read(16))
-            if minn > 0 and pruneidx_size > 0:
+            if (minn > 0 or word_ngrams > 1) and pruneidx_size > 0:
                 raise NotImplementedError(
-                    f"{path}: pruned subword model (pruneidx_size="
+                    f"{path}: pruned model (pruneidx_size="
                     f"{pruneidx_size}); bucket ids are remapped in "
                     "pruned models"
                 )
@@ -282,11 +292,12 @@ class Sent2VecBinaryEmbeddings:
                 raise ValueError(
                     f"{path}: matrix width {n} != args dim {dim}"
                 )
-            if self._minn > 0 and m < self._nwords + self._bucket:
+            if (self._minn > 0 or self._word_ngrams > 1) \
+                    and m < self._nwords + self._bucket:
                 raise ValueError(
-                    f"{path}: subword model input matrix has {m} rows < "
-                    f"nwords({self._nwords}) + bucket({self._bucket}) — "
-                    "unexpected layout"
+                    f"{path}: bucket-hashed model input matrix has {m} "
+                    f"rows < nwords({self._nwords}) + "
+                    f"bucket({self._bucket}) — unexpected layout"
                 )
             offset = f.tell()
         self._mat = np.memmap(path, dtype="<f4", mode="r",
@@ -333,6 +344,25 @@ class Sent2VecBinaryEmbeddings:
                 n += 1
         return ids
 
+    def _word_ngram_ids(self, line: List[int]) -> List[int]:
+        """Bucket-row ids of the line's word n-grams (lengths
+        2..wordNgrams) — sent2vec dictionary.cc addWordNgramHashes, a
+        fork of fastText's old Dictionary::addNgrams: the rolling hash
+        starts from the word's VOCAB ID (not a string hash) and extends
+        with ``h = h * 116049371 + id`` in wrapping uint64 arithmetic;
+        row id = nwords + h % bucket.  ``line`` must already end with
+        the EOS id when present — sent2vec composes AFTER getLine
+        appends EOS, so (last_word, </s>) n-grams contribute."""
+        out = []
+        n = self._word_ngrams
+        sz = len(line)
+        for i in range(sz):
+            h = line[i]
+            for j in range(i + 1, min(sz, i + n)):
+                h = (h * 116049371 + line[j]) & 0xFFFFFFFFFFFFFFFF
+                out.append(self._nwords + h % self._bucket)
+        return out
+
     def _token_ids(self, word: str) -> List[int]:
         """All input-matrix rows a token contributes: its vocab row when
         present, plus (subword models, token != EOS) its char-n-gram
@@ -365,11 +395,15 @@ class Sent2VecBinaryEmbeddings:
     def sentence_vector(self, sentence: str) -> List[float]:
         if self._minn > 0:
             ids = [i for t in sentence.split() for i in self._token_ids(t)]
+            if self._eos is not None:
+                ids.append(self._eos)
         else:
             ids = [self._index[t] for t in sentence.split()
                    if t in self._index]
-        if self._eos is not None:
-            ids.append(self._eos)
+            if self._eos is not None:
+                ids.append(self._eos)
+            if self._word_ngrams > 1:
+                ids = ids + self._word_ngram_ids(ids)
         if not ids:
             return [0.0] * self._dim
         import numpy as np
@@ -382,9 +416,9 @@ class Sent2VecEmbeddings:
     """Sentence-level model surface (reference vsm/embeddings.py:283-301
     Sent2VecEmbeddings).  Uses the native sent2vec lib when importable
     (bit-exact for every model type); otherwise falls back to the pure
-    Sent2VecBinaryEmbeddings reader, which covers unigram-mean and
-    char-subword (minn > 0) models and rejects word-n-gram/quantized
-    ones loudly."""
+    Sent2VecBinaryEmbeddings reader, which covers unigram-mean,
+    char-subword (minn > 0), and word-n-gram (wordNgrams > 1) models
+    and rejects quantized/pruned ones loudly."""
 
     def __init__(self, model_path: str):
         try:

@@ -223,7 +223,8 @@ def test_reconcile_with_word2vec_binary(spark, tmp_path):
 
 
 def _write_sent2vec_bin(path, words, mat, word_ngrams=1, minn=0, maxn=0,
-                        bucket=2000000, quant=0, magic=None, version=12):
+                        bucket=2000000, quant=0, magic=None, version=12,
+                        pruneidx=()):
     """Golden fastText/sent2vec binary writer (the layout
     Sent2VecBinaryEmbeddings documents): magic+version, args, dictionary,
     quant flag, input matrix."""
@@ -241,10 +242,13 @@ def _write_sent2vec_bin(path, words, mat, word_ngrams=1, minn=0, maxn=0,
                             bucket, minn, maxn, 100))
         f.write(struct.pack("<d", 1e-4))
         f.write(struct.pack("<3i", len(words), len(words), 0))
-        f.write(struct.pack("<2q", 12345, -1))  # ntokens, no pruneidx
+        f.write(struct.pack("<2q", 12345,
+                            len(pruneidx) if pruneidx else -1))
         for w in words:
             f.write(w.encode("utf-8") + b"\x00")
             f.write(struct.pack("<qb", 7, 0))
+        for k, v in pruneidx:
+            f.write(struct.pack("<2i", k, v))
         f.write(struct.pack("<b", quant))
         f.write(struct.pack("<2q", len(mat), dim))
         f.write(np.asarray(mat, dtype="<f4").tobytes())
@@ -297,11 +301,18 @@ def test_sent2vec_binary_reader_guards(tmp_path):
 
     words, mat = ["</s>", "a"], [[1.0, 2.0], [3.0, 4.0]]
     cases = [
-        ({"word_ngrams": 2}, NotImplementedError, "wordNgrams"),
-        # subword models are SUPPORTED now, but only with a full
+        # word-n-gram AND char-subword on one line is the only hash
+        # combination still rejected
+        ({"word_ngrams": 2, "minn": 3, "maxn": 4, "bucket": 100},
+         NotImplementedError, "wordNgrams"),
+        # bucket-hashed models are SUPPORTED now, but only with a full
         # nwords+bucket input matrix — a short matrix means the layout
         # is not what the reader assumes
         ({"minn": 3, "maxn": 4, "bucket": 100}, ValueError, "rows"),
+        ({"word_ngrams": 2, "bucket": 100}, ValueError, "rows"),
+        # pruned bucket models remap ids; rejected, not mis-read
+        ({"word_ngrams": 2, "bucket": 100, "pruneidx": [(5, 0)]},
+         NotImplementedError, "pruned"),
         ({"quant": 1}, NotImplementedError, "quantized"),
         ({"magic": 1234}, ValueError, "magic"),
     ]
@@ -378,6 +389,64 @@ def test_sent2vec_subword_reader(tmp_path):
     # n-gram order/count parity with the reader's port: same multiset
     assert sorted(expect_ids("cé", 2)) == sorted(
         [2] + emb._subword_ids("cé"))
+
+
+def test_sent2vec_word_ngram_reader(tmp_path):
+    """sent2vec wordNgrams>1 path: the sentence mean gains one hashed
+    bucket row per word n-gram of the in-vocab id line INCLUDING the
+    trailing EOS id, with the rolling h = h*116049371 + id uint64 hash
+    (independent twin below, written from sent2vec dictionary.cc
+    addWordNgramHashes, not by importing the reader's helper)."""
+    import numpy as np
+
+    from claimskg_generator_spark.sources.embeddings import (
+        Sent2VecBinaryEmbeddings,
+        Sent2VecEmbeddings,
+    )
+
+    def ngram_rows(ids, n, nwords, bucket):
+        out = []
+        for i in range(len(ids)):
+            h = ids[i]
+            for j in range(i + 1, min(len(ids), i + n)):
+                h = (h * 116049371 + ids[j]) % (1 << 64)
+                out.append(nwords + h % bucket)
+        return out
+
+    bucket, dim = 13, 2
+    words = ["</s>", "the", "cat", "sat"]
+    nwords = len(words)
+    rng = np.random.RandomState(7)
+    mat = rng.uniform(-1, 1, size=(nwords + bucket, dim)).round(3)
+
+    for n in (2, 3):
+        p = tmp_path / f"wng{n}.bin"
+        _write_sent2vec_bin(str(p), words, mat.tolist(), word_ngrams=n,
+                            bucket=bucket)
+        emb = Sent2VecBinaryEmbeddings(str(p))
+        # "the cat sat" -> line [1, 2, 3, 0(EOS)] then n-gram buckets
+        line = [1, 2, 3, 0]
+        ids = line + ngram_rows(line, n, nwords, bucket)
+        if n == 2:
+            assert len(ids) == 4 + 3  # three bigrams incl (sat, </s>)
+        else:
+            assert len(ids) == 4 + 3 + 2  # + (the,cat,sat), (cat,sat,eos)
+        want = mat[ids].astype(np.float64).mean(axis=0)
+        assert np.allclose(emb.sentence_vector("the cat sat"), want), n
+        # OOV words drop out of the line BEFORE composition
+        line2 = [1, 3, 0]
+        ids2 = line2 + ngram_rows(line2, n, nwords, bucket)
+        assert np.allclose(emb.sentence_vector("the zzz sat"),
+                           mat[ids2].astype(np.float64).mean(axis=0))
+        # a single word still composes with EOS: (word, </s>) bigram
+        line3 = [2, 0]
+        ids3 = line3 + ngram_rows(line3, n, nwords, bucket)
+        s = Sent2VecEmbeddings(str(p))  # word_vector == embed_sentence
+        assert np.allclose(s.word_vector("cat"),
+                           mat[ids3].astype(np.float64).mean(axis=0))
+        # word_vector on the raw reader stays the plain vocab row
+        assert emb.word_vector("cat") == list(
+            np.asarray(mat[2], dtype="<f4").astype(float))
 
 
 def test_open_embeddings_multibyte_sniff_boundary(tmp_path):
