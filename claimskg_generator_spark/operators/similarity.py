@@ -59,6 +59,62 @@ def cosine_topk(embeddings: DataFrame, query_ids: List[int], k: int = 5,
     )
 
 
+def _hash_sample_centroids(embeddings: DataFrame, n_centroids: int,
+                           id_col: str, vec_col: str) -> DataFrame:
+    """Fixed-size deterministic coarse-centroid sample: the ``n_centroids``
+    vectors whose md5(id) sorts first (ORDER BY md5 LIMIT n — one global
+    top-k, reproducible by any SQL engine)."""
+    return (
+        embeddings.select(
+            F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cv"),
+            F.md5(F.col(id_col).cast("string")).alias("hk"),
+        )
+        .orderBy("hk", "cent_id")
+        .limit(n_centroids)
+        .drop("hk")
+    )
+
+
+def _cent_arr(cents: DataFrame) -> DataFrame:
+    """One-row frame holding ALL centroids as a cent_id-ordered array —
+    broadcast once, n_centroids * dim floats total."""
+    return cents.agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("cent_id"), F.col("cv")))
+        ).alias("cents")
+    )
+
+
+def _scored_arr(vcol):
+    """Per-centroid (cosine, -cent_id) structs over the broadcast ``cents``
+    array column; array_max / array_sort over them orders by cosine first,
+    then SMALLER cent_id on ties."""
+    return F.transform(
+        F.col("cents"),
+        lambda c: F.struct(
+            (_dot(vcol, c["cv"]) / (_norm(vcol) * _norm(c["cv"])))
+            .alias("c"),
+            (-c["cent_id"]).alias("neg_id"),
+        ),
+    )
+
+
+def _assign(embeddings: DataFrame, cent_arr: DataFrame,
+            id_col: str, vec_col: str) -> DataFrame:
+    """Argmax coarse assignment as a PURE MAP stage: the fixed-size
+    centroid set rides as a one-row broadcast array column and the
+    per-vector argmax is a within-row transform + array_max — no N x |C|
+    row explosion, no aggregation shuffle, no Window sort."""
+    return (
+        embeddings.join(F.broadcast(cent_arr))
+        .select(
+            F.col(id_col).alias("m_id"), F.col(vec_col).alias("mv"),
+            F.array_max(_scored_arr(F.col(vec_col))).alias("best"),
+        )
+        .select("m_id", "mv", (-F.col("best.neg_id")).alias("m_cent"))
+    )
+
+
 def ivf_topk(embeddings: DataFrame, query_ids: List[int], k: int = 5,
              n_centroids: int = 32, n_probe: int = 4,
              id_col: str = "vec_id", vec_col: str = "embedding",
@@ -103,47 +159,14 @@ def ivf_topk(embeddings: DataFrame, query_ids: List[int], k: int = 5,
     JVM-side (zip_with/aggregate); ties break to the smaller centroid/
     neighbor id so results are total-order deterministic.
     """
-    cents = (
-        embeddings.select(
-            F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cv"),
-            F.md5(F.col(id_col).cast("string")).alias("hk"),
-        )
-        .orderBy("hk", "cent_id")
-        .limit(n_centroids)
-        .drop("hk")
-    )
-    # one-row frame holding ALL centroids as an array (canonical cent_id
-    # order) — broadcast once, n_centroids * dim floats total
-    def to_cent_arr(cdf):
-        return cdf.agg(
-            F.array_sort(
-                F.collect_list(F.struct(F.col("cent_id"), F.col("cv")))
-            ).alias("cents")
-        )
-
-    cent_arr = to_cent_arr(cents)
-
-    def scored_arr(vcol):
-        # per-centroid (cosine, -cent_id) structs; array_max / array_sort
-        # over them orders by cosine first, then SMALLER cent_id on ties
-        return F.transform(
-            F.col("cents"),
-            lambda c: F.struct(
-                (_dot(vcol, c["cv"]) / (_norm(vcol) * _norm(c["cv"])))
-                .alias("c"),
-                (-c["cent_id"]).alias("neg_id"),
-            ),
-        )
+    cents = _hash_sample_centroids(embeddings, n_centroids, id_col, vec_col)
+    to_cent_arr = _cent_arr
+    scored_arr = _scored_arr
 
     def assign(carr):
-        return (
-            embeddings.join(F.broadcast(carr))
-            .select(
-                F.col(id_col).alias("m_id"), F.col(vec_col).alias("mv"),
-                F.array_max(scored_arr(F.col(vec_col))).alias("best"),
-            )
-            .select("m_id", "mv", (-F.col("best.neg_id")).alias("m_cent"))
-        )
+        return _assign(embeddings, carr, id_col, vec_col)
+
+    cent_arr = to_cent_arr(cents)
 
     for _ in range(n_iters):
         # Lloyd pass: argmax assignment (pure map) + element-wise cluster
@@ -302,4 +325,64 @@ def lsh_cosine_pairs(embeddings: DataFrame, bands: int = 8,
         pairs.withColumn("cosine", F.round(cos, 4))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
+    )
+
+
+def semantic_dedup(embeddings: DataFrame, n_centroids: int = 32,
+                   threshold: float = 0.95,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster-then-prune
+    semantic deduplication.  Coarse-cluster the corpus (same deterministic
+    hash-sampled centroids + pure-map argmax assignment as ``ivf_topk``),
+    then WITHIN each cluster flag every vector whose cosine to a
+    LOWER-id cluster member is >= ``threshold`` — the keep-one-per-ε-ball
+    policy with a deterministic lowest-id representative.
+
+    This is the third member of the embedding-dedup family: q11/q27 answer
+    "nearest to a query", q19 finds near-dup PAIRS via hyperplane LSH,
+    SemDeDup partitions the WHOLE corpus and prunes semantically redundant
+    documents — the shape used to thin web-scale pretraining corpora.
+
+    Scale posture (100 TB): assignment is one broadcast-centroid map pass
+    (no shuffle).  The pairwise stage is an equi-self-join on cluster id —
+    the SemDeDup cost model, O(sum c_i^2) bounded by cluster granularity
+    (grow ``n_centroids`` with the corpus to keep clusters bounded, same
+    knob as IVF); never all-pairs across clusters.  Only (id, vec, cluster)
+    rides the join.  A skewed hot cluster is AQE skew-split territory, same
+    as the reconciliation self-join (operators/reconcile.py).
+
+    Output, one row per input vector: ``cluster_id``, ``max_cos_prev``
+    (max cosine to any lower-id member of its cluster, rounded 4, NULL for
+    the cluster's lowest id / singletons), ``keep`` (0 when
+    ``max_cos_prev >= threshold``, else 1).  Cosines are compared AFTER
+    the round-4 so the gate is replayable bit-for-bit by a DOUBLE[] SQL
+    oracle (round is monotone, so max-of-rounded == rounded-max).
+    """
+    cents = _hash_sample_centroids(embeddings, n_centroids, id_col, vec_col)
+    assigned = _assign(embeddings, _cent_arr(cents), id_col, vec_col)
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    cos = _dot(F.col("a.mv"), F.col("b.mv")) / (
+        _norm(F.col("a.mv")) * _norm(F.col("b.mv"))
+    )
+    max_prev = (
+        a.join(
+            b,
+            (F.col("a.m_cent") == F.col("b.m_cent"))
+            & (F.col("b.m_id") < F.col("a.m_id")),
+        )
+        .select(F.col("a.m_id").alias("id"), F.round(cos, 4).alias("c"))
+        .groupBy("id")
+        .agg(F.max("c").alias("max_cos_prev"))
+    )
+    return (
+        assigned.join(max_prev, assigned["m_id"] == max_prev["id"], "left")
+        .select(
+            F.col("m_id").alias(id_col),
+            F.col("m_cent").alias("cluster_id"),
+            "max_cos_prev",
+            F.when(F.col("max_cos_prev") >= threshold, F.lit(0))
+            .otherwise(F.lit(1)).cast("int").alias("keep"),
+        )
     )

@@ -471,3 +471,67 @@ def test_ivf_trained_quantized_matches_python_twin(spark):
     want = ivf_topk_py(embs32, [0, 1, 2], k=4, n_centroids=8, n_probe=3,
                        n_iters=2, quantize_means=9)
     assert got == want
+
+
+def test_semantic_dedup_single_cluster_exact(spark):
+    """n_centroids=1 degenerates to exact corpus-wide SemDeDup: every
+    vector's max_cos_prev is its max cosine to ANY lower-id vector, so a
+    planted near-identical pair drops the higher id and everything else
+    survives (random 16-dim gaussians stay far below 0.95)."""
+    import math
+    import random
+
+    from claimskg_generator_spark.operators.similarity import semantic_dedup
+
+    rng = random.Random(5)
+    dim = 16
+    rows = [(i, [rng.gauss(0.0, 1.0) for _ in range(dim)])
+            for i in range(20)]
+    base = rows[3][1]
+    rows.append((100, [x + rng.gauss(0.0, 0.01) for x in base]))  # near-dup
+    # sanity: the plant really is a semantic dup, the rest are not
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / math.sqrt(sum(x * x for x in a) * sum(y * y for y in b))
+    assert cos(base, rows[-1][1]) > 0.99
+    assert all(cos(a[1], b[1]) < 0.9
+               for i, a in enumerate(rows) for b in rows[:i]
+               if not (a[0] == 100 and b[0] == 3))
+    vecs = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>")
+    got = {r["vec_id"]: r for r in
+           semantic_dedup(vecs, n_centroids=1, threshold=0.95).collect()}
+    assert len(got) == 21  # one row per input vector, kept or not
+    assert got[100]["keep"] == 0 and got[100]["max_cos_prev"] > 0.99
+    assert all(r["keep"] == 1 for i, r in got.items() if i != 100)
+    # the single centroid puts everyone in one cluster
+    assert len({r["cluster_id"] for r in got.values()}) == 1
+    # cluster-lowest id has no lower-id member
+    assert got[0]["max_cos_prev"] is None
+
+
+def test_semantic_dedup_colinear_tie_and_singletons(spark):
+    """With every vector a centroid, only exact-colinear groups share a
+    cluster (cos=1 tie breaks to the smaller cent_id), so scaled copies
+    dedup against their lowest id and everything else is a kept
+    singleton with NULL max_cos_prev."""
+    import random
+
+    from claimskg_generator_spark.operators.similarity import semantic_dedup
+
+    rng = random.Random(7)
+    rows = [(i, [rng.gauss(0.0, 1.0) for _ in range(8)]) for i in range(10)]
+    rows.append((20, [2.0 * x for x in rows[4][1]]))   # colinear with 4
+    rows.append((21, [0.5 * x for x in rows[4][1]]))   # colinear with 4
+    vecs = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>")
+    got = {r["vec_id"]: r for r in
+           semantic_dedup(vecs, n_centroids=1000, threshold=0.95).collect()}
+    assert got[20]["cluster_id"] == 4 and got[21]["cluster_id"] == 4
+    assert got[4]["keep"] == 1 and got[4]["max_cos_prev"] is None
+    assert got[20]["keep"] == 0 and got[21]["keep"] == 0
+    singles = [r for i, r in got.items() if i not in (4, 20, 21)]
+    assert all(r["keep"] == 1 and r["max_cos_prev"] is None
+               and r["cluster_id"] == r["vec_id"] for r in singles)
