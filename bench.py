@@ -175,6 +175,9 @@ BENCH_QUERIES = [
     # added this round; the recognizer is a broadcast pure-map stage
     "q61_lm_perplexity",
     "q62_concept_recognize",
+    # SemDeDup: broadcast-centroid map assignment + within-cluster
+    # equi-self-join — the cluster-bounded pairwise shape worth timing
+    "q63_semantic_dedup",
 ]
 
 # The 13-query round-2 headline set: its subtotal is reported alongside the
