@@ -178,6 +178,9 @@ BENCH_QUERIES = [
     # SemDeDup: broadcast-centroid map assignment + within-cluster
     # equi-self-join — the cluster-bounded pairwise shape worth timing
     "q63_semantic_dedup",
+    # DSIR: one persisted feature-count pass feeding two model regroups
+    # + broadcast-join scoring — the widest explode added this round
+    "q64_dsir_select",
 ]
 
 # The 13-query round-2 headline set: its subtotal is reported alongside the

@@ -974,3 +974,98 @@ def test_budget_cap_and_temperature_mix_null_group_is_a_group(spark):
     assert got_null == {1, 2}
     mixed = temperature_mix(df, "grp", "id", alpha=1.0, target_frac=1.0)
     assert mixed.count() == 3  # rate 1.0 keeps everything incl. NULL grp
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling (selection.py)
+
+
+def _dsir_naive(rows, target_ids, alpha=1.0, hex_len=3, fraction=0.25):
+    """Pure-Python DSIR twin: hashed unigram+bigram bucket models with
+    add-alpha smoothing, per-doc rounded log weights, type-7 percentile
+    threshold."""
+    import math
+    import re
+
+    def buckets(text):
+        tk = re.split(r"\s+", text.strip().lower())
+        feats = tk + [f"{a} {b}" for a, b in zip(tk, tk[1:])]
+        return [hashlib.md5(f.encode()).hexdigest()[:hex_len]
+                for f in feats]
+
+    ct, cr, per_doc = {}, {}, {}
+    for doc_id, text in rows:
+        bs = buckets(text)
+        per_doc[doc_id] = bs
+        tgt = doc_id in target_ids
+        for b in bs:
+            (ct if tgt else cr)[b] = (ct if tgt else cr).get(b, 0) + 1
+    tt, tr, nb = sum(ct.values()), sum(cr.values()), 16 ** hex_len
+    scored = {}
+    for doc_id, bs in per_doc.items():
+        if doc_id in target_ids:
+            continue
+        lw = sum(
+            math.log((ct.get(b, 0) + alpha) / (tt + alpha * nb))
+            - math.log((cr.get(b, 0) + alpha) / (tr + alpha * nb))
+            for b in bs
+        )
+        scored[doc_id] = (len(bs), round(lw, 4))
+    vals = sorted(w for _, w in scored.values())
+    # type-7 interpolated percentile at 1 - fraction
+    h = (len(vals) - 1) * (1.0 - fraction)
+    lo, frac = int(h), h - int(h)
+    thr = (vals[lo] if frac == 0.0
+           else vals[lo] + frac * (vals[lo + 1] - vals[lo]))
+    return {d: (n, w, int(w >= thr)) for d, (n, w) in scored.items()}
+
+
+def _dsir_corpus(seed=11, n=40, n_target=6):
+    import random
+
+    rng = random.Random(seed)
+    clean = "the quick brown fox jumps over the lazy dog".split()
+    noise = ["zzz", "qqq", "spam", "click", "buy", "now", "$$$", "win"]
+    rows = []
+    for i in range(n):
+        if i < n_target or rng.random() < 0.3:
+            words = [rng.choice(clean) for _ in range(rng.randint(5, 12))]
+        else:
+            words = [rng.choice(noise + clean[:3])
+                     for _ in range(rng.randint(3, 10))]
+        rows.append((i, " ".join(words)))
+    return rows, set(range(n_target))
+
+
+def test_dsir_select_matches_naive(spark):
+    from claimskg_generator_spark.operators.selection import dsir_select
+
+    rows, target_ids = _dsir_corpus()
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_feats"], r["log_importance"], r["keep"])
+        for r in dsir_select(
+            docs, F.col("doc_id").isin(*target_ids), fraction=0.25
+        ).collect()
+    }
+    want = _dsir_naive(rows, target_ids)
+    assert got == want
+    # the keep gate selects a real strict subset, and the kept docs
+    # score above every dropped one (the threshold is a pure cutoff)
+    kept = {d for d, (_, _, k) in got.items() if k == 1}
+    assert kept and len(kept) < len(got)
+    assert min(got[d][1] for d in kept) >= max(
+        got[d][1] for d in got if d not in kept
+    )
+
+
+def test_dsir_select_fraction_one_keeps_all_and_validates(spark):
+    from claimskg_generator_spark.operators.selection import dsir_select
+
+    rows, target_ids = _dsir_corpus(seed=3, n=12, n_target=3)
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dsir_select(docs, F.col("doc_id").isin(*target_ids),
+                      fraction=1.0).collect()
+    assert len(out) == 9 and all(r["keep"] == 1 for r in out)
+    with pytest.raises(ValueError):
+        dsir_select(docs, F.col("doc_id") < 3, fraction=0.0)
