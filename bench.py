@@ -181,6 +181,9 @@ BENCH_QUERIES = [
     # DSIR: one persisted feature-count pass feeding two model regroups
     # + broadcast-join scoring — the widest explode added this round
     "q64_dsir_select",
+    # triangle counting: the degree-oriented wedge self-join + closure
+    # probe over the derived co-mention graph
+    "q65_triangle_count",
 ]
 
 # The 13-query round-2 headline set: its subtotal is reported alongside the

@@ -373,3 +373,89 @@ def label_propagation(
         if (i + 1) % checkpoint_every == 0 and i + 1 < n_iters:
             labels = labels.localCheckpoint(eager=True)
     return labels
+
+
+def triangle_count(edges: DataFrame, src: str = "src",
+                   dst: str = "dst", persist: bool = True) -> DataFrame:
+    """Per-vertex triangle counting with degree-ordered orientation —
+    the clustering-coefficient / community-density primitive of the
+    graph family (components, PageRank, LPA all live in this module).
+
+    Algorithm (Cohen, "Graph Twiddling in a MapReduce World", CiSE 2009
+    / the compact-forward ordering of Latapy 2008): canonicalize to an
+    undirected simple graph, orient every edge from the (degree, id)-
+    LOWER endpoint to the higher, enumerate wedges by joining oriented
+    edges on their shared tail, and confirm each wedge against the
+    oriented closing edge.  Orientation bounds every vertex's
+    out-degree by O(sqrt(m)), so the wedge set — the only
+    super-linear intermediate — is O(m^1.5) worst case instead of the
+    O(Σ deg(v)^2) a hub vertex costs without it; each triangle is
+    produced exactly once (its vertices appear in orientation order).
+
+    Scale posture (100 TB edge set): three equi-join shuffles (two
+    degree attachments, one wedge closure) + two groupBys — no
+    collect_list neighborhood materialization, so a 10^8-degree hub
+    never lands in one task; the skewed wedge join is AQE skew-split
+    territory.  ``persist`` (default True) materializes the oriented
+    edge frame once — it is consumed three times (both wedge sides and
+    the closure probe).
+
+    Output, one row per vertex: ``vertex``, ``degree`` (undirected,
+    deduped), ``n_triangles`` (triangles the vertex participates in;
+    0 for triangle-free vertices).  All integers — hash-exact across
+    engines.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.explode(F.array("a", "b")).alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    e = (
+        und.join(deg.select(F.col("v").alias("a"),
+                            F.col("deg").alias("da")), "a")
+        .join(deg.select(F.col("v").alias("b"),
+                         F.col("deg").alias("db")), "b")
+    )
+    a_lower = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    fwd = e.select(
+        F.when(a_lower, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_lower, F.col("b")).otherwise(F.col("a")).alias("w"),
+        F.when(a_lower, F.col("db")).otherwise(F.col("da")).alias("dw"),
+    )
+    if persist:
+        fwd = fwd.persist(StorageLevel.MEMORY_AND_DISK)
+    f1 = fwd.select("u", F.col("w").alias("w1"), F.col("dw").alias("dw1"))
+    f2 = fwd.select("u", F.col("w").alias("w2"), F.col("dw").alias("dw2"))
+    # wedge (w1, w2) kept in orientation order so the closing edge, if
+    # present, is oriented w1 -> w2 and one equi-join confirms it
+    wedge = f1.join(f2, "u").filter(
+        (F.col("dw1") < F.col("dw2"))
+        | ((F.col("dw1") == F.col("dw2")) & (F.col("w1") < F.col("w2")))
+    )
+    tri = wedge.join(
+        fwd.select(F.col("u").alias("w1"), F.col("w").alias("w2")),
+        ["w1", "w2"],
+    ).select("u", "w1", "w2")
+    tc = (
+        tri.select(F.explode(F.array("u", "w1", "w2")).alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        deg.join(tc, "v", "left")
+        .select(
+            F.col("v").alias("vertex"),
+            F.col("deg").alias("degree"),
+            F.coalesce("n", F.lit(0)).cast("long").alias("n_triangles"),
+        )
+    )

@@ -273,3 +273,54 @@ def test_label_propagation_deep_iteration_plan_bounded(spark):
                    label_propagation(edges, n_iters=4,
                                      checkpoint_every=10**9).collect()))
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# triangle_count
+
+
+def _naive_triangles(pairs):
+    """Brute-force per-vertex triangle counts over an undirected simple
+    graph given as (a, b) pairs (self-loops/duplicates tolerated)."""
+    from itertools import combinations
+
+    adj = {}
+    for a, b in pairs:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tc = {v: 0 for v in adj}
+    for u, v, w in combinations(sorted(adj), 3):
+        if v in adj[u] and w in adj[u] and w in adj[v]:
+            tc[u] += 1
+            tc[v] += 1
+            tc[w] += 1
+    return {v: (len(adj[v]), tc[v]) for v in adj}
+
+
+def test_triangle_count_k4_pendant_and_cycle(spark):
+    from claimskg_generator_spark.operators.components import triangle_count
+
+    k4 = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+    c5 = [(10 + i, 10 + (i + 1) % 5) for i in range(5)]
+    edges = spark.createDataFrame(k4 + [(3, 4)] + c5, "src long, dst long")
+    got = {r["vertex"]: (r["degree"], r["n_triangles"])
+           for r in triangle_count(edges).collect()}
+    assert got == _naive_triangles(k4 + [(3, 4)] + c5)
+    assert got[3] == (4, 3) and got[4] == (1, 0)
+
+
+def test_triangle_count_random_matches_naive(spark):
+    from claimskg_generator_spark.operators.components import triangle_count
+
+    rng = random.Random(17)
+    # dense-ish random graph + duplicate/reversed/self edges to exercise
+    # canonicalization; a hub vertex to exercise the orientation bound
+    pairs = [(rng.randrange(30), rng.randrange(30)) for _ in range(160)]
+    pairs += [(b, a) for a, b in pairs[:20]] + [(7, 7)]
+    pairs += [(99, i) for i in range(25)]
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    got = {r["vertex"]: (r["degree"], r["n_triangles"])
+           for r in triangle_count(edges).collect()}
+    assert got == _naive_triangles(pairs)
