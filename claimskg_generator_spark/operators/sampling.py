@@ -278,3 +278,62 @@ def optimize_layout(
         else df.repartitionByRange(*cols)
     )
     return part.sortWithinPartitions(*cols)
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    by: str | None = None,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement — ``k`` rows
+    drawn with probability proportional to ``weight_col`` (Efraimidis &
+    Spirakis 2006 A-ES priority sampling: priority = ln(u)/w for a
+    uniform u, keep the k largest; equivalent to ranking u^(1/w)).
+
+    The uniform is derived from md5(id) (first 8 hex chars → a 32-bit
+    integer scaled to [0, 1)), so the sample is a pure function of the
+    row — stable under retries, repartitioning, AQE re-plans, and
+    replayable by any SQL engine ('0x'-cast in DuckDB, conv() here).
+    The mid-point nudge (+0.5) keeps u strictly inside (0, 1) so ln(u)
+    is finite.  Priorities are ROUNDED (8 dp) before ranking with an id
+    tie-break, so the selected set is engine-stable the same way the
+    q64 percentile gate is.
+
+    ``by=None`` draws one global sample: Spark plans orderBy().limit(k)
+    as TakeOrderedAndProject — per-partition top-k heaps + a driver
+    merge of k·P candidates, NO global sort shuffle.  With ``by``, the
+    draw is per group via a partitioned window (one shuffle on the
+    group key).
+
+    Non-positive or NULL weights are excluded (zero-weight rows can
+    never be drawn).
+
+    The missing member of the sampling family next to hash_gate /
+    stratified_sample / assign_splits (all uniform-rate): sampling
+    proportional to a quality or importance score is how a curated
+    subcorpus is drawn from scored documents (e.g. the DSIR weights of
+    operators/selection.py).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    u = (
+        (F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8),
+                16, 10).cast("double") + F.lit(0.5))
+        / F.lit(float(1 << 32))
+    )
+    w = F.col(weight_col).cast("double")
+    pri = F.round(F.log(u) / w, 8)
+    scored = (
+        df.filter(w.isNotNull() & (w > 0))
+        .withColumn("priority", pri)
+    )
+    if by is None:
+        return scored.orderBy(F.desc("priority"), F.col(id_col)).limit(k)
+    win = Window.partitionBy(by).orderBy(F.desc("priority"), F.col(id_col))
+    return (
+        scored.withColumn("__rn", F.row_number().over(win))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
