@@ -337,3 +337,64 @@ def weighted_sample(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def zorder_key(
+    df: DataFrame,
+    cols: "list[str]",
+    bits: int = 16,
+    key_col: str = "zkey",
+) -> DataFrame:
+    """Append a Z-order (Morton) key over integer dimension columns —
+    the bit-interleaved sort key `optimize_layout`'s docstring points
+    at: clustering on ``zkey`` gives every output file a narrow band in
+    EVERY dimension at once, so stats-based file skipping works for
+    predicates on any single dimension or any combination (table-format
+    OPTIMIZE ZORDER BY).
+
+    Each dimension is min/max-scaled onto [0, 2^bits) (the per-dim
+    min/max is one tiny aggregate riding a one-row broadcast — the same
+    corpus-scalar pattern as tf-idf), floored to an integer, and the
+    dimensions' bits are interleaved LSB-first (dimension i contributes
+    bit b to key bit ``b * ndims + i``).  Everything after the scaling
+    divide is integer arithmetic, so the key replays exactly in any
+    engine; the divide itself is one double multiply-then-divide in a
+    fixed shape.  Constant dimensions (min == max) collapse to 0.
+
+    Timestamps should be pre-cast to integers (``F.unix_micros``);
+    ``bits * len(cols)`` must fit in a signed 64-bit key (<= 62).
+    """
+    if not cols:
+        raise ValueError("need at least one dimension column")
+    if bits < 1 or bits * len(cols) > 62:
+        raise ValueError(
+            f"bits * ndims must be in [1, 62], got {bits} * {len(cols)}"
+        )
+    top = float((1 << bits) - 1)
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"__mn_{c}"), F.max(c).alias(f"__mx_{c}")]
+    bounds = df.agg(*aggs)
+    out = df.join(F.broadcast(bounds))
+    key = F.lit(0).cast("long")
+    for i, c in enumerate(cols):
+        mn = F.col(f"__mn_{c}").cast("double")
+        span = F.col(f"__mx_{c}").cast("double") - mn
+        z = F.when(span > 0, F.floor(
+            (F.col(c).cast("double") - mn) * F.lit(top) / span
+        )).otherwise(F.lit(0)).cast("long")
+        zc = f"__z_{c}"
+        out = out.withColumn(zc, z)
+        for b in range(bits):
+            key = key.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(F.col(zc), b).bitwiseAND(F.lit(1)),
+                    b * len(cols) + i,
+                )
+            )
+    return (
+        out.withColumn(key_col, key.cast("long"))
+        .drop(*[f"__z_{c}" for c in cols])
+        .drop(*[f"__mn_{c}" for c in cols])
+        .drop(*[f"__mx_{c}" for c in cols])
+    )

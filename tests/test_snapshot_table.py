@@ -496,3 +496,83 @@ def test_merge_cli(spark, tmp_path, capsys):
     assert main([tdir, "merge", upath, "--key", "doc_id"]) in (0, None)
     rows = {r["doc_id"]: r["fp"] for r in t.read().collect()}
     assert len(rows) == 25 and rows[20] == "U" and rows[0] != "U"
+
+
+def test_zorder_key_matches_python_twin(spark):
+    """Bit-exact parity of the Morton key with a pure-Python interleave
+    over min/max-scaled dimensions (incl. a constant dimension)."""
+    import math
+
+    from claimskg_generator_spark.operators.sampling import zorder_key
+
+    rows = [(i, i * 37 % 101, (i * 13) % 50, 7) for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, x long, y long, c long")
+    got = {r["id"]: r["zkey"]
+           for r in zorder_key(df, ["x", "y", "c"], bits=8).collect()}
+
+    xs = [r[1] for r in rows]
+    ys = [r[2] for r in rows]
+
+    def scale(v, mn, mx):
+        return 0 if mx == mn else math.floor(
+            (float(v) - mn) * 255.0 / (mx - mn))
+
+    def interleave(zs):
+        k = 0
+        for i, zi in enumerate(zs):
+            for b in range(8):
+                k |= ((zi >> b) & 1) << (b * 3 + i)
+        return k
+
+    want = {i: interleave((scale(x, min(xs), max(xs)),
+                           scale(y, min(ys), max(ys)), 0))
+            for i, x, y, _ in rows}
+    assert got == want
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        zorder_key(df, [], bits=8)
+    with _pytest.raises(ValueError):
+        zorder_key(df, ["x", "y"], bits=32)  # 64 key bits > 62
+
+
+def test_zorder_layout_skips_files_on_both_dimensions(spark, tmp_path):
+    """Clustering on the Morton key gives file skipping on EACH of the
+    interleaved dimensions, where a 1-D sort only prunes its own lead
+    column: the y-predicate scan over the x-sorted table keeps every
+    file, over the z-ordered table it must prune some."""
+    from claimskg_generator_spark.operators.sampling import (
+        optimize_layout,
+        zorder_key,
+    )
+    from claimskg_generator_spark.sources.snapshot_table import SnapshotTable
+
+    n = 4096
+    # x and y must be INDEPENDENT functions of i (two multiplicative
+    # bijections of i mod 256 would make y a pure function of x and the
+    # x-sort would accidentally cluster y too)
+    rows = [(i, (i * 177) % 256, ((i * 2654435761) % (1 << 32)) >> 24)
+            for i in range(n)]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+
+    one_d = SnapshotTable(spark, str(tmp_path / "xsort"),
+                          stat_cols=["x", "y"])
+    one_d.append(optimize_layout(df, ["x"], n_partitions=16))
+
+    zed = zorder_key(df, ["x", "y"], bits=8)
+    ztab = SnapshotTable(spark, str(tmp_path / "zorder"),
+                         stat_cols=["x", "y"])
+    ztab.append(optimize_layout(zed, ["zkey"], n_partitions=16).drop("zkey"))
+
+    for col in ("x", "y"):
+        s = ztab.scan_stats(where=(col, "<=", 15))
+        assert s["kept_files"] < s["total_files"], (col, s)
+        got = (ztab.read(where=(col, "<=", 15))
+               .filter(f"{col} <= 15").count())  # residual filter: read()
+        # only prunes files, the caller applies the real predicate
+        assert got == sum(1 for r in rows if r[1 if col == "x" else 2] <= 15)
+    # the 1-D layout prunes x but cannot prune y
+    sy = one_d.scan_stats(where=("y", "<=", 15))
+    assert sy["kept_files"] == sy["total_files"]
+    sx = one_d.scan_stats(where=("x", "<=", 15))
+    assert sx["kept_files"] < sx["total_files"]
