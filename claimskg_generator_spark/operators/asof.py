@@ -151,3 +151,66 @@ def range_join_by_bucket(
     return joined.select(
         *[l2[c] for c in left.columns], *[r2[c] for c in right.columns]
     )
+
+
+def scd2_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    on: Sequence[str],
+    fact_ts: str = "ts",
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    dim_cols: "Sequence[str] | None" = None,
+    suffix: str = "_dim",
+    how: str = "left",
+) -> DataFrame:
+    """Point-in-time dimension join (SCD Type 2): attach to every fact
+    row the dimension version that was valid at the fact's timestamp —
+    ``valid_from <= fact_ts < valid_to``, half-open, ``valid_to`` NULL =
+    still current.  The warehouse primitive behind "what tier was this
+    user on when they purchased".
+
+    Spark-first shape: this is exactly an as-of join on ``valid_from``
+    (operators/asof.asof_join — union + running last(ignorenulls)
+    window, ONE shuffle for both sides) followed by the ``valid_to``
+    residual check; facts whose latest version has EXPIRED (an interval
+    gap: valid_to <= fact_ts < next valid_from) are nulled out
+    (``how='left'``) or dropped (``how='inner'``).  No interval
+    explosion, no range join — at 100 TB the fact side shuffles once on
+    (key, ts) and nothing else.
+
+    ``dim_cols`` defaults to every dimension column except the key and
+    validity columns.  With well-formed SCD2 input (non-overlapping
+    versions per key) the match is unique; if versions share a
+    ``valid_from``, the asof tie-break (greatest payload tuple) keeps
+    the result deterministic.
+
+    Output: all fact columns, then each dim column and ``valid_from`` /
+    ``valid_to`` suffixed with ``suffix``.
+    """
+    if how not in ("left", "inner"):
+        raise ValueError(f"how must be 'left' or 'inner', got {how!r}")
+    on = list(on)
+    if dim_cols is None:
+        skip = set(on) | {valid_from, valid_to}
+        dim_cols = [c for c in dim.columns if c not in skip]
+    dim_cols = list(dim_cols)
+    joined = asof_join(
+        facts,
+        dim,
+        on=on,
+        left_ts=fact_ts,
+        right_ts=valid_from,
+        right_cols=dim_cols + [valid_to],
+        suffix=suffix,
+    )
+    vf = F.col(f"{valid_from}{suffix}")
+    vt = F.col(f"{valid_to}{suffix}")
+    ok = vf.isNotNull() & (vt.isNull() | (vt > F.col(fact_ts)))
+    if how == "inner":
+        return joined.filter(ok)
+    out = joined.withColumn("__scd_ok", ok)
+    for c in dim_cols + [valid_to, valid_from]:
+        cc = f"{c}{suffix}"
+        out = out.withColumn(cc, F.when(F.col("__scd_ok"), F.col(cc)))
+    return out.drop("__scd_ok")

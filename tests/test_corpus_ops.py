@@ -1145,3 +1145,76 @@ def test_weighted_sample_is_weight_biased(spark):
            weighted_sample(df, "w", 30, id_col="doc_id").collect()]
     heavy = sum(1 for i in got if i % 2 == 0)
     assert heavy >= 25
+
+
+# ---------------------------------------------------------------------------
+# SCD2 point-in-time dimension join
+
+
+def test_scd2_join_hand_computed_with_gap_and_expiry(spark):
+    from claimskg_generator_spark.operators.asof import scd2_join
+
+    dim = spark.createDataFrame(
+        [
+            # user 1: v1 [10, 20), gap [20, 30), v2 [30, open)
+            (1, "bronze", _ts("2024-01-01T00:00:10"),
+             _ts("2024-01-01T00:00:20")),
+            (1, "gold", _ts("2024-01-01T00:00:30"), None),
+        ],
+        "user_id long, tier string, valid_from timestamp, "
+        "valid_to timestamp",
+    )
+    facts = spark.createDataFrame(
+        [
+            (100, 1, _ts("2024-01-01T00:00:05")),  # before any version
+            (101, 1, _ts("2024-01-01T00:00:10")),  # valid_from inclusive
+            (102, 1, _ts("2024-01-01T00:00:20")),  # valid_to exclusive: gap
+            (103, 1, _ts("2024-01-01T00:00:25")),  # inside the gap
+            (104, 1, _ts("2024-01-01T00:00:45")),  # open current version
+            (105, 2, _ts("2024-01-01T00:00:45")),  # key with no versions
+        ],
+        "fid long, user_id long, ts timestamp",
+    )
+    got = {r["fid"]: r["tier_dim"]
+           for r in scd2_join(facts, dim, on=["user_id"]).collect()}
+    assert got == {100: None, 101: "bronze", 102: None, 103: None,
+                   104: "gold", 105: None}
+    inner = scd2_join(facts, dim, on=["user_id"], how="inner").collect()
+    assert sorted(r["fid"] for r in inner) == [101, 104]
+    with pytest.raises(ValueError):
+        scd2_join(facts, dim, on=["user_id"], how="full")
+
+
+def test_scd2_join_random_matches_naive(spark):
+    import random
+
+    from claimskg_generator_spark.operators.asof import scd2_join
+
+    rng = random.Random(31)
+    dim_rows = []
+    for u in range(8):
+        starts = sorted(rng.sample(range(0, 1000), rng.randint(1, 6)))
+        for j, s in enumerate(starts):
+            # random half-open validity; sometimes a gap before the next
+            end = (starts[j + 1] - rng.choice([0, 0, 50])
+                   if j + 1 < len(starts) else
+                   (None if rng.random() < 0.5 else s + 100))
+            if end is not None and end <= s:
+                end = starts[j + 1]
+            dim_rows.append((u, float(j), s, end))
+    fact_rows = [(i, rng.randrange(9), rng.randrange(1100))
+                 for i in range(300)]
+    dim = spark.createDataFrame(
+        dim_rows, "user_id long, tier double, valid_from long, "
+        "valid_to long")
+    facts = spark.createDataFrame(fact_rows, "fid long, user_id long, "
+                                  "ts long")
+    got = {r["fid"]: r["tier_dim"] for r in
+           scd2_join(facts, dim, on=["user_id"]).collect()}
+    want = {}
+    for fid, u, t in fact_rows:
+        m = [tier for (du, tier, vf, vt) in dim_rows
+             if du == u and vf <= t and (vt is None or vt > t)]
+        assert len(m) <= 1
+        want[fid] = m[0] if m else None
+    assert got == want
