@@ -184,6 +184,9 @@ BENCH_QUERIES = [
     # triangle counting: the degree-oriented wedge self-join + closure
     # probe over the derived co-mention graph
     "q65_triangle_count",
+    # inverted index: token explode + the salted two-phase per-key
+    # top-k (two windows) — the skew-proof ranking shape
+    "q69_inverted_index",
 ]
 
 # The 13-query round-2 headline set: its subtotal is reported alongside the
