@@ -23,6 +23,13 @@ dedup machinery); --sample lang=rate[,lang=rate...] applies the
 deterministic md5 hash-gate mix AFTER survivorship; --pii-redact
 replaces emails/IPv4s/phones in the survivor text with typed
 placeholders.
+
+Selection stages (round 5): --dsir-target column=value +
+--dsir-fraction run DSIR importance resampling over the survivors
+(operators/selection.py) and keep only the gated raw documents;
+--weighted-sample K + --weight-col draw the final corpus with
+probability proportional to a quality/size column
+(operators/sampling.weighted_sample).
 """
 
 import argparse
@@ -79,6 +86,22 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="column --sample stratifies on (default lang)")
     p.add_argument("--pii-redact", action="store_true",
                    help="redact emails/IPv4s/phones in survivor text")
+    p.add_argument("--dsir-target", default=None,
+                   help="DSIR selection after survivorship: column=value "
+                        "predicate naming the target corpus (e.g. "
+                        "source=wiki); only raw survivors the importance "
+                        "gate keeps are written")
+    p.add_argument("--dsir-fraction", type=float, default=0.25,
+                   help="fraction of raw survivors DSIR keeps "
+                        "(default 0.25)")
+    p.add_argument("--weighted-sample", type=int, default=None,
+                   metavar="K",
+                   help="final A-ES weighted draw of K survivors "
+                        "(probability proportional to --weight-col)")
+    p.add_argument("--weight-col", default="n_chars",
+                   help="weight column for --weighted-sample (default "
+                        "n_chars; falls back to length(text) when the "
+                        "column is absent)")
     return p
 
 
@@ -144,6 +167,8 @@ def main(argv=None) -> int:
     if args.method == "embedding" and args.dim is None:
         parser.error("--method embedding requires --dim (the hyperplanes "
                      "are plan-time literals of that length)")
+    if args.dsir_target is not None and "=" not in args.dsir_target:
+        parser.error("--dsir-target must be column=value")
     sample_rates = None
     if args.sample is not None:
         try:
@@ -207,6 +232,29 @@ def main(argv=None) -> int:
         from claimskg_generator_spark.functions.pii import redact
 
         survivors = survivors.withColumn("text", redact(F.col("text")))
+    if args.dsir_target is not None:
+        from claimskg_generator_spark.operators.selection import dsir_select
+
+        tcol, tval = args.dsir_target.split("=", 1)
+        sel = dsir_select(
+            survivors, F.col(tcol.strip()) == tval.strip(),
+            fraction=args.dsir_fraction,
+        ).filter(F.col("keep") == 1).select("doc_id")
+        # co-partitioned semi-join: only the DSIR-kept raw survivors
+        # continue (the target corpus is the yardstick, not output)
+        survivors = survivors.join(sel, "doc_id", "left_semi")
+    if args.weighted_sample is not None:
+        from claimskg_generator_spark.operators.sampling import (
+            weighted_sample,
+        )
+
+        wdf = survivors
+        wcol = args.weight_col
+        if wcol not in wdf.columns:
+            wdf = wdf.withColumn(wcol, F.length("text"))
+        survivors = weighted_sample(
+            wdf, wcol, args.weighted_sample, id_col="doc_id"
+        ).drop("priority").select(*survivors.columns)
     if args.id_col != "doc_id":
         survivors = survivors.withColumnRenamed("doc_id", args.id_col)
     survivors.write.mode("overwrite").parquet(args.output)

@@ -386,3 +386,54 @@ def semantic_dedup(embeddings: DataFrame, n_centroids: int = 32,
             .otherwise(F.lit(1)).cast("int").alias("keep"),
         )
     )
+
+
+def random_projection(embeddings: DataFrame, out_dim: int, dim: int,
+                      seed: int = 13,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """Johnson-Lindenstrauss embedding compression with a DETERMINISTIC
+    Rademacher (±1) projection (Achlioptas 2003: ±1 entries satisfy the
+    JL lemma like Gaussians do): y_j = (Σ_i x_i · s_ij) / sqrt(out_dim),
+    signs drawn from one seeded stream at PLAN time (row j=0 first, the
+    hyperplane_band_keys convention), so any SQL engine replays the
+    matrix from (seed, dim, out_dim) alone.
+
+    Scale posture: a pure narrow map — the ±1 matrix is out_dim · dim
+    plan-time literals (no broadcast, no shuffle, no UDF; the dot
+    products are JVM zip_with/aggregate folds), so the operator
+    pipelines into whatever scan precedes it at any corpus size.  This
+    is the standard pre-step that makes the embedding family cheaper:
+    cosine top-k / LSH / SemDeDup over 16 compressed dims instead of
+    768 raw ones.
+
+    ``dim`` is required for the same no-hidden-jobs reason as
+    hyperplane_band_keys.  Output is EXPLODED for engine-stable
+    comparison: one row per (vector, output dimension) —
+    (id_col, out_idx, value), value rounded 6.
+    """
+    import random
+
+    if out_dim < 1:
+        raise ValueError(f"out_dim must be >= 1, got {out_dim}")
+    rng = random.Random(seed)
+    scale = 1.0 / (out_dim ** 0.5)
+    vals = []
+    for _ in range(out_dim):
+        signs = F.array(*[
+            F.lit(float(rng.choice((-1.0, 1.0)))) for _ in range(dim)
+        ])
+        dot = F.aggregate(
+            F.zip_with(F.col(vec_col).cast("array<double>"), signs,
+                       lambda x, s: x * s),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        vals.append(F.round(dot * F.lit(scale), 6))
+    return embeddings.select(
+        F.col(id_col), F.posexplode(F.array(*vals))
+    ).select(
+        id_col,
+        F.col("pos").cast("int").alias("out_idx"),
+        F.col("col").alias("value"),
+    )

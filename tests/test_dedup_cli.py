@@ -146,3 +146,39 @@ def test_dedup_cli_rejects_bad_sample_spec():
 
     with pytest.raises(SystemExit):
         main(["--input", "x", "--output", "y", "--sample", "en:0.5"])
+
+
+def test_dedup_cli_dsir_and_weighted_sample_match_operators(spark, docs):
+    from pyspark.sql import functions as F
+
+    from claimskg_generator_spark.operators.components import dedup_corpus
+    from claimskg_generator_spark.operators.dedup import exact_duplicates
+    from claimskg_generator_spark.operators.sampling import weighted_sample
+    from claimskg_generator_spark.operators.selection import dsir_select
+
+    base = tempfile.mkdtemp(prefix="claimskg_dedupcli_")
+    got = _run(spark, docs,
+               ["--method", "exact", "--dsir-target", "source=src0",
+                "--dsir-fraction", "0.5", "--weighted-sample", "10"],
+               base)
+
+    d = exact_duplicates(docs)
+    pairs = (d.filter(F.col("doc_id") != F.col("survivor_id"))
+             .select(F.col("survivor_id").alias("id_a"),
+                     F.col("doc_id").alias("id_b")))
+    survivors = dedup_corpus(docs, pairs)
+    sel = (dsir_select(survivors, F.col("source") == "src0", fraction=0.5)
+           .filter("keep = 1").select("doc_id"))
+    kept = survivors.join(sel, "doc_id", "left_semi")
+    want = {r["doc_id"] for r in
+            weighted_sample(kept, "n_chars", 10, id_col="doc_id")
+            .select("doc_id").collect()}
+    assert got == want and len(got) == 10
+
+
+def test_dedup_cli_rejects_bad_dsir_target():
+    from claimskg_generator_spark.dedup_cli import main
+
+    with pytest.raises(SystemExit):
+        main(["--input", "x", "--output", "y",
+              "--dsir-target", "nopredicate"])

@@ -535,3 +535,44 @@ def test_semantic_dedup_colinear_tie_and_singletons(spark):
     singles = [r for i, r in got.items() if i not in (4, 20, 21)]
     assert all(r["keep"] == 1 and r["max_cos_prev"] is None
                and r["cluster_id"] == r["vec_id"] for r in singles)
+
+
+def test_random_projection_matches_numpy_twin(spark):
+    """Bit-parity (after round-6) with a numpy twin replaying the same
+    seeded sign stream, plus the JL sanity that pairwise distances are
+    roughly preserved."""
+    import random as _random
+
+    import numpy as np
+
+    from claimskg_generator_spark.operators.similarity import (
+        random_projection,
+    )
+
+    rng = np.random.RandomState(3)
+    dim, out_dim, n = 24, 12, 40
+    X = rng.randn(n, dim)
+    vecs = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>")
+    got = {(r["vec_id"], r["out_idx"]): r["value"]
+           for r in random_projection(vecs, out_dim=out_dim, dim=dim,
+                                      seed=13).collect()}
+
+    srng = _random.Random(13)
+    S = np.array([[srng.choice((-1.0, 1.0)) for _ in range(dim)]
+                  for _ in range(out_dim)])
+    Xf = X.astype(np.float32).astype(np.float64)  # array<float> storage
+    Y = (Xf @ S.T) / np.sqrt(out_dim)
+    assert len(got) == n * out_dim
+    for (i, j), v in got.items():
+        assert v == pytest.approx(Y[i, j], abs=1e-6)
+    # JL sanity: squared distances preserved within a loose factor
+    Yg = np.array([[got[(i, j)] for j in range(out_dim)]
+                   for i in range(n)])
+    for a, b in [(0, 1), (2, 30), (5, 17)]:
+        d0 = np.sum((Xf[a] - Xf[b]) ** 2)
+        d1 = np.sum((Yg[a] - Yg[b]) ** 2)
+        assert 0.3 < d1 / d0 < 3.0
+    with pytest.raises(ValueError):
+        random_projection(vecs, out_dim=0, dim=dim)

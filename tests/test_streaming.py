@@ -453,3 +453,56 @@ def test_snapshot_sink_exactly_once(spark):
       batch_id=max(epochs) + 1000)
     assert t.read().count() == 45
     assert max(epochs) + 1000 in committed_stream_batch_ids(t)
+
+
+def test_streaming_scd2_join_matches_batch(spark):
+    """Stream-static SCD2 enrichment: facts delivered in two chunks
+    through the availableNow file stream converge to the batch
+    scd2_join answer (incl. gap/expiry nulls and late facts enriched
+    with the version valid at THEIR timestamp)."""
+    import os
+
+    from claimskg_generator_spark.operators.asof import scd2_join
+    from claimskg_generator_spark.streaming.scd2_stream import (
+        streaming_scd2_join,
+    )
+
+    base = tempfile.mkdtemp(prefix="claimskg_scd2stream_")
+    in_dir, out_dir, ck = f"{base}/in", f"{base}/out", f"{base}/ck"
+    os.makedirs(in_dir)
+
+    dim = spark.createDataFrame(
+        [
+            (1, "bronze", 10, 20),   # gap [20, 30)
+            (1, "gold", 30, None),
+            (2, "silver", 5, None),
+        ],
+        "user_id long, tier string, valid_from long, valid_to long",
+    )
+    import random
+
+    rng = random.Random(37)
+    facts = [(i, rng.choice([1, 1, 2, 3]), rng.randrange(0, 50))
+             for i in range(80)]
+    fdf = spark.createDataFrame(facts, "fid long, user_id long, ts long")
+
+    # chunk 1 (first 50 facts, out of time order on purpose), drain
+    spark.createDataFrame(facts[:50], fdf.schema).coalesce(1).write.mode(
+        "append").parquet(in_dir)
+    q = streaming_scd2_join(spark, in_dir, dim, ck, out_dir,
+                            on=["user_id"], fact_ts="ts")
+    q.awaitTermination(120)
+    # chunk 2 (late facts with EARLIER timestamps), drain again
+    spark.createDataFrame(facts[50:], fdf.schema).coalesce(1).write.mode(
+        "append").parquet(in_dir)
+    q2 = streaming_scd2_join(spark, in_dir, dim, ck, out_dir,
+                             on=["user_id"], fact_ts="ts")
+    q2.awaitTermination(120)
+
+    got = {(r["fid"], r["tier_dim"], r["valid_from_dim"])
+           for r in spark.read.parquet(out_dir).collect()}
+    want = {(r["fid"], r["tier_dim"], r["valid_from_dim"])
+            for r in scd2_join(fdf, dim, on=["user_id"],
+                               fact_ts="ts").collect()}
+    assert len(got) == len(facts)
+    assert got == want
