@@ -576,3 +576,50 @@ def test_random_projection_matches_numpy_twin(spark):
         assert 0.3 < d1 / d0 < 3.0
     with pytest.raises(ValueError):
         random_projection(vecs, out_dim=0, dim=dim)
+
+
+def test_set_similarity_join_matches_naive_across_thresholds(spark):
+    """Prefix filtering must be LOSSLESS: the exact set-Jaccard join
+    equals the naive quadratic answer at several thresholds, on a corpus
+    with skewed token frequencies and duplicate/near-duplicate sets."""
+    import random as _random
+
+    from claimskg_generator_spark.operators.setjoin import (
+        set_similarity_join,
+    )
+
+    rng = _random.Random(43)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = []
+    for i in range(60):
+        k = rng.randint(3, 12)
+        # skew: low-index words far more common
+        toks = {vocab[min(rng.randrange(30), rng.randrange(30))]
+                for _ in range(k)}
+        rows.append((i, " ".join(sorted(toks))))
+    rows.append((100, rows[5][1]))                      # exact dup set
+    rows.append((101, rows[5][1] + " w29"))             # near dup
+
+    def naive(th):
+        sets = {i: set(t.split()) for i, t in rows}
+        out = {}
+        ids = sorted(sets)
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                a, b = ids[x], ids[y]
+                i = len(sets[a] & sets[b])
+                j = i / (len(sets[a]) + len(sets[b]) - i)
+                if j >= th:
+                    out[(a, b)] = round(j, 6)
+        return out
+
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for th in (0.5, 0.8, 1.0):
+        got = {(r["id_a"], r["id_b"]): r["jaccard"]
+               for r in set_similarity_join(docs, threshold=th).collect()}
+        assert got == naive(th), th
+    # the planted exact-dup pair is found at J = 1.0
+    assert (5, 100) in naive(1.0)
+
+    with pytest.raises(ValueError):
+        set_similarity_join(docs, threshold=0.0)
