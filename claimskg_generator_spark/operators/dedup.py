@@ -630,3 +630,58 @@ def two_phase_distinct(df: DataFrame, cols=None,
         .dropDuplicates(cols)
     )
     return uniq.unionByName(rare).drop("_h1", "_h2")
+
+
+def minhash_lsh_pairs_cross(left: DataFrame, right: DataFrame,
+                            n: int = 3, num_hashes: int = 32,
+                            bands: int = 8,
+                            verify_threshold: float = 0.5,
+                            seed: int = 7, checkable: bool = False,
+                            broadcast_left: bool = False) -> DataFrame:
+    """Cross-corpus (bipartite) MinHash+LSH near-dup pairs — dedup one
+    corpus AGAINST another: which train documents are fuzzy duplicates
+    of a reference/eval corpus (the probabilistic sibling of the
+    exact-window decontamination in operators/contamination.py).
+
+    Same banded bucket machinery as the self-join (minhash_band_keys),
+    but candidates come from an A × B bucket join, never from within
+    one side, so the output is (id_a from ``left``, id_b from
+    ``right``, exact n-gram jaccard ≥ ``verify_threshold``).  Ids must
+    be globally unique ACROSS the two frames (they key the
+    verification joins).
+
+    Scale posture: the reference side is typically benchmark-sized —
+    pass ``broadcast_left=True`` to broadcast its banded keys and scan
+    the 100 TB side exactly once with zero shuffles on the bucket join
+    (the q58 decontamination shape); verification joins touch
+    candidates only.  ``checkable=True`` switches to the md5-mod-p
+    hash family the DuckDB oracle replays byte-for-byte; the default
+    is the compact xxhash64 production path.
+    """
+    def xx_mod_p(col):
+        h = F.xxhash64(col)
+        return (h % MINHASH_P + MINHASH_P) % MINHASH_P
+
+    hash_fn = md5_hash_mod_p if checkable else xx_mod_p
+    banded_l = minhash_band_keys(left, hash_fn, n, num_hashes, bands,
+                                 seed, compact_keys=not checkable)
+    banded_r = minhash_band_keys(right, hash_fn, n, num_hashes, bands,
+                                 seed, compact_keys=not checkable)
+    if broadcast_left:
+        banded_l = F.broadcast(banded_l)
+    a, b = banded_l.alias("a"), banded_r.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"),
+                F.col("b.doc_id").alias("id_b"))
+        .dropDuplicates()
+    )
+    docs_all = left.select("doc_id", "text").unionByName(
+        right.select("doc_id", "text")
+    )
+    return _verify_candidate_jaccard(docs_all, candidates, n,
+                                     verify_threshold)

@@ -623,3 +623,60 @@ def test_set_similarity_join_matches_naive_across_thresholds(spark):
 
     with pytest.raises(ValueError):
         set_similarity_join(docs, threshold=0.0)
+
+
+def test_minhash_cross_finds_planted_and_ignores_within_side(spark):
+    """Bipartite LSH reports ONLY reference-vs-train pairs: a train doc
+    planted as a near-copy of a reference doc is found; near-dup pairs
+    living entirely within one side are not emitted."""
+    from claimskg_generator_spark.operators.dedup import (
+        minhash_lsh_pairs_cross,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog and runs far "
+            "away into the deep dark forest tonight").split()
+    ref = spark.createDataFrame(
+        [(1, " ".join(base)), (2, "totally different reference text "
+                                  "about spark plans and shuffles here")],
+        "doc_id long, text string")
+    train_rows = [
+        (100, " ".join(base[:-1] + ["today"])),   # near-dup of ref 1
+        (101, "unrelated train document with its own words entirely"),
+        # 102/103: near-dups of each other, NOT of any reference doc
+        (102, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (103, "alpha beta gamma delta epsilon zeta eta theta iota mu"),
+    ]
+    train = spark.createDataFrame(train_rows, "doc_id long, text string")
+    got = {(r["id_a"], r["id_b"])
+           for r in minhash_lsh_pairs_cross(ref, train,
+                                            verify_threshold=0.3).collect()}
+    assert (1, 100) in got
+    assert all(a in (1, 2) and b >= 100 for a, b in got)
+    assert (102, 103) not in got and (103, 102) not in got
+
+
+def test_minhash_cross_equals_selfjoin_restricted(spark):
+    """On a split corpus, the bipartite join must equal the self-join's
+    pairs restricted to cross-side (same hashes, banding, verify)."""
+    from claimskg_generator_spark.operators.dedup import (
+        minhash_lsh_pairs_checkable,
+        minhash_lsh_pairs_cross,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet")
+    left = docs.filter("doc_id % 7 = 0")
+    right = docs.filter("doc_id % 7 != 0")
+    got = {(r["id_a"], r["id_b"], r["jaccard"])
+           for r in minhash_lsh_pairs_cross(
+               left, right, verify_threshold=0.1,
+               checkable=True).collect()}
+    full = minhash_lsh_pairs_checkable(docs, verify_threshold=0.1).collect()
+    want = set()
+    for r in full:
+        a, b = r["id_a"], r["id_b"]
+        if a % 7 == 0 and b % 7 != 0:
+            want.add((a, b, r["jaccard"]))
+        elif b % 7 == 0 and a % 7 != 0:
+            want.add((b, a, r["jaccard"]))
+    assert got == want and want
