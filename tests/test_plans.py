@@ -239,3 +239,107 @@ def test_temperature_mix_corpus_single_scan_gate(spark):
     assert "SortMergeJoin" not in plan
     assert re.search(r"BroadcastHashJoin[\s\S]*?Join condition: .*mix_rate",
                      plan), plan
+
+
+def test_dsir_models_broadcast_and_corpus_single_tokenize(spark):
+    """q64: the model / totals / threshold joins must all broadcast (no
+    sort-merge join of the scored corpus against anything), and with the
+    feature frame persisted the text is tokenized once — the plan shows
+    InMemoryTableScans feeding the model regroups and scoring branch."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.q64_dsir_select(spark, SF))
+    # the only SMJ allowed is the <= 16^h-row ct/cr FULL OUTER model
+    # merge; the corpus-side joins are all broadcast (match only the
+    # plan-tree nodes "SortMergeJoin <type> (n)", not the per-node
+    # detail blocks below the tree)
+    smj = re.findall(r"SortMergeJoin (\w+) \(", plan)
+    assert smj and all(t == "FullOuter" for t in smj), smj
+    assert "InMemoryTableScan" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_semantic_dedup_assignment_is_broadcast_map(spark):
+    """q63: coarse assignment must ride a broadcast nested-loop of the
+    ONE-ROW centroid array (a pure map in effect) — no N x C row
+    explosion join; the only hash joins are the cluster-id self-join
+    and the left attach of max_cos_prev."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.q63_semantic_dedup(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # one-row cents array attach
+
+
+def test_triangle_count_no_cartesian_and_wedge_joins_hashed(spark):
+    """q65: wedge generation and closure must be equi (hash) joins —
+    never a cartesian / nested-loop over the edge set."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.q65_triangle_count(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_weighted_sample_take_ordered_no_global_sort(spark):
+    """q66: the global draw must plan as TakeOrderedAndProject (per-
+    partition top-k heaps) — never a rangepartitioning sort of the
+    corpus."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.q66_weighted_sample(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_zorder_key_is_pure_map_after_bounds(spark):
+    """q67: after the one-row bounds aggregate broadcasts, the key
+    computation is a within-row projection — no shuffle of the events
+    scan, no hash join."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.q67_zorder_key(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan  # one-row bounds attach
+    assert "SortMergeJoin" not in plan
+    # the fact scan reaches the projection without a shuffle: the only
+    # exchanges feed the bounds aggregate (and its broadcast)
+    n_shuffles = len(re.findall(r"\) Exchange\b", plan))
+    assert n_shuffles <= 1, plan
+
+
+def test_scd2_join_single_shuffle_union_window(spark):
+    """q68: the as-of composition must shuffle ONCE on (key, ts) for the
+    union frame — no second exchange of fact rows, no SMJ."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.q68_scd2_join(spark, SF))
+    assert "SortMergeJoin" not in plan
+    # exchanges: the dim's lead() window (tiny) + the union asof window
+    n_shuffles = len(re.findall(r"\) Exchange\b", plan))
+    assert n_shuffles <= 2, plan
+
+
+def test_setjoin_verify_only_on_candidates(spark):
+    """q71: verification arrays must attach to the candidate frame (the
+    join inputs carry the token arrays only on the two candidate
+    attaches, never through the prefix-token self-join)."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.q71_set_similarity_join(spark, SF))
+    assert "CartesianProduct" not in plan
+    # the prefix self-join is an equi join on the token; its inputs are
+    # slim (id, n, t) projections — no 'toks' array column rides it
+    m = re.search(r"Join condition: None[\s\S]*?", plan)
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or \
+        "BroadcastHashJoin" in plan
+
+
+def test_minhash_cross_reference_side_broadcasts(spark):
+    """q73: with broadcast_left=True the banded bucket join must be a
+    BroadcastHashJoin (train side streams; zero bucket-join shuffles of
+    the train corpus)."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.q73_minhash_cross(spark, SF))
+    assert re.search(r"BroadcastHashJoin", plan)
+    assert "CartesianProduct" not in plan
