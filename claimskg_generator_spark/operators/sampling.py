@@ -363,6 +363,11 @@ def zorder_key(
 
     Timestamps should be pre-cast to integers (``F.unix_micros``);
     ``bits * len(cols)`` must fit in a signed 64-bit key (<= 62).
+
+    NULL dimension values scale to 0 (the dimension minimum) rather
+    than nulling the whole key — a NULL-heavy column at 100 TB would
+    otherwise collapse every affected row into a NULL sort key and
+    defeat the clustering for the OTHER dimensions too.
     """
     if not cols:
         raise ValueError("need at least one dimension column")
@@ -380,9 +385,9 @@ def zorder_key(
     for i, c in enumerate(cols):
         mn = F.col(f"__mn_{c}").cast("double")
         span = F.col(f"__mx_{c}").cast("double") - mn
-        z = F.when(span > 0, F.floor(
+        z = F.when(span > 0, F.coalesce(F.floor(
             (F.col(c).cast("double") - mn) * F.lit(top) / span
-        )).otherwise(F.lit(0)).cast("long")
+        ), F.lit(0))).otherwise(F.lit(0)).cast("long")
         zc = f"__z_{c}"
         out = out.withColumn(zc, z)
         for b in range(bits):

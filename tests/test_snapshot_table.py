@@ -576,3 +576,21 @@ def test_zorder_layout_skips_files_on_both_dimensions(spark, tmp_path):
     assert sy["kept_files"] == sy["total_files"]
     sx = one_d.scan_stats(where=("x", "<=", 15))
     assert sx["kept_files"] < sx["total_files"]
+
+
+def test_zorder_key_null_dimension_scales_to_zero(spark):
+    """A NULL dimension value must scale to the dimension minimum (0),
+    not null the whole key — the other dimensions' bits still cluster."""
+    from claimskg_generator_spark.operators.sampling import zorder_key
+
+    df = spark.createDataFrame(
+        [(1, 0, 255), (2, None, 255), (3, 255, None), (4, None, None)],
+        "id long, x long, y long")
+    got = {r["id"]: r["zkey"]
+           for r in zorder_key(df, ["x", "y"], bits=8).collect()}
+    assert None not in got.values()
+    # NULL x behaves as x=0: rows 1 and 2 share identical keys
+    assert got[2] == got[1]
+    # NULL y behaves as y=0 (x=255 bits survive)
+    assert got[3] == sum(1 << (2 * b) for b in range(8))
+    assert got[4] == 0
