@@ -308,7 +308,8 @@ def weighted_sample(
     group key).
 
     Non-positive or NULL weights are excluded (zero-weight rows can
-    never be drawn).
+    never be drawn); NULL ids are excluded too — they would carry a
+    NULL priority, whose sort position is engine-dependent.
 
     The missing member of the sampling family next to hash_gate /
     stratified_sample / assign_splits (all uniform-rate): sampling
@@ -326,7 +327,7 @@ def weighted_sample(
     w = F.col(weight_col).cast("double")
     pri = F.round(F.log(u) / w, 8)
     scored = (
-        df.filter(w.isNotNull() & (w > 0))
+        df.filter(w.isNotNull() & (w > 0) & F.col(id_col).isNotNull())
         .withColumn("priority", pri)
     )
     if by is None:
