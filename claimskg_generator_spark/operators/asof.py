@@ -214,3 +214,80 @@ def scd2_join(
         cc = f"{c}{suffix}"
         out = out.withColumn(cc, F.when(F.col("__scd_ok"), F.col(cc)))
     return out.drop("__scd_ok")
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str] = (),
+    l_start: str = "l_start",
+    l_end: str = "l_end",
+    r_start: str = "r_start",
+    r_end: str = "r_end",
+    bucket_us: int = 3_600_000_000,
+) -> DataFrame:
+    """Interval × interval overlap join (closed intervals, integer
+    microseconds): every (left, right) row pair sharing the ``on`` keys
+    whose intervals intersect — [ls, le] ∩ [rs, re] ≠ ∅, i.e.
+    ``max(ls, rs) <= min(le, re)``.  The remaining member of the
+    temporal-join family (asof = point→latest-version, range = point
+    within tolerance of point, scd2 = point→validity version; this is
+    interval→interval: sessions × incident windows, campaigns ×
+    outages).
+
+    Shape: both sides replicate each interval to the ``bucket_us``-wide
+    time bins it spans (a per-row sequence explode, factor ≈ interval
+    length / bucket — pick the bucket near the typical interval length)
+    and hash-join on (keys, bin).  A pair sharing k bins would emit k
+    times, so each pair is claimed by exactly ONE bin — the bin of
+    ``max(ls, rs)`` (the overlap's left edge, which both sides span by
+    definition): join output keeps a row only when
+    ``bin == floor(max(ls, rs) / bucket)``.  Exactly-once without a
+    dropDuplicates shuffle, the same responsibility trick as
+    range_join_by_bucket's neighbor bins.  Never a theta/cartesian
+    join; a hot (key, bin) is AQE skew territory.
+
+    Column names of the two frames must be disjoint (the equi keys are
+    shared and join as keys).  Start/end must be non-null with
+    start <= end; violating rows are dropped.
+    """
+    if bucket_us < 1:
+        raise ValueError(f"bucket_us must be >= 1, got {bucket_us}")
+    on = list(on)
+    overlap_cols = (set(left.columns) - set(on)) & (
+        set(right.columns) - set(on)
+    )
+    if overlap_cols:
+        raise ValueError(
+            f"left/right column names must be disjoint: {overlap_cols}"
+        )
+
+    def bins(s, e):
+        return F.sequence(
+            F.floor(F.col(s) / bucket_us), F.floor(F.col(e) / bucket_us)
+        )
+
+    l2 = (
+        left.filter(
+            F.col(l_start).isNotNull() & F.col(l_end).isNotNull()
+            & (F.col(l_start) <= F.col(l_end))
+        )
+        .withColumn("__ov_bin", F.explode(bins(l_start, l_end)))
+    )
+    r2 = (
+        right.filter(
+            F.col(r_start).isNotNull() & F.col(r_end).isNotNull()
+            & (F.col(r_start) <= F.col(r_end))
+        )
+        .withColumn("__ov_bin", F.explode(bins(r_start, r_end)))
+    )
+    joined = l2.join(r2, on + ["__ov_bin"])
+    lo = F.greatest(F.col(l_start), F.col(r_start))
+    hi = F.least(F.col(l_end), F.col(r_end))
+    return (
+        joined.filter(
+            (lo <= hi)
+            & (F.col("__ov_bin") == F.floor(lo / bucket_us))
+        )
+        .drop("__ov_bin")
+    )

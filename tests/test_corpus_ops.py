@@ -1218,3 +1218,66 @@ def test_scd2_join_random_matches_naive(spark):
         assert len(m) <= 1
         want[fid] = m[0] if m else None
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# interval-overlap join
+
+
+def test_interval_overlap_matches_naive_and_counts_once(spark):
+    """Random per-key intervals spanning 0-5 buckets each: the bucketized
+    join must equal the naive quadratic overlap join, each pair exactly
+    once (the max-start responsibility bin)."""
+    import random
+
+    from claimskg_generator_spark.operators.asof import (
+        interval_overlap_join,
+    )
+
+    rng = random.Random(47)
+    B = 100  # bucket width
+    lrows, rrows = [], []
+    for i in range(120):
+        k = rng.randrange(4)
+        s = rng.randrange(0, 1000)
+        lrows.append((i, k, s, s + rng.randrange(0, 5 * B)))
+    for i in range(120):
+        k = rng.randrange(4)
+        s = rng.randrange(0, 1000)
+        rrows.append((1000 + i, k, s, s + rng.randrange(0, 5 * B)))
+    # boundary cases: zero-length interval exactly on a bucket edge,
+    # touching-endpoint overlap, invalid (start > end) rows dropped
+    lrows += [(500, 9, 200, 200), (501, 9, 300, 100)]
+    rrows += [(1500, 9, 100, 200), (1501, 9, 201, 250)]
+    left = spark.createDataFrame(
+        lrows, "lid long, k long, l_start long, l_end long")
+    right = spark.createDataFrame(
+        rrows, "rid long, k long, r_start long, r_end long")
+    got = [(r["lid"], r["rid"]) for r in
+           interval_overlap_join(left, right, on=["k"],
+                                 bucket_us=B).collect()]
+    assert len(got) == len(set(got))  # exactly once per pair
+    want = {(li, ri)
+            for (li, lk, ls, le) in lrows if ls <= le
+            for (ri, rk, rs, re) in rrows if rs <= re
+            and lk == rk and max(ls, rs) <= min(le, re)}
+    assert set(got) == want
+    assert (500, 1500) in want  # touching endpoints overlap (closed)
+    assert all(p[0] != 501 for p in want)  # invalid row dropped
+
+
+def test_interval_overlap_rejects_colliding_columns(spark):
+    from claimskg_generator_spark.operators.asof import (
+        interval_overlap_join,
+    )
+
+    df = spark.createDataFrame([(1, 0, 1)], "x long, l_start long, "
+                               "l_end long")
+    df2 = spark.createDataFrame([(1, 0, 1)], "x long, r_start long, "
+                                "r_end long")
+    with pytest.raises(ValueError, match="disjoint"):
+        interval_overlap_join(
+            df.withColumnRenamed("x", "dup"),
+            df2.withColumnRenamed("x", "dup"), on=[])
+    with pytest.raises(ValueError):
+        interval_overlap_join(df, df2, on=["x"], bucket_us=0)
