@@ -180,3 +180,74 @@ def dsir_select(
             .cast("int").alias("keep"),
         )
     )
+
+
+def source_prior_gate(
+    documents: DataFrame,
+    min_source_quality: float = 0.5,
+    min_source_docs: int = 1,
+    broadcast_prior: bool = True,
+    doc_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Domain-level (URL-prefix / source) quality gating: score every
+    document with the cheap quality heuristic, aggregate a per-SOURCE
+    quality prior, and keep only documents whose source clears both the
+    prior and a minimum-evidence document count.
+
+    This is the RefinedWeb / DCLM "filter by URL, not just by page"
+    selection step: a source whose AVERAGE page quality is junk gets
+    dropped wholesale, including its occasional decent page — the prior
+    is the decision unit, not the row.  It composes after the per-doc
+    gates (operators/textstats.with_quality_score) and before
+    mixing/selection (dsir_select, temperature_mix).
+
+    Scale shape (100 TB corpus):
+
+    * the per-doc score is a pure row expression (no shuffle);
+    * the prior is ONE map-side-combinable groupBy(source) — output
+      cardinality is the domain count, orders of magnitude below the
+      row count;
+    * the prior joins back by ``source``.  ``broadcast_prior=True``
+      (default) broadcasts it — right for benchmark-to-millions of
+      domains; at web scale (hundreds of millions of domains) pass
+      False and let AQE pick the shuffle join, which co-partitions
+      both sides on the same key the prior was just grouped by.
+
+    Determinism / oracle parity: per-doc quality is rounded (4) by
+    with_quality_score and the prior is rounded (4) AFTER the avg, so
+    the two threshold comparisons replay exactly in a SQL twin.
+
+    Output, one row per surviving document: ``doc_id``, ``source``,
+    ``quality``, ``source_docs``, ``source_quality``.
+    """
+    from claimskg_generator_spark.operators.textstats import (
+        with_quality_score,
+    )
+
+    if not 0.0 <= min_source_quality <= 1.0:
+        raise ValueError(
+            f"min_source_quality must be in [0, 1], got {min_source_quality}"
+        )
+    if min_source_docs < 1:
+        raise ValueError(
+            f"min_source_docs must be >= 1, got {min_source_docs}"
+        )
+    scored = with_quality_score(documents, keep_all=True).select(
+        F.col(doc_col), F.col(source_col), F.col("quality")
+    )
+    prior = scored.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("source_docs"),
+        F.round(F.avg("quality"), 4).alias("source_quality"),
+    )
+    if broadcast_prior:
+        prior = F.broadcast(prior)
+    return (
+        scored.join(prior, source_col)
+        .filter(
+            (F.col("source_quality") >= min_source_quality)
+            & (F.col("source_docs") >= min_source_docs)
+        )
+        .select(doc_col, source_col, "quality",
+                "source_docs", "source_quality")
+    )

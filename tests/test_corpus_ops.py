@@ -1281,3 +1281,50 @@ def test_interval_overlap_rejects_colliding_columns(spark):
             df2.withColumnRenamed("x", "dup"), on=[])
     with pytest.raises(ValueError):
         interval_overlap_join(df, df2, on=["x"], bucket_us=0)
+
+
+def test_source_prior_gate_hand_computed(spark):
+    from claimskg_generator_spark.operators.selection import (
+        source_prior_gate,
+    )
+
+    # src "good": long stopword-rich docs; src "junk": short stop-free
+    # docs; src "thin": good quality but below the evidence floor.
+    good = "the a of and to in is it " * 8          # 64 tokens, all stops
+    junk = "xxxx yyyy"
+    rows = [
+        (1, good, "en", "good", len(good)),
+        (2, good, "en", "good", len(good)),
+        (3, good, "en", "good", len(good)),
+        (4, junk, "en", "junk", len(junk)),
+        (5, junk, "en", "junk", len(junk)),
+        (6, junk, "en", "junk", len(junk)),
+        (7, good, "en", "thin", len(good)),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+              " n_chars long")
+    out = source_prior_gate(docs, min_source_quality=0.5,
+                            min_source_docs=2)
+    got = {(r.doc_id, r.source, r.quality, r.source_docs,
+            r.source_quality) for r in out.collect()}
+    # good: quality = (64/64 + min(4*1,1))/2 = 1.0 → prior 1.0, kept.
+    # junk: quality = (2/64 + 0)/2 = 0.0156 → prior below 0.5, dropped.
+    # thin: prior 1.0 but only 1 doc < min_source_docs → dropped.
+    assert got == {(1, "good", 1.0, 3, 1.0), (2, "good", 1.0, 3, 1.0),
+                   (3, "good", 1.0, 3, 1.0)}
+
+
+def test_source_prior_gate_validates(spark):
+    from claimskg_generator_spark.operators.selection import (
+        source_prior_gate,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "x", "en", "s", 1)],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long")
+    with pytest.raises(ValueError):
+        source_prior_gate(docs, min_source_quality=1.5)
+    with pytest.raises(ValueError):
+        source_prior_gate(docs, min_source_docs=0)
