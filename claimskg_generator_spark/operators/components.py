@@ -459,3 +459,68 @@ def triangle_count(edges: DataFrame, src: str = "src",
             F.coalesce("n", F.lit(0)).cast("long").alias("n_triangles"),
         )
     )
+
+
+def kcore_peel(edges: DataFrame, k: int, n_rounds: Optional[int] = None,
+               max_rounds: int = 50, src: str = "src", dst: str = "dst",
+               checkpoint_every: int = 5) -> DataFrame:
+    """Iterative k-core peel: repeatedly drop nodes whose degree over
+    the SURVIVING edge set is below ``k`` (and the edges touching
+    them), then return per-node degrees of what remains — the standard
+    density filter before community/clustering passes, and the dual of
+    triangle counting for "is this neighborhood real or noise".
+
+    ``n_rounds`` fixed pins the round count (the q55 pagerank
+    fixed-iteration pattern — unrollable by a SQL twin); ``n_rounds=
+    None`` peels to the true k-core, probing convergence with ONE
+    tiny-row count per round (the connected_components probe shape)
+    and giving up loudly after ``max_rounds``.
+
+    Scale shape: each round is a map-side-combinable degree groupBy
+    plus two anti joins keyed on the node id — no all-pairs, no
+    collect of the node set; lineage is truncated every
+    ``checkpoint_every`` rounds (localCheckpoint) exactly like
+    connected_components, so deep peels keep a bounded plan.
+
+    Output: ``node``, ``degree`` (degree within the peeled core).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if n_rounds is not None and n_rounds < 0:
+        raise ValueError(f"n_rounds must be >= 0, got {n_rounds}")
+
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    rounds = n_rounds if n_rounds is not None else max_rounds
+    cached = []
+
+    def _degrees(frame: DataFrame) -> DataFrame:
+        return (
+            frame.select(F.col("u").alias("node"))
+            .unionAll(frame.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("degree"))
+        )
+
+    converged = n_rounds is not None
+    for r in range(rounds):
+        bad = _degrees(e).filter(F.col("degree") < k).select("node")
+        if n_rounds is None:
+            bad = bad.persist(StorageLevel.MEMORY_AND_DISK)
+            cached.append(bad)
+            if bad.isEmpty():
+                converged = True
+                break
+        e = (
+            e.join(bad.withColumnRenamed("node", "u"), "u", "left_anti")
+            .join(bad.withColumnRenamed("node", "v"), "v", "left_anti")
+            .select("u", "v")
+        )
+        if (r + 1) % checkpoint_every == 0:
+            e = e.localCheckpoint(eager=True)
+    for c in cached:
+        c.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"kcore_peel(k={k}) did not converge in {max_rounds} rounds"
+        )
+    return _degrees(e)

@@ -437,3 +437,53 @@ def random_projection(embeddings: DataFrame, out_dim: int, dim: int,
         F.col("pos").cast("int").alias("out_idx"),
         F.col("col").alias("value"),
     )
+
+
+def knn_graph(embeddings: DataFrame, k: int = 3,
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              broadcast_right: bool = True) -> DataFrame:
+    """Undirected k-nearest-neighbor graph over the embedding table:
+    canonical (src < dst) edges from the UNION of each vector's
+    directed top-``k`` cosine neighbors — the standard input graph for
+    density-based corpus analysis (k-core pruning, clustering,
+    SemDeDup-style neighborhoods).
+
+    This is the brute-force BASELINE (all-pairs cosine, exact): right
+    for benchmark scale and for verifying the approximate paths.  At
+    100 TB build the candidate pairs with the LSH operators
+    (lsh_cosine_pairs / ivf machinery in this module) and feed the
+    top-k window the candidates instead — the peel/graph consumers
+    only need an edge list, not this builder.
+
+    Cosine is rounded (4) BEFORE the rank window (ties then break on
+    neighbor id), so the graph replays exactly in a SQL twin — the
+    q11 parity pattern.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    left = embeddings.select(F.col(id_col).alias("__ia"),
+                             F.col(vec_col).alias("__va"))
+    right = embeddings.select(F.col(id_col).alias("__ib"),
+                              F.col(vec_col).alias("__vb"))
+    if broadcast_right:
+        right = F.broadcast(right)
+    cos = _dot(F.col("__va"), F.col("__vb")) / (
+        _norm(F.col("__va")) * _norm(F.col("__vb"))
+    )
+    pairs = (
+        left.join(right, F.col("__ia") != F.col("__ib"))
+        .select("__ia", "__ib", F.round(cos, 4).alias("__cos"))
+    )
+    w = Window.partitionBy("__ia").orderBy(
+        F.col("__cos").desc(), F.col("__ib").asc()
+    )
+    directed = pairs.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") <= k
+    )
+    return (
+        directed.select(
+            F.least("__ia", "__ib").alias("src"),
+            F.greatest("__ia", "__ib").alias("dst"),
+        )
+        .distinct()
+    )

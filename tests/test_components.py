@@ -324,3 +324,83 @@ def test_triangle_count_random_matches_naive(spark):
     got = {r["vertex"]: (r["degree"], r["n_triangles"])
            for r in triangle_count(edges).collect()}
     assert got == _naive_triangles(pairs)
+
+
+def _naive_kcore(edges, k, rounds=None):
+    from collections import Counter
+
+    e, r = list(edges), 0
+    while True:
+        d = Counter()
+        for u, v in e:
+            d[u] += 1
+            d[v] += 1
+        bad = {n for n, c in d.items() if c < k}
+        if not bad or (rounds is not None and r >= rounds):
+            return dict(d)
+        e = [(u, v) for u, v in e if u not in bad and v not in bad]
+        r += 1
+
+
+def test_kcore_peel_random_graphs_match_naive(spark):
+    from claimskg_generator_spark.operators.components import kcore_peel
+
+    rng = random.Random(23)
+    for trial in range(3):
+        n = 40
+        edges = {tuple(sorted(rng.sample(range(n), 2)))
+                 for _ in range(rng.randrange(40, 90))}
+        df = spark.createDataFrame(sorted(edges), "src int, dst int")
+        # convergence mode = true k-core
+        got = {r.node: r.degree
+               for r in kcore_peel(df, k=3, checkpoint_every=2).collect()}
+        assert got == _naive_kcore(edges, 3)
+        # fixed rounds = partial peel
+        got1 = {r.node: r.degree
+                for r in kcore_peel(df, k=3, n_rounds=1).collect()}
+        assert got1 == _naive_kcore(edges, 3, rounds=1)
+
+
+def test_kcore_peel_cascade_and_empty_core(spark):
+    from claimskg_generator_spark.operators.components import kcore_peel
+
+    # a chain peels from both ends, one node pair per round
+    chain = [(i, i + 1) for i in range(6)]
+    df = spark.createDataFrame(chain, "src int, dst int")
+    assert kcore_peel(df, k=2).isEmpty()
+    got1 = {r.node: r.degree
+            for r in kcore_peel(df, k=2, n_rounds=1).collect()}
+    assert got1 == _naive_kcore(chain, 2, rounds=1)
+    # triangle is its own 2-core
+    tri = [(0, 1), (1, 2), (0, 2)]
+    got = {r.node: r.degree
+           for r in kcore_peel(
+               spark.createDataFrame(tri, "src int, dst int"), k=2
+           ).collect()}
+    assert got == {0: 2, 1: 2, 2: 2}
+
+
+def test_kcore_peel_validates_and_max_rounds(spark):
+    from claimskg_generator_spark.operators.components import kcore_peel
+
+    df = spark.createDataFrame([(i, i + 1) for i in range(6)],
+                               "src int, dst int")
+    with pytest.raises(ValueError):
+        kcore_peel(df, k=0)
+    with pytest.raises(ValueError):
+        kcore_peel(df, k=2, n_rounds=-1)
+    with pytest.raises(RuntimeError):
+        kcore_peel(df, k=2, max_rounds=1).collect()
+
+
+def test_knn_graph_hand_computed(spark):
+    from claimskg_generator_spark.operators.similarity import knn_graph
+
+    # four unit-ish vectors on a line: nearest neighbor chains
+    vecs = [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0]),
+            (3, [0.1, 0.9])]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    got = {(r.src, r.dst) for r in knn_graph(df, k=1).collect()}
+    assert got == {(0, 1), (2, 3)}
+    with pytest.raises(ValueError):
+        knn_graph(df, k=0)
