@@ -123,3 +123,146 @@ def countmin_heavy_hitters(
         .filter(F.col("cms_count") >= min_count)
         .select("term", "exact_count", "cms_count")
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct counting (Flajolet et al. 2007)
+# ---------------------------------------------------------------------------
+#
+# The distinct-count sibling of the count-min sketch above: per group,
+# m = 2^p integer registers (CONSTANT size regardless of corpus or
+# cardinality), mergeable across partitions and across corpora by
+# register-wise max.  Spark ships approx_count_distinct (a JVM HLL++),
+# but its register layout is opaque — this operator exists for the
+# cases that need the REGISTERS themselves: merging sketches across
+# separately-processed corpus shards, unioning daily snapshots without
+# rescanning, or replaying the exact estimate in another engine.
+#
+# Determinism & oracle parity: the 60-bit hash is the first 15 hex
+# chars of md5 (same '0x'-cast trick as weighted_sample), the register
+# index is the top p bits, rho is 1 + leading zeros of the remaining
+# (60-p)-bit suffix via string bit-length (conv/bin — exact in both
+# engines, no float log2).  The harmonic sum is accumulated as an
+# EXACT DECIMAL(38,0) of 2^(62 - M_j) terms, so it is order-independent
+# (a plain double sum of 2^-M_j would round differently per partition
+# order); the estimate is then ONE double division by a plan-time
+# constant, identical everywhere, rounded for the cross-engine compare.
+#
+# Spark shape (100 TB): one map-side-combinable groupBy(group, idx)
+# max, one groupBy(group) fold over <= m rows per group.  Nothing else.
+
+
+def hll_register_cols(value_col, p: int):
+    """(idx, rho) register coordinates for one value's 60-bit md5 hash."""
+    if not 4 <= p <= 16:
+        raise ValueError(f"p must be in [4, 16], got {p}")
+    suffix_bits = 60 - p
+    h = F.conv(F.substring(F.md5(value_col), 1, 15), 16, 10).cast("long")
+    idx = F.shiftright(h, suffix_bits)
+    w = h.bitwiseAND(F.lit((1 << suffix_bits) - 1))
+    rho = (
+        F.when(w == 0, F.lit(suffix_bits + 1))
+        .otherwise(F.lit(suffix_bits + 1)
+                   - F.length(F.conv(w, 10, 2)))
+        .cast("int")
+    )
+    return idx.alias("reg_idx"), rho.alias("rho")
+
+
+def hll_registers(df: DataFrame, value_col: str, by=None,
+                  p: int = 8) -> DataFrame:
+    """Fold ``df`` to HLL registers: (by..., reg_idx, max_rho).
+
+    NULL values are ignored (SQL count-distinct semantics).  Register
+    frames from disjoint scans MERGE by groupBy(by, reg_idx).max —
+    see ``hll_merge``.
+    """
+    by = list(by or [])
+    idx, rho = hll_register_cols(F.col(value_col), p)
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*by, idx, rho)
+        .groupBy(*by, "reg_idx")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
+def hll_merge(*register_frames: DataFrame) -> DataFrame:
+    """Union register frames (same `by`/p) into one by register-wise max."""
+    merged = register_frames[0]
+    for f in register_frames[1:]:
+        merged = merged.unionByName(f)
+    keys = [c for c in merged.columns if c != "max_rho"]
+    return merged.groupBy(*keys).agg(
+        F.max("max_rho").alias("max_rho"))
+
+
+def _hll_alpha(m: int) -> float:
+    if m <= 16:
+        return 0.673
+    if m <= 32:
+        return 0.697
+    if m <= 64:
+        return 0.709
+    return 0.7213 / (1 + 1.079 / m)
+
+
+def hll_estimate(registers: DataFrame, p: int = 8,
+                 round_to: int = 4) -> DataFrame:
+    """Per-group estimate from an ``hll_registers`` frame.
+
+    Output: (by..., est_distinct).  The raw-range estimate is
+    C / S with C = alpha * m^2 * 2^62 folded to ONE plan-time double
+    literal and S the exact decimal harmonic sum; the small-range
+    (linear-counting) branch fires when E <= 2.5m and empty registers
+    remain, exactly as published.
+    """
+    m = 1 << p
+    by = [c for c in registers.columns
+          if c not in ("reg_idx", "max_rho")]
+    two_62 = 1 << 62
+    c_lit = F.lit(_hll_alpha(m) * m * m * float(two_62))
+    agg = registers.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("__n_set"),
+        F.sum(
+            # shiftleft() in the Python API only takes a literal bit
+            # count, so the per-row exponent goes through expr
+            F.expr("CAST(shiftleft(1L, 62 - max_rho) AS DECIMAL(38,0))")
+        ).alias("__s_set"),
+    )
+    s = (F.col("__s_set")
+         + (F.lit(m) - F.col("__n_set")).cast("decimal(38,0)")
+         * F.lit(two_62).cast("decimal(38,0)")).cast("double")
+    e_raw = c_lit / s
+    v = F.lit(m) - F.col("__n_set")
+    est = F.when(
+        (e_raw <= 2.5 * m) & (v > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v),
+    ).otherwise(e_raw)
+    return agg.select(
+        *by, F.round(est, round_to).alias("est_distinct"))
+
+
+def hll_distinct(df: DataFrame, value_col: str, by=None, p: int = 8,
+                 include_exact: bool = False,
+                 round_to: int = 4) -> DataFrame:
+    """Approximate COUNT(DISTINCT value_col) [GROUP BY by] via HLL.
+
+    ``include_exact`` joins the true distinct count alongside (benchmark
+    honesty, like countmin's exact_count column — never do this at
+    100 TB; the whole point of the sketch is skipping that shuffle).
+    Output: (by..., est_distinct[, exact_distinct]).
+    """
+    by = list(by or [])
+    est = hll_estimate(hll_registers(df, value_col, by, p), p, round_to)
+    if not include_exact:
+        return est
+    exact = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*by)
+        .agg(F.countDistinct(value_col).alias("exact_distinct"))
+    )
+    if by:
+        return est.join(exact, by).select(
+            *by, "est_distinct", "exact_distinct")
+    return est.crossJoin(F.broadcast(exact))

@@ -96,3 +96,98 @@ def test_countmin_validates(spark):
                {"min_count": 1, "ngram": 0}):
         with pytest.raises(ValueError):
             countmin_heavy_hitters(docs, **kw)
+
+
+# --------------------------------------------------------------------------
+# HyperLogLog
+# --------------------------------------------------------------------------
+
+def _naive_hll(values, p):
+    """Pure-Python replay of the exact register/estimate arithmetic."""
+    import math
+
+    m = 1 << p
+    sb = 60 - p
+    regs = {}
+    for v in values:
+        if v is None:
+            continue
+        h = int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+        idx, w = h >> sb, h & ((1 << sb) - 1)
+        rho = sb + 1 if w == 0 else sb + 1 - w.bit_length()
+        regs[idx] = max(regs.get(idx, 0), rho)
+    if m <= 16:
+        alpha = 0.673
+    elif m <= 32:
+        alpha = 0.697
+    elif m <= 64:
+        alpha = 0.709
+    else:
+        alpha = 0.7213 / (1 + 1.079 / m)
+    s = sum(1 << (62 - r) for r in regs.values())
+    s += (m - len(regs)) * (1 << 62)
+    e = (alpha * m * m * float(1 << 62)) / float(s)
+    v_zero = m - len(regs)
+    if e <= 2.5 * m and v_zero > 0:
+        e = float(m) * math.log(float(m) / v_zero)
+    return round(e, 4)
+
+
+def test_hll_matches_python_twin_exactly(spark):
+    from claimskg_generator_spark.operators.sketches import hll_distinct
+
+    vals = [f"item-{i % 700}" for i in range(5000)] + [None] * 10
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    for p in (6, 8, 12):
+        got = hll_distinct(df, "v", p=p).collect()[0]["est_distinct"]
+        assert got == _naive_hll(vals, p)
+
+
+def test_hll_accuracy_within_bound(spark):
+    from claimskg_generator_spark.operators.sketches import hll_distinct
+
+    df = spark.range(20000).selectExpr("concat('k', id % 5000) AS v")
+    row = hll_distinct(df, "v", p=10, include_exact=True).collect()[0]
+    assert row["exact_distinct"] == 5000
+    # 3 sigma of the published 1.04/sqrt(m) relative error
+    assert abs(row["est_distinct"] - 5000) / 5000 < 3 * 1.04 / 32
+
+
+def test_hll_small_range_linear_counting_branch(spark):
+    from claimskg_generator_spark.operators.sketches import hll_distinct
+
+    df = spark.createDataFrame([(f"x{i}",) for i in range(5)], "v string")
+    got = hll_distinct(df, "v", p=8).collect()[0]["est_distinct"]
+    assert got == _naive_hll([f"x{i}" for i in range(5)], 8)
+    assert abs(got - 5) < 0.2  # linear counting is near-exact here
+
+
+def test_hll_merge_equals_whole(spark):
+    from claimskg_generator_spark.operators.sketches import (
+        hll_estimate, hll_merge, hll_registers)
+
+    df = spark.range(6000).selectExpr("concat('m', id % 1500) AS v",
+                                      "id % 3 AS shard")
+    whole = hll_estimate(hll_registers(df, "v", p=9), p=9).collect()
+    parts = [hll_registers(df.filter(F.col("shard") == i), "v", p=9)
+             for i in range(3)]
+    merged = hll_estimate(hll_merge(*parts), p=9).collect()
+    assert whole == merged
+
+
+def test_hll_grouped_and_validation(spark):
+    from claimskg_generator_spark.operators.sketches import (
+        hll_distinct, hll_register_cols)
+
+    df = spark.createDataFrame(
+        [("a", f"v{i}") for i in range(100)]
+        + [("b", f"v{i % 10}") for i in range(50)],
+        "g string, v string")
+    rows = {r["g"]: r for r in
+            hll_distinct(df, "v", by=["g"], p=12,
+                         include_exact=True).collect()}
+    assert rows["a"]["exact_distinct"] == 100
+    assert rows["b"]["exact_distinct"] == 10
+    assert abs(rows["b"]["est_distinct"] - 10) < 0.5
+    with pytest.raises(ValueError, match="p must be"):
+        hll_register_cols(F.col("v"), 3)
