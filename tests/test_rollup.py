@@ -1,0 +1,95 @@
+"""time_bucket_rollup / rollup_merge — the continuous-aggregate monoid
+identity merge(rollup(a), rollup(b)) == rollup(a ∪ b), late-data
+maintenance, and the loud rejection of non-decomposable measures."""
+
+import datetime
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from claimskg_generator_spark.operators.rollup import (
+    rollup_merge,
+    time_bucket_rollup,
+)
+
+def _measures():
+    # built lazily: F.lit/F.col need an active session in classic mode
+    return [
+        ("n", "count", F.lit(1)),
+        ("s", "sum", F.col("v").cast("decimal(18,6)")),
+        ("lo", "min", F.col("v")),
+        ("hi", "max", F.col("v")),
+    ]
+
+
+def _events(spark, n=400, seed=7):
+    rng = random.Random(seed)
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i,
+         t0 + datetime.timedelta(seconds=rng.randrange(0, 7 * 86400)),
+         rng.choice(["view", "click", "error"]),
+         round(rng.uniform(-5, 50), 3))
+        for i in range(n)
+    ]
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, k string, v double")
+
+
+def _key(rows):
+    return {(r["bucket"], r["k"]): (r["n"], r["s"], r["lo"], r["hi"])
+            for r in rows}
+
+
+@pytest.mark.parametrize("bucket", [3600, "hour"])
+def test_merge_of_increments_equals_whole(spark, bucket):
+    ev = _events(spark)
+    whole = time_bucket_rollup(ev, "ts", bucket, ["k"], _measures())
+    parts = [
+        time_bucket_rollup(ev.filter(F.col("event_id") % 3 == i),
+                           "ts", bucket, ["k"], _measures())
+        for i in range(3)
+    ]
+    merged = rollup_merge(rollup_merge(parts[0], parts[1], ["k"],
+                                       _measures()),
+                          parts[2], ["k"], _measures())
+    assert _key(merged.collect()) == _key(whole.collect())
+
+
+def test_hour_unit_equals_3600_width_for_epoch_buckets(spark):
+    ev = _events(spark, n=100)
+    by_width = time_bucket_rollup(ev, "ts", 3600, ["k"], _measures())
+    by_unit = time_bucket_rollup(ev, "ts", "hour", ["k"], _measures())
+    w = {(r["bucket"], r["k"]): r["n"] for r in by_width.collect()}
+    u = {(int(r["bucket"].replace(
+            tzinfo=datetime.timezone.utc).timestamp()), r["k"]): r["n"]
+         for r in by_unit.collect()}
+    assert w == u
+
+
+def test_late_data_increment(spark):
+    ev = _events(spark, n=300)
+    on_time = ev.filter(F.col("event_id") < 250)
+    late = ev.filter(F.col("event_id") >= 250)  # old ts, new arrival
+    r = time_bucket_rollup(on_time, "ts", 86400, ["k"], _measures())
+    inc = time_bucket_rollup(late, "ts", 86400, ["k"], _measures())
+    maintained = rollup_merge(r, inc, ["k"], _measures())
+    fresh = time_bucket_rollup(ev, "ts", 86400, ["k"], _measures())
+    assert _key(maintained.collect()) == _key(fresh.collect())
+
+
+def test_non_decomposable_measure_rejected(spark):
+    ev = _events(spark, n=10)
+    with pytest.raises(ValueError, match="not re-aggregatable"):
+        time_bucket_rollup(ev, "ts", 3600, ["k"],
+                           [("med", "median", F.col("v"))])
+    with pytest.raises(ValueError, match="bucket width"):
+        time_bucket_rollup(ev, "ts", 0, ["k"], _measures())
+
+
+def test_rollup_is_single_exchange(spark):
+    ev = _events(spark, n=50)
+    plan = (time_bucket_rollup(ev, "ts", 3600, ["k"], _measures())
+            ._jdf.queryExecution().executedPlan().toString())
+    assert plan.count("Exchange") == 1  # one combinable groupBy
