@@ -524,3 +524,71 @@ def kcore_peel(edges: DataFrame, k: int, n_rounds: Optional[int] = None,
             f"kcore_peel(k={k}) did not converge in {max_rounds} rounds"
         )
     return _degrees(e)
+
+
+def bfs_layers(edges: DataFrame, sources: DataFrame,
+               n_rounds: Optional[int] = None, max_rounds: int = 50,
+               src: str = "src", dst: str = "dst",
+               directed: bool = False,
+               checkpoint_every: int = 5) -> DataFrame:
+    """Multi-source BFS: shortest hop distance from any source node —
+    the reachability/radius primitive the graph family was missing
+    (seed-set expansion, contamination blast radius around a known-bad
+    document cluster, "within k hops of a curated node").
+
+    ``sources``: a one-column DataFrame (``node``) of start nodes; they
+    report dist 0 even when isolated.  ``n_rounds`` fixed pins the
+    depth (the q55/q77 fixed-iteration pattern — replayable by a
+    bounded recursive-CTE SQL twin); ``n_rounds=None`` expands until
+    the frontier empties, probing with ONE tiny isEmpty per round and
+    giving up loudly after ``max_rounds``.
+
+    Scale shape: each round is one frontier ⋈ edges equi-join + a
+    distinct + an anti join against the visited set — all keyed on the
+    node id, never all-pairs; the visited/frontier frames persist and
+    lineage truncates every ``checkpoint_every`` rounds exactly like
+    connected_components, so deep walks keep a bounded plan.  Output:
+    ``node``, ``dist``.
+    """
+    if n_rounds is not None and n_rounds < 0:
+        raise ValueError(f"n_rounds must be >= 0, got {n_rounds}")
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    if not directed:
+        e = e.unionAll(e.select(F.col("v").alias("u"),
+                                F.col("u").alias("v")))
+    e = e.persist(StorageLevel.MEMORY_AND_DISK)
+
+    visited = (sources.select(F.col(sources.columns[0]).alias("node"))
+               .distinct()
+               .withColumn("dist", F.lit(0).cast("int"))
+               .persist(StorageLevel.MEMORY_AND_DISK))
+    frontier = visited
+    cached = [e, visited]
+    rounds = n_rounds if n_rounds is not None else max_rounds
+    converged = n_rounds is not None
+    for r in range(1, rounds + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["u"])
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("dist", F.lit(r).cast("int"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        cached.append(nxt)
+        if n_rounds is None and nxt.isEmpty():
+            converged = True
+            break
+        visited = visited.unionAll(nxt)
+        frontier = nxt
+        if r % checkpoint_every == 0:
+            visited = visited.localCheckpoint(eager=True)
+            frontier = frontier.localCheckpoint(eager=True)
+    out = visited.localCheckpoint(eager=True)
+    for c in cached:
+        c.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"bfs_layers did not drain the frontier in {max_rounds} "
+            "rounds; raise max_rounds or pin n_rounds")
+    return out

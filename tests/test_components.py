@@ -404,3 +404,70 @@ def test_knn_graph_hand_computed(spark):
     assert got == {(0, 1), (2, 3)}
     with pytest.raises(ValueError):
         knn_graph(df, k=0)
+
+
+# --------------------------------------------------------------------------
+# bfs_layers
+# --------------------------------------------------------------------------
+
+def _bfs(spark, edges, seeds, **kw):
+    from claimskg_generator_spark.operators.components import bfs_layers
+
+    e = spark.createDataFrame(edges, "src long, dst long")
+    s = spark.createDataFrame([(n,) for n in seeds], "node long")
+    return {r["node"]: r["dist"]
+            for r in bfs_layers(e, s, **kw).collect()}
+
+
+def test_bfs_chain_distances(spark):
+    got = _bfs(spark, [(1, 2), (2, 3), (3, 4), (4, 5)], [1])
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3, 5: 4}
+
+
+def test_bfs_multi_source_takes_min_and_isolated_seed(spark):
+    # 9 is a seed with no edges; node 3 is closer to seed 5 than seed 1
+    got = _bfs(spark, [(1, 2), (2, 3), (3, 4), (4, 5)], [1, 5, 9])
+    assert got == {1: 0, 5: 0, 9: 0, 2: 1, 4: 1, 3: 2}
+
+
+def test_bfs_directed_vs_undirected(spark):
+    edges = [(1, 2), (2, 3)]
+    assert _bfs(spark, edges, [3], directed=True) == {3: 0}
+    assert _bfs(spark, edges, [3]) == {3: 0, 2: 1, 1: 2}
+
+
+def test_bfs_fixed_rounds_truncates(spark):
+    got = _bfs(spark, [(1, 2), (2, 3), (3, 4)], [1], n_rounds=2)
+    assert got == {1: 0, 2: 1, 3: 2}
+
+
+def test_bfs_fixed_matches_converged_and_random_naive(spark):
+    import random
+    from collections import deque
+
+    rng = random.Random(23)
+    edges = [(rng.randrange(0, 40), rng.randrange(0, 40))
+             for _ in range(70)]
+    seeds = [0, 7]
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    want, dq = {s: 0 for s in seeds}, deque(seeds)
+    while dq:
+        n = dq.popleft()
+        for nb in adj.get(n, ()):
+            if nb not in want:
+                want[nb] = want[n] + 1
+                dq.append(nb)
+    assert _bfs(spark, edges, seeds) == want
+    assert _bfs(spark, edges, seeds, n_rounds=45) == want
+
+
+def test_bfs_nonconvergence_raises_and_validates(spark):
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="frontier"):
+        _bfs(spark, [(1, 2), (2, 3), (3, 4)], [1], max_rounds=2)
+    with _pytest.raises(ValueError, match="n_rounds"):
+        _bfs(spark, [(1, 2)], [1], n_rounds=-1)
