@@ -343,3 +343,45 @@ def test_minhash_cross_reference_side_broadcasts(spark):
     plan = _plan(e.q73_minhash_cross(spark, SF))
     assert re.search(r"BroadcastHashJoin", plan)
     assert "CartesianProduct" not in plan
+
+
+def test_hll_two_combinable_aggregates_no_join(spark):
+    """q81: the whole sketch is two map-side-combinable groupBys
+    (value->register, register->estimate) — no join anywhere, and the
+    register fold carries partial_max (combiner) before its exchange."""
+    import __spark_entry__ as e
+
+    # the est path itself is join-free; only include_exact (the q81
+    # benchmark-honesty column) adds the count-distinct attach join
+    from claimskg_generator_spark.operators.sketches import hll_distinct
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    toks = docs.select("lang", F.explode(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("term"))
+    est_plan = _plan(hll_distinct(toks, "term", by=["lang"], p=10))
+    assert "Join" not in est_plan
+    assert "partial_max" in est_plan  # register fold combines map-side
+    assert len(re.findall(r"\(\d+\) Exchange", est_plan)) == 2
+    assert _plan(e.q81_hll_distinct(spark, SF))  # full q81 builds
+
+
+def test_cdc_fold_is_combinable_no_window(spark):
+    """q80: the latest-wins fold is max_by with a partial (map-side)
+    phase — never a row_number window that would sort whole hot keys
+    in one task."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.q80_cdc_apply(spark, SF))
+    assert "partial_max_by" in plan
+    assert "Window" not in plan
+
+
+def test_rollup_increments_stay_partial_until_merge(spark):
+    """q82: each increment is one combinable groupBy; the merge is one
+    more groupBy over rollup-sized rows — three exchanges total, no
+    join, no window."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.q82_rollup_maintenance(spark, SF))
+    assert "Join" not in plan and "Window" not in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 3, plan
