@@ -93,3 +93,42 @@ def test_rollup_is_single_exchange(spark):
     plan = (time_bucket_rollup(ev, "ts", 3600, ["k"], _measures())
             ._jdf.queryExecution().executedPlan().toString())
     assert plan.count("Exchange") == 1  # one combinable groupBy
+
+
+def test_distinct_per_bucket_via_hll_registers_merges(spark):
+    """The routing the rejection message prescribes: distinct-count
+    rollup measures ride hll_registers keyed by the bucket — register
+    frames from disjoint event slices merge (register-wise max) to
+    exactly the whole-corpus registers, so bucketed distinct counts
+    maintain incrementally like any monoid measure."""
+    from claimskg_generator_spark.operators.rollup import (
+        time_bucket_rollup,
+    )
+    from claimskg_generator_spark.operators.sketches import (
+        hll_estimate,
+        hll_merge,
+        hll_register_cols,
+        hll_registers,
+    )
+
+    ev = _events(spark, n=500)
+    bucketed = ev.select(
+        (F.floor(F.unix_micros(F.col("ts").cast("timestamp"))
+                 / F.lit(86400 * 1_000_000)) * 86400)
+        .cast("long").alias("bucket"),
+        "event_id", "k",
+    ).withColumn("member", F.concat_ws("|", "k", "event_id"))
+
+    whole = hll_estimate(
+        hll_registers(bucketed, "member", by=["bucket"], p=8), p=8)
+    parts = [hll_registers(bucketed.filter(F.col("event_id") % 2 == i),
+                           "member", by=["bucket"], p=8)
+             for i in range(2)]
+    merged = hll_estimate(hll_merge(*parts), p=8)
+    w = {r["bucket"]: r["est_distinct"] for r in whole.collect()}
+    m = {r["bucket"]: r["est_distinct"] for r in merged.collect()}
+    assert w == m and len(w) > 3
+    # and the plain monoid measures agree with the same bucketing
+    counts = {r["bucket"]: r["n"] for r in time_bucket_rollup(
+        ev, "ts", 86400, [], _measures()).collect()}
+    assert set(counts) == set(w)
