@@ -404,3 +404,47 @@ def zorder_key(
         .drop(*[f"__mn_{c}" for c in cols])
         .drop(*[f"__mx_{c}" for c in cols])
     )
+
+
+def assign_shards(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int,
+    seed: str = "",
+    ordered: bool = True,
+) -> DataFrame:
+    """Deterministic shard assignment + within-shard shuffle order for
+    training-data export: every row gets ``shard`` (0..n_shards-1) and,
+    when ``ordered``, ``shard_pos`` (1-based position in the shard's
+    write order).
+
+    Training loaders want data both SHARDED (so 1000 readers stream
+    1000 files) and SHUFFLED (so batch i is decorrelated from batch
+    i+1), and they want the same bytes on every re-run — so both the
+    shard and the order come from md5(seed || ':' || id), never from
+    partition layout or arrival order.  Changing ``seed`` produces an
+    independent reshuffle; retries and AQE re-plans cannot.
+
+    Scale shape: the shard id is a pure row expression (hash mod — no
+    shuffle at all when ``ordered=False``, e.g. when the writer just
+    needs partitionBy(shard)).  The position rank is one window per
+    shard ordered by the hash: with n_shards sized so a shard fits an
+    executor (the usual 10k-shards-for-100TB layout), each sort is
+    local to its shard partition — this is exactly the shuffle the
+    export itself requires, not an extra one.
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    h = F.md5(F.concat(F.lit(str(seed)), F.lit(":"),
+                       F.col(id_col).cast("string")))
+    # shard from hex chars 9-12, order from the full hash: disjoint
+    # digits, so shard and position are independent draws
+    shard = (
+        F.conv(F.substring(h, 9, 4), 16, 10).cast("long")
+        % F.lit(int(n_shards))
+    ).cast("int")
+    out = df.withColumn("shard_key", h).withColumn("shard", shard)
+    if not ordered:
+        return out
+    w = Window.partitionBy("shard").orderBy("shard_key", id_col)
+    return out.withColumn("shard_pos", F.row_number().over(w))

@@ -385,3 +385,95 @@ def test_rollup_increments_stay_partial_until_merge(spark):
     plan = _plan(e.q82_rollup_maintenance(spark, SF))
     assert "Join" not in plan and "Window" not in plan
     assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 3, plan
+
+
+def test_assign_shards_unordered_is_pure_map(spark):
+    """q84: the shard id is a hash-mod row expression — with
+    ordered=False the plan has NO exchange at all, and the ordered
+    path adds exactly the one per-shard sort the export itself needs
+    (one Exchange + one Window, no join)."""
+    from claimskg_generator_spark.operators.sampling import assign_shards
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    flat = _plan(assign_shards(docs, "doc_id", 16, ordered=False))
+    assert "Exchange" not in flat and "Window" not in flat
+
+    import __spark_entry__ as e
+    plan = _plan(e.q84_shard_assign(spark, SF))
+    assert "Join" not in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert plan.count("(1) Scan parquet") == 1
+
+
+def test_grouped_quantiles_value_count_plan(spark):
+    """q85: the shuffled data is the VALUE-COUNT frame (map-side
+    partial_count before the exchange), every q answered in the same
+    pass — two exchanges (value-count groupBy + per-group window),
+    no join, one scan."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.q85_grouped_quantiles(spark, SF))
+    assert "partial_count" in plan
+    assert "Join" not in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2, plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+
+
+def test_robust_outliers_no_cartesian_group_joins(spark):
+    """q86: the med/mad frames are one-row-per-group equi-joins —
+    no CartesianProduct anywhere, and the scan stays pruned to the
+    three consumed columns."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.q86_robust_outliers(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "c_name" not in plan.split("== Physical Plan ==")[-1]
+
+
+def test_host_cap_no_python_udf_single_window(spark):
+    """q87: canonical_host is regexp/case-fold row expressions inside
+    codegen — no Python/Arrow eval node — and the cap is ONE window
+    rank (one exchange)."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.q87_host_cap(spark, SF))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert len(re.findall(r"\(\d+\) Window\b(?!GroupLimit)", plan)) == 1
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    # rank <= cap pushes down: partial+final WindowGroupLimit truncate
+    # each host's rows before and after the shuffle
+    assert len(re.findall(r"\(\d+\) WindowGroupLimit", plan)) == 2, plan
+
+
+def test_boilerplate_no_window_totals_broadcast(spark):
+    """q88: reassembly is an in-row array_sort under groupBy — no
+    per-group Window sort — and the one-row-per-group totals frame
+    joins by broadcast."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.q88_boilerplate_lines(spark, SF))
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_constraint_report_single_pass_no_join(spark):
+    """q89: every metric compiles into ONE aggregation over one scan —
+    no join, no window; the long report is a plan-time unpivot."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.q89_constraint_report(spark, SF))
+    assert "Join" not in plan and "Window" not in plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+
+
+def test_fuse_records_combinable_no_window(spark):
+    """q90: the simple survivorship rules fold in ONE combinable
+    groupBy (partial max over rank structs) and mode adds count
+    aggregates plus key equi-joins — no Window, no Cartesian."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.q90_record_fusion(spark, SF))
+    assert "Window" not in plan
+    assert "partial_max" in plan
+    assert "CartesianProduct" not in plan
