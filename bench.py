@@ -187,6 +187,13 @@ BENCH_QUERIES = [
     # inverted index: token explode + the salted two-phase per-key
     # top-k (two windows) — the skew-proof ranking shape
     "q69_inverted_index",
+    # curation close-out wave: only the two timing-relevant shapes join
+    # (q84/q86/q87/q89/q90 are narrow maps / dimension-sized aggregates,
+    # same policy as the q74-q83 sketch/CDC wave): the exact-quantile
+    # value-count shuffle + distinct-value window, and the boilerplate
+    # line explode -> combinable df groupBy -> reassembly regroup
+    "q85_grouped_quantiles",
+    "q88_boilerplate_lines",
 ]
 
 # The 13-query round-2 headline set: its subtotal is reported alongside the

@@ -36,7 +36,7 @@ false positives are exactly the rows where cms_count > exact_count.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from claimskg_generator_spark.operators.dedup import md5_hash_mod_p
@@ -266,3 +266,124 @@ def hll_distinct(df: DataFrame, value_col: str, by=None, p: int = 8,
         return est.join(exact, by).select(
             *by, "est_distinct", "exact_distinct")
     return est.crossJoin(F.broadcast(exact))
+
+
+# ---------------------------------------------------------------------------
+# Equi-width histogram quantile sketch
+# ---------------------------------------------------------------------------
+#
+# The third mergeable sketch the monitoring family needs (count-min =
+# frequencies, HLL = distinct counts, this = quantiles): per-group bin
+# counts over a FIXED [lo, hi) equi-width grid.  Unlike approx_percentile
+# (an opaque JVM KLL state that cannot be persisted, merged across
+# snapshots, or replayed in another engine), the register frame here is
+# plain (group, bin, cnt) rows — a monoid under addition, so incremental
+# maintenance is the q82 rollup pattern: sketch each increment, merge by
+# summing, estimate whenever asked; late data folds in touching only
+# sketch-sized frames.  The estimate interpolates linearly inside the
+# covering bin, so its error is bounded by one bin width (exactly the
+# deal monitoring accepts; contractual p99s go to quantiles.py's exact
+# value-count path instead).
+#
+# Spark shape (100 TB): binning is one pure row expression; registers
+# are ONE map-side-combinable groupBy over at most group x n_bins rows;
+# merge is one more groupBy over sketch-sized frames; the estimate is a
+# per-group window over <= n_bins rows.  Everything is integer/floor
+# arithmetic on explicit doubles — a DuckDB twin replays the registers
+# AND the interpolation bit-for-bit, which is what makes the q91 driver
+# row a full value oracle rather than a tolerance check.
+
+
+def histogram_bin_col(value_col, lo: float, hi: float, n_bins: int):
+    """Bin id for one value on the fixed [lo, hi) equi-width grid,
+    clamped into [0, n_bins-1] (underflow keeps bin 0, overflow the
+    last bin — out-of-range mass stays visible at the grid edges
+    instead of vanishing)."""
+    if not (hi > lo):
+        raise ValueError(f"need hi > lo, got [{lo}, {hi})")
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+    raw = F.floor(
+        (value_col.cast("double") - F.lit(float(lo)))
+        / F.lit((float(hi) - float(lo)) / float(n_bins))
+    )
+    return F.greatest(
+        F.lit(0).cast("long"),
+        F.least(F.lit(int(n_bins) - 1).cast("long"), raw.cast("long")),
+    )
+
+
+def histogram_registers(df: DataFrame, value_col: str,
+                        lo: float, hi: float, n_bins: int = 256,
+                        by=None) -> DataFrame:
+    """Fold ``df`` to histogram registers: (by..., bin, cnt).
+
+    One map-side-combinable groupBy; NULL values are excluded (order
+    statistics are over non-NULLs).  The output is at most
+    |groups| x n_bins rows regardless of input size.
+    """
+    by = list(by or [])
+    b = histogram_bin_col(F.col(value_col), lo, hi, n_bins)
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*by, b.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def histogram_merge(*register_frames: DataFrame, by=None) -> DataFrame:
+    """Merge register frames built on the SAME (lo, hi, n_bins) grid by
+    summing per-bin counts — the monoid that makes the sketch
+    incrementally maintainable (merge(h(a), h(b)) == h(a UNION ALL b),
+    pinned by the q91 oracle)."""
+    by = list(by or [])
+    if not register_frames:
+        raise ValueError("need at least one register frame")
+    u = register_frames[0]
+    for f in register_frames[1:]:
+        u = u.unionByName(f)
+    return u.groupBy(*by, "bin").agg(F.sum("cnt").alias("cnt"))
+
+
+def histogram_quantiles(registers: DataFrame, lo: float, hi: float,
+                        n_bins: int, qs, by=None,
+                        round_to: int = 6) -> DataFrame:
+    """Estimate quantiles from histogram registers: one output row per
+    (by..., q) with ``est`` = bin_lo + bin_width * (k - cum_before)/cnt
+    where k = ceil(q * n) — linear interpolation inside the bin that
+    covers rank k, error <= one bin width.  Same rank-span array-filter
+    resolution as quantiles.grouped_quantiles: every q answered in one
+    pass over the sketch, no per-q scan.
+    """
+    by = list(by or [])
+    qlist = [float(q) for q in qs]
+    if not qlist or any(not (0.0 < q <= 1.0) for q in qlist):
+        raise ValueError(f"qs must be within (0, 1], got {qs}")
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+    width = (float(hi) - float(lo)) / float(n_bins)
+    w = Window.partitionBy(*by).orderBy("bin") if by else (
+        Window.partitionBy(F.lit(1)).orderBy("bin"))
+    wg = Window.partitionBy(*by) if by else Window.partitionBy(F.lit(1))
+    cum = registers.select(
+        *by, "bin", "cnt",
+        F.sum("cnt").over(w).alias("_cum"),
+        F.sum("cnt").over(wg).alias("_n"),
+    )
+    qarr = F.array(*[F.lit(q) for q in qlist])
+    covered = F.filter(
+        qarr,
+        lambda q: (F.ceil(q * F.col("_n")) > F.col("_cum") - F.col("cnt"))
+        & (F.ceil(q * F.col("_n")) <= F.col("_cum")),
+    )
+    k = F.ceil(F.col("q") * F.col("_n"))
+    est = (
+        F.lit(float(lo)) + F.col("bin") * F.lit(width)
+        + F.lit(width) * (k - (F.col("_cum") - F.col("cnt")))
+        / F.col("cnt")
+    )
+    return (
+        cum.select(*by, "bin", "cnt", "_cum", "_n",
+                   F.explode(covered).alias("q"))
+        .select(*by, "q", F.round(est, round_to).alias("est"))
+    )

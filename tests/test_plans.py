@@ -477,3 +477,15 @@ def test_fuse_records_combinable_no_window(spark):
     assert "Window" not in plan
     assert "partial_max" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_histogram_sketch_combinable_no_join(spark):
+    """q91: registers fold map-side (partial_count) and stay bounded at
+    groups x n_bins rows; merge is one more combinable groupBy and the
+    estimate one per-group window — no join anywhere in the sketch."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.q91_histogram_quantiles(spark, SF))
+    assert "Join" not in plan
+    assert "partial_count" in plan and "partial_sum" in plan
+    assert len(re.findall(r"\(\d+\) Window\b(?!GroupLimit)", plan)) <= 2

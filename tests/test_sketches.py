@@ -191,3 +191,86 @@ def test_hll_grouped_and_validation(spark):
     assert abs(rows["b"]["est_distinct"] - 10) < 0.5
     with pytest.raises(ValueError, match="p must be"):
         hll_register_cols(F.col("v"), 3)
+
+
+# ---------------------------------------------------------------------------
+# equi-width histogram quantile sketch
+# ---------------------------------------------------------------------------
+
+def _hist_imports():
+    from claimskg_generator_spark.operators.sketches import (
+        histogram_merge, histogram_quantiles, histogram_registers,
+    )
+    return histogram_registers, histogram_merge, histogram_quantiles
+
+
+def test_histogram_registers_clamp_and_null(spark):
+    histogram_registers, _, _ = _hist_imports()
+    df = spark.createDataFrame(
+        [("g", -5.0), ("g", 0.0), ("g", 55.0), ("g", 100.0),
+         ("g", 250.0), ("g", None)],
+        "grp string, v double")
+    # grid [0, 100) with 10 bins: -5 clamps to bin 0, 100/250 to bin 9
+    rows = {r["bin"]: r["cnt"] for r in histogram_registers(
+        df, "v", 0.0, 100.0, 10, by=["grp"]).collect()}
+    assert rows[0] == 2          # -5 (clamped) and 0.0
+    assert rows[5] == 1          # 55
+    assert rows[9] == 2          # 100 and 250 (clamped)
+    assert sum(rows.values()) == 5   # NULL excluded
+
+
+def test_histogram_merge_is_monoid(spark):
+    histogram_registers, histogram_merge, _ = _hist_imports()
+    df = spark.createDataFrame(
+        [("g", float(i % 97)) for i in range(500)]
+        + [("h", float(i % 13)) for i in range(200)],
+        "grp string, v double")
+    whole = histogram_registers(df, "v", 0.0, 100.0, 20, by=["grp"])
+    a = histogram_registers(df.limit(0), "v", 0.0, 100.0, 20, by=["grp"])
+    parts = [
+        histogram_registers(df.filter(F.col("v") < 40), "v",
+                            0.0, 100.0, 20, by=["grp"]),
+        histogram_registers(df.filter(F.col("v") >= 40), "v",
+                            0.0, 100.0, 20, by=["grp"]),
+        a,  # merging an empty sketch is the identity
+    ]
+    merged = histogram_merge(*parts, by=["grp"])
+    key = lambda rows: {(r["grp"], r["bin"]): r["cnt"] for r in rows}  # noqa: E731
+    assert key(merged.collect()) == key(whole.collect())
+
+
+def test_histogram_quantiles_within_one_bin_of_exact(spark):
+    histogram_registers, _, histogram_quantiles = _hist_imports()
+    from claimskg_generator_spark.operators.quantiles import (
+        grouped_quantiles,
+    )
+    import random
+    rng = random.Random(7)
+    rows = [("g", rng.uniform(0, 1000.0)) for _ in range(2000)]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    LO, HI, BINS = 0.0, 1000.0, 100
+    width = (HI - LO) / BINS
+    qs = [0.1, 0.5, 0.9, 0.99, 1.0]
+    reg = histogram_registers(df, "v", LO, HI, BINS, by=["grp"])
+    est = {r["q"]: r["est"] for r in histogram_quantiles(
+        reg, LO, HI, BINS, qs, by=["grp"]).collect()}
+    exact = {r["q"]: r["value"] for r in grouped_quantiles(
+        df, "grp", "v", qs).collect()}
+    for q in qs:
+        assert abs(est[q] - exact[q]) <= width + 1e-9, (q, est, exact)
+    assert est[1.0] <= HI  # interpolation never exits the grid
+
+
+def test_histogram_validation(spark):
+    histogram_registers, histogram_merge, histogram_quantiles = (
+        _hist_imports())
+    df = spark.createDataFrame([("g", 1.0)], "grp string, v double")
+    with pytest.raises(ValueError, match="hi > lo"):
+        histogram_registers(df, "v", 5.0, 5.0, 10)
+    with pytest.raises(ValueError, match="n_bins"):
+        histogram_registers(df, "v", 0.0, 1.0, 1)
+    with pytest.raises(ValueError, match="register frame"):
+        histogram_merge(by=["grp"])
+    reg = histogram_registers(df, "v", 0.0, 10.0, 4, by=["grp"])
+    with pytest.raises(ValueError, match="qs"):
+        histogram_quantiles(reg, 0.0, 10.0, 4, [1.5], by=["grp"])
