@@ -574,3 +574,73 @@ def test_streaming_cdc_apply_matches_batch(spark):
 
     # time travel: the state table kept every micro-batch version
     assert len(m.table.snapshots()) >= 4
+
+
+def test_histogram_sketch_stream_converges_and_epoch_idempotent(spark):
+    """Streaming histogram maintenance: after draining value chunks in
+    any order, the merged register view and the quantile estimates
+    equal the one-shot batch sketch; a replayed epoch is a no-op
+    (additive counts are NOT latest-wins — the epoch contract is what
+    carries exactly-once here); compaction preserves both the view and
+    the replay guard."""
+    import os
+    import random
+
+    from claimskg_generator_spark.operators.sketches import (
+        histogram_quantiles,
+        histogram_registers,
+    )
+    from claimskg_generator_spark.streaming.sketch_stream import (
+        HistogramSketchMaintainer,
+        stream_histogram_sketch,
+    )
+
+    base = tempfile.mkdtemp(prefix="claimskg_histstream_")
+    in_dir, tbl, ck = f"{base}/in", f"{base}/tbl", f"{base}/ck"
+    os.makedirs(in_dir)
+
+    rng = random.Random(5)
+    rows = [("g" if rng.random() < 0.7 else "h", rng.uniform(-50, 1200))
+            for _ in range(900)]
+    sch = "grp string, v double"
+    LO, HI, BINS, QS = 0.0, 1000.0, 50, [0.5, 0.9, 0.99]
+
+    m = HistogramSketchMaintainer(spark, tbl, "v", LO, HI, BINS,
+                                  by=["grp"])
+    chunks = [rows[:300], rows[300:600], rows[600:]]
+    rng.shuffle(chunks)
+    for chunk in chunks:
+        spark.createDataFrame(chunk, sch).coalesce(1).write.mode(
+            "append").parquet(in_dir)
+        q, _ = stream_histogram_sketch(
+            spark, in_dir, tbl, ck, "v", LO, HI, BINS, by=["grp"],
+            maintainer=m)
+        q.awaitTermination(120)
+
+    whole = spark.createDataFrame(rows, sch)
+    key = lambda df: {  # noqa: E731
+        (r["grp"], r["bin"]): r["cnt"] for r in df.collect()}
+    want_regs = key(histogram_registers(whole, "v", LO, HI, BINS,
+                                        by=["grp"]))
+    assert key(m.registers()) == want_regs
+
+    est = lambda df: {  # noqa: E731
+        (r["grp"], r["q"]): r["est"] for r in df.collect()}
+    want_q = est(histogram_quantiles(
+        histogram_registers(whole, "v", LO, HI, BINS, by=["grp"]),
+        LO, HI, BINS, QS, by=["grp"]))
+    assert est(m.quantiles(QS)) == want_q
+
+    # replayed epoch (same batch_id): skipped before any write
+    seen_id = next(iter(m._seen))
+    m(spark.createDataFrame(rows[:300], sch), batch_id=seen_id)
+    assert key(m.registers()) == want_regs
+
+    # compaction folds partials to one base; view and guard survive a
+    # FRESH maintainer (the epoch set is re-read from the parent chain)
+    m.compact_registers()
+    assert key(m.registers()) == want_regs
+    m2 = HistogramSketchMaintainer(spark, tbl, "v", LO, HI, BINS,
+                                   by=["grp"])
+    m2(spark.createDataFrame(rows[:300], sch), batch_id=seen_id)
+    assert key(m2.registers()) == want_regs
