@@ -1,0 +1,307 @@
+"""KG construction over the north-rule code corpus: triple extraction,
+entity linking, canonicalization, and graph materialization for tables
+of source-code repositories ``(repo, path, commit, lang, content)``.
+
+This is the code-shaped twin of the claims pipeline (plans/pipeline.py —
+the reference's domain, claimskg/generator/__init__.py): the same four
+north-rule stages, re-instantiated over the graft's own input shape:
+
+* :func:`code_triples` — triple extraction.  Every per-file triple
+  (type, repo membership, path/lang/commit metadata, the per-row
+  content-sha256 invariant, import edges, module labels) is generated
+  INSIDE the file's row as one ``array<struct<subj,pred,obj,okind>>``
+  and exploded once (the operators/row_triples.py shape): one scan, one
+  generator stage, one final set-dedup — the only shuffle.  No joins.
+* :func:`link_modules` — entity linking with confidence thresholding:
+  import mentions are scored against the corpus-derived module
+  dictionary (modules seen in >= ``min_repos`` distinct repos), with
+  confidence = n_repos / max-per-lang — the TagMe-style "link score
+  against a broadcast dictionary, keep above threshold" stage of the
+  north star, made fully relational so the driver oracle re-derives it.
+  All aggregates are module-level (bounded by the vocabulary, never the
+  corpus).
+* :func:`canonicalize_modules` — entity canonicalization: the A5 salted
+  two-phase groupBy (operators/canonicalize.salted_surface_counts)
+  over import surface forms, lowercase-keyed, so head modules (the
+  numpy/lodash of a real corpus) split across reducers in phase 1.
+* :func:`materialize_code_kg` — graph materialize: the deduped triple
+  set committed into a snapshot table (sources/snapshot_table.py — the
+  Iceberg-style layer) clustered by predicate for stats-based file
+  skipping, with per-partition lineage rows (input split, row count,
+  combined content sha256, triple count) and stage wall timings riding
+  INSIDE the same atomic commit as manifest annotations.
+
+URI minting supports two schemes:
+
+* ``md5`` (default): ``urn:code:<kind>:<md5(kind ':' key)>`` — pure
+  column expressions replayable in DuckDB, so the registry queries
+  carry full value oracles (q98).
+* ``uuid5``: UUIDv5-over-canonical-name URIs via the engine's pure-JVM
+  sha1 expression (functions/uuid5.py — the north star's minting
+  scheme, already golden-pinned against Python stdlib uuid5 by q20);
+  pytest pins the code-KG instantiation too.
+
+Scale posture: triple extraction is a narrow generator stage fused into
+the scan (zero joins; the set-dedup is the single exchange, exactly A3's
+profile).  Linking and canonicalization aggregate to module vocabulary
+size before any window/join touches them.  Materialization writes
+predicate-clustered files whose manifest stats make per-predicate reads
+one-file-list scans at 10^12-file corpus scale.
+"""
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from claimskg_generator_spark.operators.code import (
+    IMPORT_PATTERNS,
+    extract_imports,
+)
+from claimskg_generator_spark.operators.triples import (
+    OKIND_PLAIN,
+    OKIND_URI,
+    triple_struct,
+)
+
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+RDFS_LABEL = "http://www.w3.org/2000/01/rdf-schema#label"
+SCHEMA = "http://schema.org/"
+# schema.org models source files natively (SoftwareSourceCode with
+# codeRepository / programmingLanguage / version) — the same public
+# vocabulary family the reference's ClaimReview model uses.  The few
+# properties schema.org lacks (sha256, imports, Repository/Module types)
+# live in a synthetic example.org namespace.
+CODE = "http://example.org/code#"
+
+T_SOURCE_FILE = SCHEMA + "SoftwareSourceCode"
+T_REPOSITORY = CODE + "Repository"
+T_MODULE = CODE + "Module"
+P_REPO = SCHEMA + "codeRepository"
+P_PATH = SCHEMA + "name"
+P_LANG = SCHEMA + "programmingLanguage"
+P_COMMIT = SCHEMA + "version"
+P_SHA256 = CODE + "sha256"
+P_IMPORTS = CODE + "imports"
+P_LINKS_TO = CODE + "linksTo"
+
+
+def mint_uri(kind: str, key: Column, scheme: str = "md5") -> Column:
+    """Deterministic entity URI from a (kind, natural-key) pair.
+
+    ``md5``: ``urn:code:<kind>:<md5>`` — replayable by any engine with
+    md5 (the full-oracle scheme).  ``uuid5``: ``urn:uuid:<uuid5>`` over
+    the same canonical name via the pure-JVM sha1 expression
+    (functions/uuid5.py:25), the north star's UUIDv5 minting."""
+    name = F.concat(F.lit(kind), F.lit(":"), key)
+    if scheme == "md5":
+        return F.concat(F.lit(f"urn:code:{kind}:"), F.md5(name))
+    if scheme == "uuid5":
+        from claimskg_generator_spark.functions.uuid5 import uuid5_url_col
+
+        return F.concat(F.lit("urn:uuid:"), uuid5_url_col(name))
+    raise ValueError(f"unknown URI scheme {scheme!r}")
+
+
+_TRIPLE_ARR = "array<struct<subj:string,pred:string,obj:string,okind:string>>"
+
+
+def _module_uri(lang: Column, module: Column, scheme: str) -> Column:
+    return mint_uri("module", F.concat(lang, F.lit(":"), module), scheme)
+
+
+def code_triples(files: DataFrame, scheme: str = "md5") -> DataFrame:
+    """Extract the (subj, pred, obj, okind) triple set of a code corpus.
+
+    Per file: rdf:type, codeRepository edge, path/lang/commit literals,
+    and the content sha256 (the north rule's per-row invariant, here a
+    first-class graph fact).  Per repo: type + label (duplicated across
+    the repo's files, collapsed by the final set-dedup — cheaper than a
+    pre-aggregation because the dedup shuffle is needed anyway).  Per
+    distinct import: the file->module edge plus the module's type and
+    label.  Everything is built in-row and exploded once; the final
+    ``distinct`` is the A3 set-semantics dedup and the plan's only
+    exchange."""
+    lang = F.col("lang")
+    file_uri = mint_uri(
+        "file", F.concat(F.col("repo"), F.lit("/"), F.col("path")), scheme)
+    repo_uri = mint_uri("repo", F.col("repo"), scheme)
+
+    mods: Column = F.array().cast("array<string>")
+    for lg, pat in IMPORT_PATTERNS.items():
+        mods = F.when(lang == lg,
+                      F.regexp_extract_all(F.col("content"),
+                                           F.lit(pat), 1)).otherwise(mods)
+    mods = F.array_distinct(mods)
+
+    fixed = F.array(
+        triple_struct(file_uri, RDF_TYPE, T_SOURCE_FILE, OKIND_URI),
+        triple_struct(file_uri, P_REPO, repo_uri, OKIND_URI),
+        triple_struct(file_uri, P_PATH, F.col("path"), OKIND_PLAIN),
+        triple_struct(file_uri, P_LANG, lang, OKIND_PLAIN),
+        triple_struct(file_uri, P_COMMIT, F.col("commit"), OKIND_PLAIN),
+        triple_struct(file_uri, P_SHA256, F.sha2(F.col("content"), 256),
+                      OKIND_PLAIN),
+        triple_struct(repo_uri, RDF_TYPE, T_REPOSITORY, OKIND_URI),
+        triple_struct(repo_uri, RDFS_LABEL, F.col("repo"), OKIND_PLAIN),
+    ).cast(_TRIPLE_ARR)
+    per_import = F.flatten(F.transform(
+        mods,
+        lambda m: F.array(
+            triple_struct(file_uri, P_IMPORTS,
+                          _module_uri(lang, m, scheme), OKIND_URI),
+            triple_struct(_module_uri(lang, m, scheme), RDF_TYPE,
+                          T_MODULE, OKIND_URI),
+            triple_struct(_module_uri(lang, m, scheme), RDFS_LABEL, m,
+                          OKIND_PLAIN),
+        ).cast(_TRIPLE_ARR),
+    ))
+    return (
+        files.select(F.explode(F.concat(fixed, per_import)).alias("t"))
+        .select("t.subj", "t.pred", "t.obj", "t.okind")
+        .distinct()
+    )
+
+
+def link_modules(
+    files: DataFrame,
+    min_repos: int = 2,
+    threshold: float = 0.25,
+    scheme: str = "md5",
+) -> DataFrame:
+    """Entity-link import mentions against the corpus-derived module
+    dictionary with confidence thresholding.
+
+    Dictionary = modules imported by >= ``min_repos`` distinct repos
+    (the broadcast-dictionary analog of the claims pipeline's DBpedia
+    entity dict, functions/udfs.py:113).  Confidence = n_repos divided
+    by the lang's most-imported module's n_repos, rounded to 4 dp so
+    the gate replays exactly cross-engine; links below ``threshold``
+    are dropped — the TagMe-style confidence gate of the north star.
+
+    Output: one row per linked (lang, module): ``n_repos, n_files,
+    confidence, entity_uri``.  Both aggregates and the ranking window
+    run over MODULE-level rows (vocabulary-bounded)."""
+    if min_repos < 1:
+        raise ValueError("min_repos must be >= 1")
+    if not 0.0 <= threshold <= 1.0:
+        raise ValueError(f"threshold must be in [0, 1], got {threshold}")
+    from pyspark.sql import Window
+
+    per_mod = (
+        extract_imports(files)
+        .groupBy("lang", "module")
+        .agg(F.countDistinct("repo").alias("n_repos"),
+             F.count("*").alias("n_files"))
+    )
+    w = Window.partitionBy("lang")
+    conf = F.round(
+        F.col("n_repos") / F.max("n_repos").over(w).cast("double"), 4)
+    return (
+        per_mod.withColumn("confidence", conf)
+        .filter((F.col("n_repos") >= min_repos)
+                & (F.col("confidence") >= threshold))
+        .withColumn(
+            "entity_uri",
+            _module_uri(F.col("lang"), F.col("module"), scheme))
+    )
+
+
+def canonicalize_modules(files: DataFrame, salt: int = 16) -> DataFrame:
+    """A5 salted two-phase canonicalization over import surface forms:
+    group case-variant spellings of one module under the lowercase
+    surface and pick the most frequent raw spelling as canonical (ties
+    by the struct's lexicographic max — engine-stable).  Hot modules
+    split across ``salt`` reducers in phase 1 (see operators/
+    canonicalize.py for the shape's rationale)."""
+    from claimskg_generator_spark.operators.canonicalize import (
+        salted_surface_counts,
+    )
+
+    mentions = extract_imports(files).select(
+        F.lower(F.col("module")).alias("surface"),
+        F.col("module"),
+        F.col("path"),
+    )
+    return salted_surface_counts(mentions, "surface", "module",
+                                 F.col("path"), salt)
+
+
+def code_kg_lineage(files: DataFrame, scheme: str = "md5") -> DataFrame:
+    """Per-partition lineage rows (north rule: "per-partition lineage
+    rows (input split, sha256 of content, triple counts)").  The triple
+    count is the row-local emission count (8 fixed + 3 per distinct
+    import, pre-dedup) — attributable to a split by construction, like
+    plans/pipeline.py:494's row-local families."""
+    lang = F.col("lang")
+    mods: Column = F.array().cast("array<string>")
+    for lg, pat in IMPORT_PATTERNS.items():
+        mods = F.when(lang == lg,
+                      F.regexp_extract_all(F.col("content"),
+                                           F.lit(pat), 1)).otherwise(mods)
+    n_local = F.lit(8) + F.size(F.array_distinct(mods)) * 3
+    return (
+        files.select(
+            F.spark_partition_id().alias("input_split"),
+            F.sha2(F.col("content"), 256).alias("h"),
+            n_local.alias("nt"),
+        )
+        .groupBy("input_split")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sha2(F.concat_ws("", F.sort_array(F.collect_list("h"))), 256)
+            .alias("content_sha256"),
+            F.sum("nt").alias("n_triples_emitted"),
+        )
+    )
+
+
+def materialize_code_kg(
+    spark,
+    files: DataFrame,
+    table_dir: str,
+    scheme: str = "md5",
+    n_partitions: Optional[int] = None,
+    stat_cols: Sequence[str] = ("pred",),
+) -> int:
+    """Materialize the code KG into a snapshot table (sources/
+    snapshot_table.py), predicate-clustered so manifest stats answer
+    per-predicate scans with file skipping, with lineage rows and stage
+    timings committed INSIDE the same atomic manifest.
+
+    Returns the committed snapshot id.  Lineage lands in
+    ``<table_dir>/_lineage/<snapshot_id>`` (parquet) and the manifest's
+    ``lineage_path`` / ``stage_wall_s`` annotations point at it —
+    checkpoint-resumable by snapshot id like every other table commit.
+    """
+    import os
+    import time
+
+    from claimskg_generator_spark.operators.sampling import optimize_layout
+    from claimskg_generator_spark.sources.snapshot_table import SnapshotTable
+
+    t0 = time.time()
+    triples = code_triples(files, scheme=scheme)
+    clustered = optimize_layout(triples, ["pred", "subj"],
+                                n_partitions=n_partitions)
+    lineage = code_kg_lineage(files, scheme=scheme)
+    t_plan = time.time() - t0
+
+    t0 = time.time()
+    lineage_dir = os.path.join(table_dir, "_lineage")
+    os.makedirs(lineage_dir, exist_ok=True)
+    table = SnapshotTable(spark, table_dir, stat_cols=list(stat_cols))
+    provisional = (table.current_snapshot_id() or 0) + 1
+    lineage_path = os.path.join(lineage_dir, f"{provisional:010d}")
+    lineage.write.mode("overwrite").parquet(lineage_path)
+    t_lineage = time.time() - t0
+
+    t0 = time.time()
+    sid = table.append(clustered, extra={
+        "lineage_path": lineage_path,
+        "stage_wall_s": {
+            "plan": round(t_plan, 3),
+            "lineage": round(t_lineage, 3),
+        },
+    })
+    return sid
