@@ -1,0 +1,213 @@
+"""Code-KG construction CLI — the north-rule pipeline end-to-end over a
+source-code repository table:
+
+    python -m claimskg_generator_spark.code_kg_cli \
+        --input /data/code_files --table-dir /data/code_kg \
+        --checkpoint-dir /data/ck --quality-gate --exact-dedup \
+        --links-output /data/links --canonical-output /data/canonical
+
+Input: parquet with the north-rule columns ``(repo, path, commit, lang,
+content)`` (``--synth-from-documents`` instead lifts a (doc_id, text)
+documents parquet via sources/codesynth.py — the deterministic test
+corpus).  Stages, each a checkpoint-resumable boundary (plans/
+checkpoints.py — identity = input content fingerprint + the stage's
+config, so changed inputs or flags invalidate exactly the affected
+stages):
+
+1. gate      — StarCoder-style quality gates (operators/code.py),
+               optional (``--quality-gate``)
+2. dedup     — exact content-hash dedup, first-writer (min repo/path)
+               survivor, optional (``--exact-dedup``)
+3. triples   — KG triple extraction (operators/code_kg.code_triples)
+4. materialize — snapshot-table commit (predicate-clustered, manifest
+               stats, per-split lineage + stage timings inside the
+               atomic commit), gated by the same identity token so a
+               resumed run never double-appends; or plain parquet via
+               ``--output``
+5. links / canonical — optional side outputs (entity linking,
+               A5 module canonicalization)
+
+Run on a cluster via spark-submit --py-files (scripts/
+make_pyfiles_zip.sh builds the zip); locally it creates its own
+session.  Summary JSON (stage actions, counts, snapshot id) prints to
+stdout as the single last line.
+"""
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def build_arg_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="claimskg-code-kg",
+        description="KG construction over a source-code repository table",
+    )
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--input",
+                     help="code-files parquet (repo, path, commit, lang, "
+                          "content)")
+    src.add_argument("--synth-from-documents",
+                     help="lift a (doc_id, text) documents parquet into "
+                          "the code shape (sources/codesynth.py)")
+    out = p.add_argument_group("outputs")
+    out.add_argument("--table-dir",
+                     help="snapshot-table root for the materialized graph")
+    out.add_argument("--output",
+                     help="plain parquet triple output (alternative or "
+                          "additional to --table-dir)")
+    out.add_argument("--links-output",
+                     help="entity-link table output (parquet)")
+    out.add_argument("--canonical-output",
+                     help="module canonicalization output (parquet)")
+    p.add_argument("--checkpoint-dir", default=None,
+                   help="stage-boundary checkpoint root (resume on rerun)")
+    p.add_argument("--checkpoint-content-probe", action="store_true",
+                   help="harden the input fingerprint with first/last-"
+                        "block digests (closes the same-second-overwrite "
+                        "window; two ranged reads per file)")
+    p.add_argument("--quality-gate", action="store_true",
+                   help="drop files failing the StarCoder-style gates")
+    p.add_argument("--exact-dedup", action="store_true",
+                   help="exact content dedup, (repo, path)-min survivor")
+    p.add_argument("--uri-scheme", default="md5", choices=["md5", "uuid5"],
+                   help="entity URI minting scheme (md5 URN or UUIDv5)")
+    p.add_argument("--min-repos", type=int, default=2,
+                   help="entity-link dictionary floor (distinct repos)")
+    p.add_argument("--link-threshold", type=float, default=0.25,
+                   help="entity-link confidence threshold")
+    p.add_argument("--n-partitions", type=int, default=None,
+                   help="materialize layout partitions (default: Spark "
+                        "range-partitioning heuristics)")
+    return p
+
+
+def _exact_dedup(files):
+    """Content-hash dedup with a deterministic first-writer survivor: for
+    each distinct content, the (repo, path)-min row wins.  One combinable
+    groupBy on the 64-hex digest — tiny shuffle rows, engine-stable."""
+    h = F.sha2(F.col("content"), 256).alias("__h")
+    winners = (
+        files.select(h, F.struct("repo", "path").alias("__w"))
+        .groupBy("__h").agg(F.min("__w").alias("__w"))
+        .select("__h", F.col("__w.repo").alias("repo"),
+                F.col("__w.path").alias("path"))
+    )
+    return files.join(winners, ["repo", "path"], "left_semi")
+
+
+def main(argv=None) -> int:
+    args = build_arg_parser().parse_args(argv)
+    if not (args.table_dir or args.output):
+        print("error: need --table-dir and/or --output", file=sys.stderr)
+        return 2
+
+    from claimskg_generator_spark.operators.code import with_code_quality
+    from claimskg_generator_spark.operators.code_kg import (
+        canonicalize_modules,
+        code_triples,
+        link_modules,
+        materialize_code_kg,
+    )
+    from claimskg_generator_spark.plans.checkpoints import (
+        CheckpointManager,
+        input_fingerprint,
+        plan_token,
+    )
+
+    spark = SparkSession.getActiveSession()
+    created = spark is None
+    if created:
+        spark = (SparkSession.builder.appName("code-kg")
+                 .config("spark.sql.adaptive.enabled", "true")
+                 .getOrCreate())
+
+    summary = {"stages": [], "counts": {}}
+    try:
+        in_path = args.input or args.synth_from_documents
+        fp = (input_fingerprint(spark, in_path,
+                                content_probe=args.checkpoint_content_probe)
+              if args.checkpoint_dir else "")
+        ck = CheckpointManager(spark, args.checkpoint_dir)
+
+        if args.input:
+            files = spark.read.parquet(args.input)
+        else:
+            from claimskg_generator_spark.sources.codesynth import code_files
+
+            files = code_files(spark.read.parquet(args.synth_from_documents))
+
+        cfg = (f"{fp}|gate={args.quality_gate}|dedup={args.exact_dedup}"
+               f"|scheme={args.uri_scheme}")
+        if args.quality_gate:
+            gated = with_code_quality(files).filter("keep").drop(
+                "n_lines", "max_line_len", "avg_line_len", "alnum_frac",
+                "is_autogenerated", "has_hex_blob", "keep")
+            files = ck.materialize("gate", gated,
+                                   token=plan_token(gated, cfg))
+        if args.exact_dedup:
+            deduped = _exact_dedup(files)
+            files = ck.materialize("dedup", deduped,
+                                   token=plan_token(deduped, cfg))
+
+        triples = code_triples(files, scheme=args.uri_scheme)
+        triples = ck.materialize("triples", triples,
+                                 token=plan_token(triples, cfg))
+
+        if args.table_dir:
+            # commit-once gate: the materialize itself is a stage boundary
+            # (same identity token as the triples stage), so a resumed run
+            # never appends the same snapshot twice
+            token = plan_token(triples, cfg)
+            marker = ("table_commit", f"_IDENTITY.{token}")
+            if args.checkpoint_dir and ck._exists(
+                    ck._path(marker[0]), marker[1]):
+                ck.events.append(("table_commit", "resume", 0.0,
+                                  args.table_dir))
+                from claimskg_generator_spark.sources.snapshot_table import (
+                    SnapshotTable,
+                )
+                summary["snapshot_id"] = SnapshotTable(
+                    spark, args.table_dir).current_snapshot_id()
+            else:
+                import time as _t
+
+                t0 = _t.time()
+                sid = materialize_code_kg(
+                    spark, files, args.table_dir, scheme=args.uri_scheme,
+                    n_partitions=args.n_partitions, triples=triples)
+                if args.checkpoint_dir:
+                    ck._touch(ck._path(marker[0]), marker[1])
+                ck.events.append(("table_commit", "write",
+                                  _t.time() - t0, args.table_dir))
+                summary["snapshot_id"] = sid
+        if args.output:
+            triples.write.mode("overwrite").parquet(args.output)
+        if args.links_output:
+            link_modules(files, min_repos=args.min_repos,
+                         threshold=args.link_threshold,
+                         scheme=args.uri_scheme).write.mode(
+                "overwrite").parquet(args.links_output)
+        if args.canonical_output:
+            canonicalize_modules(files).write.mode("overwrite").parquet(
+                args.canonical_output)
+
+        ck.write_manifest()
+        summary["stages"] = [
+            {"stage": s, "action": a, "wall_s": round(w, 3)}
+            for s, a, w, _p in ck.events
+        ]
+        summary["counts"]["triples"] = triples.count()
+        summary["counts"]["files"] = files.count()
+        print(json.dumps(summary))
+        return 0
+    finally:
+        if created:
+            spark.stop()
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

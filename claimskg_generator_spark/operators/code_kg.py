@@ -263,6 +263,7 @@ def materialize_code_kg(
     scheme: str = "md5",
     n_partitions: Optional[int] = None,
     stat_cols: Sequence[str] = ("pred",),
+    triples: Optional[DataFrame] = None,
 ) -> int:
     """Materialize the code KG into a snapshot table (sources/
     snapshot_table.py), predicate-clustered so manifest stats answer
@@ -281,7 +282,10 @@ def materialize_code_kg(
     from claimskg_generator_spark.sources.snapshot_table import SnapshotTable
 
     t0 = time.time()
-    triples = code_triples(files, scheme=scheme)
+    if triples is None:
+        triples = code_triples(files, scheme=scheme)
+    # else: caller passes a (possibly checkpointed) triple frame so a
+    # resumed pipeline reads parquet instead of re-deriving the extraction
     clustered = optimize_layout(triples, ["pred", "subj"],
                                 n_partitions=n_partitions)
     lineage = code_kg_lineage(files, scheme=scheme)

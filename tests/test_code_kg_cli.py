@@ -1,0 +1,99 @@
+"""End-to-end code-KG CLI (code_kg_cli.py): full-feature run, resume
+semantics (no stage recompute, no double snapshot append), and the
+plain-parquet output path."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from claimskg_generator_spark.code_kg_cli import main
+from claimskg_generator_spark.operators.code import with_code_quality
+from claimskg_generator_spark.operators.code_kg import code_triples
+from claimskg_generator_spark.sources.codesynth import code_files
+
+
+@pytest.fixture(scope="module")
+def docs_path(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("codekg") / "documents.parquet")
+    spark.createDataFrame(
+        [(i, f"alpha beta gamma delta{i} epsilon zeta eta theta iota")
+         for i in range(80)],
+        "doc_id bigint, text string",
+    ).write.parquet(path)
+    return path
+
+
+def _run(capsys, *argv) -> dict:
+    assert main(list(argv)) == 0
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    return json.loads(out)
+
+
+def test_end_to_end_and_resume(spark, docs_path, tmp_path, capsys):
+    table = str(tmp_path / "kg")
+    ck = str(tmp_path / "ck")
+    argv = ["--synth-from-documents", docs_path, "--table-dir", table,
+            "--checkpoint-dir", ck, "--quality-gate", "--exact-dedup",
+            "--links-output", str(tmp_path / "links"),
+            "--canonical-output", str(tmp_path / "canon")]
+    s1 = _run(capsys, *argv)
+    assert s1["snapshot_id"] == 1
+    assert {e["stage"]: e["action"] for e in s1["stages"]} == {
+        "gate": "write", "dedup": "write", "triples": "write",
+        "table_commit": "write"}
+
+    # table contents == triple extraction over the gated+deduped corpus
+    from claimskg_generator_spark.sources.snapshot_table import SnapshotTable
+
+    expected = code_triples(
+        with_code_quality(code_files(spark.read.parquet(docs_path)))
+        .filter("keep")
+        .select("doc_id", "repo", "path", "commit", "lang", "content"))
+    back = SnapshotTable(spark, table).read()
+    assert back.count() == s1["counts"]["triples"] == expected.count()
+    assert back.exceptAll(expected).count() == 0
+
+    # side outputs exist and are consistent
+    links = spark.read.parquet(str(tmp_path / "links"))
+    assert links.filter(F.col("confidence") < 0.25).count() == 0
+    canon = spark.read.parquet(str(tmp_path / "canon"))
+    assert canon.count() > 0
+
+    # resume: every stage skips, the table gains NO second snapshot
+    s2 = _run(capsys, *argv)
+    assert {e["stage"]: e["action"] for e in s2["stages"]} == {
+        "gate": "resume", "dedup": "resume", "triples": "resume",
+        "table_commit": "resume"}
+    t = SnapshotTable(spark, table)
+    assert s2["snapshot_id"] == 1
+    assert len(t.snapshots()) == 1
+    assert s2["counts"] == s1["counts"]
+
+
+def test_plain_parquet_output(spark, docs_path, tmp_path, capsys):
+    out = str(tmp_path / "triples")
+    s = _run(capsys, "--synth-from-documents", docs_path,
+             "--output", out, "--uri-scheme", "uuid5")
+    got = spark.read.parquet(out)
+    assert got.count() == s["counts"]["triples"]
+    assert got.filter(F.col("subj").startswith("urn:uuid:")).count() > 0
+
+
+def test_requires_an_output(docs_path, capsys):
+    assert main(["--synth-from-documents", docs_path]) == 2
+
+
+def test_changed_flags_invalidate_checkpoints(spark, docs_path, tmp_path,
+                                              capsys):
+    """Same checkpoint dir, different gate config -> stages recompute
+    (identity tokens embed the config blob)."""
+    ck = str(tmp_path / "ck2")
+    out = str(tmp_path / "t1")
+    _run(capsys, "--synth-from-documents", docs_path, "--output", out,
+         "--checkpoint-dir", ck, "--exact-dedup")
+    s = _run(capsys, "--synth-from-documents", docs_path, "--output", out,
+             "--checkpoint-dir", ck, "--exact-dedup", "--quality-gate")
+    acts = {e["stage"]: e["action"] for e in s["stages"]}
+    assert acts["dedup"] == "write"  # upstream gate changed the plan
+    assert acts["triples"] == "write"

@@ -489,3 +489,42 @@ def test_histogram_sketch_combinable_no_join(spark):
     assert "Join" not in plan
     assert "partial_count" in plan and "partial_sum" in plan
     assert len(re.findall(r"\(\d+\) Window\b(?!GroupLimit)", plan)) <= 2
+
+
+def test_code_triples_single_exchange_no_join(spark):
+    """q98: the entire triple extraction is one narrow generator stage
+    (scan -> project -> Generate) feeding the set-dedup; the distinct's
+    hash exchange is the ONLY shuffle, there are no joins anywhere, and
+    the map side runs a partial distinct before it."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.q98_code_kg_triples(spark, SF))
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert "Python" not in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert len(re.findall(r"\(\d+\) Generate", plan)) == 1
+
+
+def test_module_canonicalize_three_phase_shuffle(spark):
+    """q99: the salted A5 shape — exactly three exchanges (salt phase 1,
+    (surface, entity) merge, final surface phase), no joins; rows are
+    vocabulary-bounded after phase 1."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.q99_module_canonicalize(spark, SF))
+    assert "Join" not in plan
+    assert "Python" not in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 3
+
+
+def test_module_links_vocab_bounded_window(spark):
+    """q100: two-phase distinct aggregate + ONE lang-partitioned window
+    over module-level rows — three exchanges total, no sort-merge join,
+    no Python."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.q100_module_links(spark, SF))
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert "Python" not in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 3
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1
