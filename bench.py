@@ -498,6 +498,56 @@ def run_pipeline_throughput(sf_dir: str, cpus: int, n_rows: int) -> dict:
     }
 
 
+def run_code_kg_throughput(cpus: int, n_rows: int) -> dict:
+    """Code-KG construction throughput (the north rule's own pipeline
+    shape): files & triples per second through operators/code_kg.
+    code_triples — corpus lift + in-row triple generation + the
+    set-dedup exchange.  The documents corpus is pre-generated
+    (untimed, pure column expressions of the row id so any level sees
+    identical bytes); the timed window is the KG construction."""
+    from pyspark.sql import functions as F
+
+    from claimskg_generator_spark.operators.code_kg import code_triples
+    from claimskg_generator_spark.sources.codesynth import code_files
+
+    spark = build_session(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    workdir = os.environ.get("SPARK_GRAFT_WORKDIR", "/tmp")
+    os.makedirs(workdir, exist_ok=True)
+    corpus_path = f"{workdir}/claimskg_codekg_corpus_{n_rows}"
+    if not os.path.exists(corpus_path + "/_SUCCESS"):
+        # 30 deterministic pseudo-words per doc (md5-derived, so text is
+        # a pure function of doc_id and identical across levels/runs)
+        words = F.transform(
+            F.sequence(F.lit(0), F.lit(29)),
+            lambda i: F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"),
+                               F.lit(":"), i.cast("string"))), 1, 8),
+        )
+        (spark.range(n_rows).select(
+            F.col("id").alias("doc_id"),
+            F.array_join(words, " ").alias("text"))
+         .write.mode("overwrite").parquet(corpus_path))
+    docs = spark.read.parquet(corpus_path)
+    cal_before = _calibrate()
+    t0 = time.time()
+    n_triples = code_triples(code_files(docs)).count()
+    dt = time.time() - t0
+    cal_after = _calibrate()
+    spark.stop()
+    cal = (cal_before + cal_after) / 2
+    return {
+        "cpus": cpus,
+        "n_rows": n_rows,
+        "n_triples": n_triples,
+        "wall_s": round(dt, 3),
+        "rows_per_s": round(n_rows / dt, 1),
+        "triples_per_s": round(n_triples / dt, 1),
+        "cal_s": round(cal, 4),
+        "wall_norm_s": round(dt * 0.35 / cal, 3),
+    }
+
+
 def run_oracle_baseline(n_rows: int) -> dict:
     """Single-node single-thread throughput of the reference *semantics*:
     the pure-Python oracle executes the same per-row call tree the
@@ -608,6 +658,12 @@ def main():
         i = sys.argv.index("--pipeline-once")
         print(json.dumps(run_pipeline_throughput(sf_dir, int(sys.argv[i + 1]),
                                                  int(sys.argv[i + 2]))))
+        return
+
+    if "--code-kg-once" in sys.argv:
+        i = sys.argv.index("--code-kg-once")
+        print(json.dumps(run_code_kg_throughput(int(sys.argv[i + 1]),
+                                                int(sys.argv[i + 2]))))
         return
 
     print(json.dumps(run_bench(sf_dir, cpus)))

@@ -29,10 +29,15 @@ import bench  # noqa: E402
 
 
 def run_level(cpus: int, n_rows: int) -> dict:
+    # HUNT_MODE=code_kg hunts the code-KG construction pipeline
+    # (bench.run_code_kg_throughput) under the identical protocol
+    flag = ("--code-kg-once"
+            if os.environ.get("HUNT_MODE") == "code_kg"
+            else "--pipeline-once")
     out = subprocess.run(
         [sys.executable, os.path.join(os.path.dirname(bench.__file__),
                                       "bench.py"),
-         "--pipeline-once", str(cpus), str(n_rows)],
+         flag, str(cpus), str(n_rows)],
         capture_output=True, text=True,
     )
     lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
@@ -68,6 +73,7 @@ def main():
             time.sleep(45)
             continue
         pair = {"capacity_before": round(cap, 2),
+                "mode": os.environ.get("HUNT_MODE", "pipeline"),
                 "ts": time.strftime("%Y-%m-%dT%H:%M:%S")}
         repeats = int(os.environ.get("HUNT_REPEATS", "1"))
         try:

@@ -644,3 +644,66 @@ def test_histogram_sketch_stream_converges_and_epoch_idempotent(spark):
                                    by=["grp"])
     m2(spark.createDataFrame(rows[:300], sch), batch_id=seen_id)
     assert key(m2.registers()) == want_regs
+
+
+def test_code_kg_stream_converges_and_epoch_idempotent(spark):
+    """Streaming code-KG maintenance: after draining file chunks in any
+    order, the merge-on-read graph equals the one-shot batch extraction
+    (set union is the monoid); a replayed epoch is a no-op; compaction
+    dedupes storage while preserving the graph AND the replay guard for
+    a fresh maintainer."""
+    import os
+    import random
+
+    from claimskg_generator_spark.operators.code_kg import code_triples
+    from claimskg_generator_spark.sources.codesynth import code_files
+    from claimskg_generator_spark.streaming.code_kg_stream import (
+        CodeKGMaintainer,
+        stream_code_kg,
+    )
+
+    base = tempfile.mkdtemp(prefix="claimskg_codekgstream_")
+    in_dir, tbl, ck = f"{base}/in", f"{base}/tbl", f"{base}/ck"
+    os.makedirs(in_dir)
+
+    docs = [(i, f"alpha beta gamma delta{i} epsilon zeta") for i in
+            range(90)]
+    sch = "doc_id bigint, text string"
+    all_files = code_files(spark.createDataFrame(docs, sch))
+    fsch = all_files.schema
+
+    m = CodeKGMaintainer(spark, tbl)
+    chunks = [docs[:30], docs[30:60], docs[60:]]
+    random.Random(7).shuffle(chunks)
+    for chunk in chunks:
+        code_files(spark.createDataFrame(chunk, sch)).coalesce(1) \
+            .write.mode("append").parquet(in_dir)
+        q, _ = stream_code_kg(spark, in_dir, tbl, ck,
+                              files_schema=fsch, maintainer=m)
+        q.awaitTermination(120)
+
+    want = code_triples(all_files)
+    key = lambda df: {tuple(r) for r in  # noqa: E731
+                      df.select("subj", "pred", "obj", "okind").collect()}
+    want_set = key(want)
+    assert key(m.graph()) == want_set
+    # storage holds cross-batch duplicates of the shared entity facts
+    # (repo/module type+label rows) — that is the documented contract
+    assert m.table.read().count() >= want.count()
+
+    # replayed epoch: skipped before any write (snapshot count frozen)
+    n_snaps = len(m.table.snapshots())
+    seen_id = next(iter(m._seen))
+    m(code_files(spark.createDataFrame(docs[:30], sch)),
+      batch_id=seen_id)
+    assert len(m.table.snapshots()) == n_snaps
+
+    # compaction folds to one deduped base; graph and guard survive a
+    # FRESH maintainer (epoch ids re-read through the parent chain)
+    m.compact_graph()
+    assert m.table.read().count() == want.count()
+    assert key(m.graph()) == want_set
+    m2 = CodeKGMaintainer(spark, tbl)
+    m2(code_files(spark.createDataFrame(docs[:30], sch)),
+       batch_id=seen_id)
+    assert key(m2.graph()) == want_set
