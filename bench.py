@@ -194,6 +194,14 @@ BENCH_QUERIES = [
     # line explode -> combinable df groupBy -> reassembly regroup
     "q85_grouped_quantiles",
     "q88_boilerplate_lines",
+    # code-corpus wave: the three timing-relevant shapes (q92/q95/q97
+    # are narrow maps, q93/q99/q100 vocabulary-bounded aggregates,
+    # q101 joins pred-literal slivers — same not-timed policy as above):
+    # winnowing's fingerprint posting-list shuffle, the KG extraction's
+    # generate + set-dedup exchange, and the graph-diff double anti-join
+    "q94_winnow_pairs",
+    "q98_code_kg_triples",
+    "q102_kg_diff",
 ]
 
 # The 13-query round-2 headline set: its subtotal is reported alongside the

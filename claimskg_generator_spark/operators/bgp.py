@@ -1,0 +1,111 @@
+"""Basic-graph-pattern (BGP) queries over a (subj, pred, obj) triple
+table — the query face of the materialized KG.
+
+The reference consumes its graph through SPARQL endpoints (reference
+claimskg/reconciler/__init__.py issues SPARQL over the loaded graph);
+a Spark-native KG needs the same capability over the triple TABLE: a
+conjunctive pattern like
+
+    (?f, code:imports, ?m), (?m, rdfs:label, ?l), (?f, schema:repo, ?r)
+
+is a chain of equi-joins over per-pattern scans.  This module compiles
+exactly that, with the three plan properties that matter at
+10^12-triple scale:
+
+* **Literal pushdown**: every literal position becomes a filter ON THE
+  PATTERN'S OWN SCAN, before any join — a pred-literal pattern reads
+  one predicate's sliver (and through sources/snapshot_table.read's
+  stats pruning or a pred-clustered parquet layout, one sliver of
+  FILES, not a full scan).
+* **Selectivity-greedy join order**: patterns join most-literal-first,
+  and each next pattern must share >= 1 variable with the accumulated
+  frame (equi-join keys).  A conjunction whose join graph is
+  disconnected would be a cartesian product — rejected loudly instead
+  of silently exploding.
+* **Equi-joins only**: shared variables become hash-join keys; AQE
+  picks broadcast vs shuffle per pattern sliver at runtime.
+
+Variables are ``?name`` strings; anything else is a literal matched
+against subj/pred/obj.  A variable bound in two positions of ONE
+pattern (e.g. ``(?x, p, ?x)``) compiles to an intra-row equality
+filter.  Duplicate rows follow SQL bag semantics (SPARQL's default);
+``distinct=True`` applies the set projection.
+"""
+
+from typing import List, Optional, Sequence, Tuple
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_POS = ("subj", "pred", "obj")
+
+
+def _is_var(term: str) -> bool:
+    return isinstance(term, str) and term.startswith("?")
+
+
+def bgp_query(
+    triples: DataFrame,
+    patterns: Sequence[Tuple[str, str, str]],
+    select: Optional[Sequence[str]] = None,
+    distinct: bool = False,
+) -> DataFrame:
+    """Evaluate a conjunctive triple-pattern query against ``triples``.
+
+    ``patterns``: (s, p, o) terms, each a ``?var`` or a literal string.
+    ``select``: variables to project (default: all, sorted).  Returns
+    one column per selected variable (named without the ``?``).
+    """
+    if not patterns:
+        raise ValueError("need at least one pattern")
+    for t in patterns:
+        if len(t) != 3:
+            raise ValueError(f"pattern must be a (s, p, o) triple: {t!r}")
+        if not any(_is_var(x) for x in t):
+            raise ValueError(
+                f"pattern {t!r} has no variables; ASK-style existence "
+                "checks are a filter, not a BGP column")
+
+    def compile_pattern(pat) -> Tuple[DataFrame, set]:
+        df = triples
+        cols, seen = [], {}
+        for pos, term in zip(_POS, pat):
+            if _is_var(term):
+                v = term[1:]
+                if v in seen:  # same var twice in one pattern
+                    df = df.filter(F.col(pos) == F.col(seen[v]))
+                else:
+                    seen[v] = pos
+                    cols.append(F.col(pos).alias(v))
+            else:
+                df = df.filter(F.col(pos) == term)
+        return df.select(*cols), set(seen)
+
+    # greedy order: most literals (fewest vars) first; then any pattern
+    # sharing a variable with what's bound, again fewest-vars-first
+    remaining = sorted(
+        (compile_pattern(p) for p in patterns),
+        key=lambda fv: len(fv[1]),
+    )
+    out, bound = remaining.pop(0)
+    while remaining:
+        i = next(
+            (j for j, (_df, vs) in enumerate(remaining) if vs & bound),
+            None,
+        )
+        if i is None:
+            raise ValueError(
+                "disconnected pattern graph (no shared variables) — this "
+                "would be a cartesian product; split the query instead")
+        df, vs = remaining.pop(i)
+        out = out.join(df, sorted(vs & bound))
+        bound |= vs
+    sel: List[str] = (
+        sorted(bound) if select is None
+        else [v[1:] if v.startswith("?") else v for v in select]
+    )
+    missing = [v for v in sel if v not in bound]
+    if missing:
+        raise ValueError(f"selected variables not bound: {missing}")
+    out = out.select(*sel)
+    return out.distinct() if distinct else out

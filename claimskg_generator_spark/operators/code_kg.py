@@ -227,6 +227,35 @@ def canonicalize_modules(files: DataFrame, salt: int = 16) -> DataFrame:
                                  F.col("path"), salt)
 
 
+def triple_diff(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Set difference between two triple graphs: one row per changed
+    triple with ``change`` in ('added', 'removed').
+
+    Set semantics on both sides (triple tables are sets; streaming
+    appends may hold storage duplicates — see code_kg_stream — so both
+    inputs are deduped first).  Each direction is one ``EXCEPT``,
+    which Spark plans as a hash left-anti join; the two directions
+    share the same exchange keys, so at 10^12 triples this is two
+    co-partitioned anti-joins and nothing else — the cheapest possible
+    "what changed between graph versions" primitive, and the building
+    block for incremental downstream refresh (only added/removed
+    triples re-enter a consumer)."""
+    cols = ["subj", "pred", "obj", "okind"]
+    o, n = old.select(*cols), new.select(*cols)
+    added = (n.distinct().join(o, cols, "left_anti")
+             .withColumn("change", F.lit("added")))
+    removed = (o.distinct().join(n, cols, "left_anti")
+               .withColumn("change", F.lit("removed")))
+    return added.unionByName(removed)
+
+
+def diff_snapshots(table, old_id: int, new_id: int) -> DataFrame:
+    """triple_diff between two committed versions of a snapshot triple
+    table (sources/snapshot_table.py time travel): what the graph
+    gained and lost between commit ``old_id`` and ``new_id``."""
+    return triple_diff(table.read(old_id), table.read(new_id))
+
+
 def code_kg_lineage(files: DataFrame, scheme: str = "md5") -> DataFrame:
     """Per-partition lineage rows (north rule: "per-partition lineage
     rows (input split, sha256 of content, triple counts)").  The triple

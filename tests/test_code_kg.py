@@ -192,3 +192,40 @@ def test_materialize_snapshot_roundtrip(spark, files, tmp_path):
     assert "lineage_path" in m and "stage_wall_s" in m
     lin = spark.read.parquet(m["lineage_path"])
     assert (sum(r["n_rows"] for r in lin.collect()) == files.count())
+
+
+def test_triple_diff_exact_delta(spark):
+    from claimskg_generator_spark.operators.code_kg import triple_diff
+
+    sch = "subj string, pred string, obj string, okind string"
+    old = spark.createDataFrame(
+        [("a", "p", "1", ""), ("b", "p", "2", ""), ("c", "p", "3", ""),
+         ("c", "p", "3", "")],  # storage duplicate: set semantics
+        sch)
+    new = spark.createDataFrame(
+        [("a", "p", "1", ""), ("b", "p", "9", ""), ("d", "p", "4", "")],
+        sch)
+    got = {(r["subj"], r["obj"], r["change"])
+           for r in triple_diff(old, new).collect()}
+    assert got == {("b", "9", "added"), ("d", "4", "added"),
+                   ("b", "2", "removed"), ("c", "3", "removed")}
+
+
+def test_diff_snapshots_time_travel(spark, files, tmp_path):
+    from claimskg_generator_spark.operators.code_kg import (
+        diff_snapshots,
+        triple_diff,
+    )
+    from claimskg_generator_spark.sources.snapshot_table import SnapshotTable
+
+    f1 = files
+    f2 = files.filter(F.col("doc_id") % 3 != 1)
+    t1, t2 = code_triples(f1), code_triples(f2)
+    tbl = SnapshotTable(spark, str(tmp_path / "t"), stat_cols=["pred"])
+    tbl.overwrite(t1)
+    sid2 = tbl.overwrite(t2)
+    got = diff_snapshots(tbl, 1, sid2)
+    want = triple_diff(t1, t2)
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+    assert got.filter(F.col("change") == "added").count() == 0
