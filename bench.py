@@ -231,9 +231,10 @@ PLAIN_QUERIES = [
 SFSCALE_QUERIES = [
     "q12_ngram_jaccard", "q17_minhash_lsh", "q18_simhash",
     "q21_claims_triples", "q33_connected_components", "q55_pagerank",
-    # round-5 heavy additions: the bigram-LM (w1, w2) scoring join and
-    # DSIR's unigram+bigram feature explode
-    "q61_lm_perplexity", "q64_dsir_select",
+    # round-5 heavy additions: the bigram-LM (w1, w2) scoring join,
+    # DSIR's unigram+bigram feature explode, and the code-KG
+    # extraction's generate + set-dedup exchange
+    "q61_lm_perplexity", "q64_dsir_select", "q98_code_kg_triples",
 ]
 
 
