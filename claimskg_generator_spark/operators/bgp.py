@@ -44,17 +44,65 @@ def _is_var(term: str) -> bool:
     return isinstance(term, str) and term.startswith("?")
 
 
+def predicate_profile(triples: DataFrame) -> DataFrame:
+    """Per-predicate graph statistics: triple count, distinct subjects,
+    distinct objects — the KG's equivalent of table/column cardinality
+    stats (one combinable groupBy; predicate vocabulary is tiny next to
+    the corpus).  Besides profiling, this is the stats table
+    :func:`bgp_query` consumes to order joins by ESTIMATED CARDINALITY
+    instead of the literal-count heuristic — at 10^12 triples the
+    difference between starting a BGP from a 50-row predicate sliver
+    and a 10^11-row one is the whole plan."""
+    return triples.groupBy("pred").agg(
+        F.count("*").alias("n_triples"),
+        F.countDistinct("subj").alias("n_subj"),
+        F.countDistinct("obj").alias("n_obj"),
+    )
+
+
+def _estimate(pat, stats: dict) -> float:
+    """Estimated result rows of one pattern against the stats table:
+    the predicate's triple count, divided by its distinct-subject
+    (resp. -object) cardinality for each bound subject/object literal
+    (independence assumption — the textbook selectivity model).  An
+    unbound predicate sums the whole table; an unknown predicate
+    estimates 0 rows (it matches nothing)."""
+    s, p, o = pat
+    if _is_var(p):
+        n = float(sum(r[0] for r in stats.values())) or 1.0
+        subj_card = max(r[1] for r in stats.values()) if stats else 1
+        obj_card = max(r[2] for r in stats.values()) if stats else 1
+    else:
+        if p not in stats:
+            return 0.0
+        n, subj_card, obj_card = (float(stats[p][0]),) + stats[p][1:]
+    est = n
+    if not _is_var(s):
+        est /= max(subj_card, 1)
+    if not _is_var(o):
+        est /= max(obj_card, 1)
+    return est
+
+
 def bgp_query(
     triples: DataFrame,
     patterns: Sequence[Tuple[str, str, str]],
     select: Optional[Sequence[str]] = None,
     distinct: bool = False,
+    stats: Optional[dict] = None,
 ) -> DataFrame:
     """Evaluate a conjunctive triple-pattern query against ``triples``.
 
     ``patterns``: (s, p, o) terms, each a ``?var`` or a literal string.
     ``select``: variables to project (default: all, sorted).  Returns
     one column per selected variable (named without the ``?``).
+
+    ``stats``: optional ``{pred: (n_triples, n_subj, n_obj)}`` —
+    typically ``{r['pred']: (r['n_triples'], r['n_subj'], r['n_obj'])
+    for r in predicate_profile(t).collect()}``, computed once per graph
+    version and reused across queries.  With stats, patterns join in
+    estimated-cardinality order (cheapest sliver first); without, the
+    fewest-variables heuristic stands in.
     """
     if not patterns:
         raise ValueError("need at least one pattern")
@@ -81,23 +129,30 @@ def bgp_query(
                 df = df.filter(F.col(pos) == term)
         return df.select(*cols), set(seen)
 
-    # greedy order: most literals (fewest vars) first; then any pattern
-    # sharing a variable with what's bound, again fewest-vars-first
+    # greedy order: cheapest first — estimated cardinality when stats
+    # are supplied, else fewest variables (most literals); then any
+    # pattern sharing a variable with what's bound, cheapest-first
+    if stats is not None:
+        cost = {id(p): _estimate(p, stats) for p in patterns}
+        keyf = lambda fv: cost[fv[2]]  # noqa: E731
+    else:
+        keyf = lambda fv: len(fv[1])  # noqa: E731
     remaining = sorted(
-        (compile_pattern(p) for p in patterns),
-        key=lambda fv: len(fv[1]),
+        ((*compile_pattern(p), id(p)) for p in patterns),
+        key=keyf,
     )
-    out, bound = remaining.pop(0)
+    out, bound = remaining.pop(0)[:2]
     while remaining:
         i = next(
-            (j for j, (_df, vs) in enumerate(remaining) if vs & bound),
+            (j for j, (_df, vs, _pid) in enumerate(remaining)
+             if vs & bound),
             None,
         )
         if i is None:
             raise ValueError(
                 "disconnected pattern graph (no shared variables) — this "
                 "would be a cartesian product; split the query instead")
-        df, vs = remaining.pop(i)
+        df, vs, _pid = remaining.pop(i)
         out = out.join(df, sorted(vs & bound))
         bound |= vs
     sel: List[str] = (

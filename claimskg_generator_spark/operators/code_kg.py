@@ -256,6 +256,28 @@ def diff_snapshots(table, old_id: int, new_id: int) -> DataFrame:
     return triple_diff(table.read(old_id), table.read(new_id))
 
 
+def apply_diff(table, diff: DataFrame) -> int:
+    """Apply a :func:`triple_diff` delta to a snapshot triple table:
+    removed triples anti-join out, added triples union in, committed as
+    ONE new snapshot (the parent stays time-travelable) — incremental
+    graph refresh without recomputing the corpus, the consumer side of
+    the diff primitive.
+
+    Idempotent by construction: re-applying the same delta is a no-op
+    on contents (removed rows are already gone, added rows collapse in
+    the set).  Returns the new snapshot id."""
+    cols = ["subj", "pred", "obj", "okind"]
+    removed = diff.filter(F.col("change") == "removed").select(*cols)
+    added = diff.filter(F.col("change") == "added").select(*cols)
+    current = table.read()
+    updated = (
+        current.join(removed, cols, "left_anti")
+        .unionByName(added)
+        .distinct()
+    )
+    return table.overwrite(updated)
+
+
 def code_kg_lineage(files: DataFrame, scheme: str = "md5") -> DataFrame:
     """Per-partition lineage rows (north rule: "per-partition lineage
     rows (input split, sha256 of content, triple counts)").  The triple

@@ -81,3 +81,47 @@ def test_literal_pushdown_reaches_parquet_scan(spark, g, tmp_path):
     assert "EqualTo(pred,imports)" in plan
     assert "EqualTo(pred,label)" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_predicate_profile_counts(spark, g):
+    from claimskg_generator_spark.operators.bgp import predicate_profile
+
+    got = {r["pred"]: (r["n_triples"], r["n_subj"], r["n_obj"])
+           for r in predicate_profile(g).collect()}
+    assert got["imports"] == (3, 2, 2)
+    assert got["label"] == (2, 2, 2)
+    assert got["lang"] == (2, 2, 2)
+    assert got["selfref"] == (2, 2, 2)
+
+
+def test_estimate_ranks_slivers_first():
+    from claimskg_generator_spark.operators.bgp import _estimate
+
+    stats = {"rare": (10, 10, 5), "huge": (1_000_000, 900_000, 50)}
+    # pred-literal slivers rank by predicate size
+    assert _estimate(("?s", "rare", "?o"), stats) \
+        < _estimate(("?s", "huge", "?o"), stats)
+    # a bound object divides by the predicate's object cardinality:
+    # huge-with-bound-object (20k) still beats nothing, but loses to
+    # the rare sliver
+    assert _estimate(("?s", "huge", "x"), stats) == 1_000_000 / 50
+    assert _estimate(("?s", "rare", "?o"), stats) \
+        < _estimate(("?s", "huge", "x"), stats)
+    # unknown predicate matches nothing
+    assert _estimate(("?s", "nope", "?o"), stats) == 0.0
+    # unbound predicate sums the table
+    assert _estimate(("?s", "?p", "?o"), stats) == 1_000_010
+
+
+def test_stats_ordering_preserves_results(spark, g):
+    from claimskg_generator_spark.operators.bgp import predicate_profile
+
+    stats = {r["pred"]: (r["n_triples"], r["n_subj"], r["n_obj"])
+             for r in predicate_profile(g).collect()}
+    pats = [("?f", "imports", "?m"), ("?m", "label", "?l"),
+            ("?f", "lang", "?lg")]
+    a = bgp_query(g, pats)
+    b = bgp_query(g, pats, stats=stats)
+    assert a.columns == b.columns
+    assert {tuple(r) for r in a.collect()} == {tuple(r) for r in
+                                               b.collect()}

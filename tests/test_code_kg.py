@@ -229,3 +229,26 @@ def test_diff_snapshots_time_travel(spark, files, tmp_path):
     assert got.count() == want.count()
     assert got.exceptAll(want).count() == 0
     assert got.filter(F.col("change") == "added").count() == 0
+
+
+def test_apply_diff_roundtrip_and_idempotence(spark, files, tmp_path):
+    from claimskg_generator_spark.operators.code_kg import (
+        apply_diff,
+        triple_diff,
+    )
+    from claimskg_generator_spark.sources.snapshot_table import SnapshotTable
+
+    f2 = files.filter(F.col("doc_id") % 4 != 2)
+    t1, t2 = code_triples(files), code_triples(f2)
+    tbl = SnapshotTable(spark, str(tmp_path / "t"), stat_cols=["pred"])
+    tbl.overwrite(t1)
+    diff = triple_diff(t1, t2).cache()
+    sid = apply_diff(tbl, diff)
+    back = tbl.read(sid)
+    assert back.count() == t2.count()
+    assert back.exceptAll(t2).count() == 0
+    # idempotent: re-applying the same delta changes nothing
+    sid2 = apply_diff(tbl, diff)
+    assert tbl.read(sid2).count() == t2.count()
+    assert tbl.read(sid2).exceptAll(t2).count() == 0
+    diff.unpersist()
