@@ -59,6 +59,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
     out.add_argument("--output",
                      help="plain parquet triple output (alternative or "
                           "additional to --table-dir)")
+    out.add_argument("--ntriples-output",
+                     help="canonical sorted N-Triples serialization of "
+                          "the graph (plans/pipeline.write_ntriples)")
     out.add_argument("--links-output",
                      help="entity-link table output (parquet)")
     out.add_argument("--canonical-output",
@@ -101,8 +104,9 @@ def _exact_dedup(files):
 
 def main(argv=None) -> int:
     args = build_arg_parser().parse_args(argv)
-    if not (args.table_dir or args.output):
-        print("error: need --table-dir and/or --output", file=sys.stderr)
+    if not (args.table_dir or args.output or args.ntriples_output):
+        print("error: need --table-dir, --output and/or --ntriples-output",
+              file=sys.stderr)
         return 2
 
     from claimskg_generator_spark.operators.code import with_code_quality
@@ -186,6 +190,12 @@ def main(argv=None) -> int:
                 summary["snapshot_id"] = sid
         if args.output:
             triples.write.mode("overwrite").parquet(args.output)
+        if args.ntriples_output:
+            from claimskg_generator_spark.plans.pipeline import (
+                write_ntriples,
+            )
+
+            write_ntriples(triples, args.ntriples_output)
         if args.links_output:
             link_modules(files, min_repos=args.min_repos,
                          threshold=args.link_threshold,

@@ -317,22 +317,7 @@ class ClaimsKGPipeline:
         )
 
     def write_ntriples(self, triples: DataFrame, path: str) -> None:
-        nt = triples.select(
-            F.concat(
-                F.lit("<"), F.col("subj"), F.lit("> <"), F.col("pred"), F.lit("> "),
-                F.when(F.col("okind") == "uri",
-                       F.concat(F.lit("<"), F.col("obj"), F.lit(">")))
-                .when(F.col("okind") == "",
-                      F.concat(F.lit('"'), _nt_escape(F.col("obj")), F.lit('"')))
-                .when(F.col("okind").startswith("@"),
-                      F.concat(F.lit('"'), _nt_escape(F.col("obj")), F.lit('"'),
-                               F.col("okind")))
-                .otherwise(F.concat(F.lit('"'), _nt_escape(F.col("obj")),
-                                    F.lit('"^^<'), F.col("okind"), F.lit(">"))),
-                F.lit(" ."),
-            ).alias("value")
-        ).orderBy("value")
-        nt.write.mode("overwrite").text(path)
+        write_ntriples(triples, path)
 
     def write_turtle(self, triples: DataFrame, path: str,
                      group_subjects: bool = False) -> None:
@@ -711,3 +696,29 @@ def _nt_escape(col):
             continue
         out = F.replace(out, F.lit(chr(code)), F.lit("\\u%04X" % code))
     return out
+
+
+def write_ntriples(triples: DataFrame, path: str) -> None:
+    """Canonical sorted N-Triples sink for ANY (subj, pred, obj, okind)
+    frame — module-level so non-claims graphs (the code KG) serialize
+    without constructing a pipeline; ClaimsKGPipeline.write_ntriples
+    delegates here (byte output pinned by tests/test_golden_ntriples)."""
+    nt = triples.select(
+        F.concat(
+            F.lit("<"), F.col("subj"), F.lit("> <"), F.col("pred"),
+            F.lit("> "),
+            F.when(F.col("okind") == "uri",
+                   F.concat(F.lit("<"), F.col("obj"), F.lit(">")))
+            .when(F.col("okind") == "",
+                  F.concat(F.lit('"'), _nt_escape(F.col("obj")),
+                           F.lit('"')))
+            .when(F.col("okind").startswith("@"),
+                  F.concat(F.lit('"'), _nt_escape(F.col("obj")),
+                           F.lit('"'), F.col("okind")))
+            .otherwise(F.concat(F.lit('"'), _nt_escape(F.col("obj")),
+                                F.lit('"^^<'), F.col("okind"),
+                                F.lit(">"))),
+            F.lit(" ."),
+        ).alias("value")
+    ).orderBy("value")
+    nt.write.mode("overwrite").text(path)

@@ -97,3 +97,21 @@ def test_changed_flags_invalidate_checkpoints(spark, docs_path, tmp_path,
     acts = {e["stage"]: e["action"] for e in s["stages"]}
     assert acts["dedup"] == "write"  # upstream gate changed the plan
     assert acts["triples"] == "write"
+
+
+def test_ntriples_output(spark, docs_path, tmp_path, capsys):
+    import glob
+
+    nt = str(tmp_path / "graph_nt")
+    s = _run(capsys, "--synth-from-documents", docs_path,
+             "--ntriples-output", nt)
+    lines = []
+    for p in sorted(glob.glob(nt + "/part-*")):
+        with open(p) as fh:
+            lines += [l.rstrip("\n") for l in fh if l.strip()]
+    assert len(lines) == s["counts"]["triples"]
+    assert all(l.endswith(" .") for l in lines)
+    assert lines == sorted(lines)
+    # URI objects serialize bracketed, literals quoted
+    assert any("> <urn:code:repo:" in l for l in lines)
+    assert any('"python"' in l for l in lines)
