@@ -90,6 +90,8 @@ def bgp_query(
     select: Optional[Sequence[str]] = None,
     distinct: bool = False,
     stats: Optional[dict] = None,
+    optional: Optional[Sequence[Sequence[Tuple[str, str, str]]]] = None,
+    not_exists: Optional[Sequence[Sequence[Tuple[str, str, str]]]] = None,
 ) -> DataFrame:
     """Evaluate a conjunctive triple-pattern query against ``triples``.
 
@@ -103,6 +105,12 @@ def bgp_query(
     version and reused across queries.  With stats, patterns join in
     estimated-cardinality order (cheapest sliver first); without, the
     fewest-variables heuristic stands in.
+
+    ``optional``: pattern groups LEFT-joined on their shared variables
+    (SPARQL OPTIONAL — unmatched rows carry NULLs in the group's
+    exclusive variables).  ``not_exists``: pattern groups anti-joined
+    (SPARQL FILTER NOT EXISTS).  Each group is itself a BGP; a group
+    sharing no variable with the required patterns is rejected.
     """
     if not patterns:
         raise ValueError("need at least one pattern")
@@ -155,6 +163,29 @@ def bgp_query(
         df, vs, _pid = remaining.pop(i)
         out = out.join(df, sorted(vs & bound))
         bound |= vs
+    # OPTIONAL groups: each evaluated as its own BGP and LEFT-joined on
+    # the shared variables — unmatched rows keep NULLs in the group's
+    # exclusive variables (SPARQL OPTIONAL semantics)
+    for group in optional or ():
+        gdf = bgp_query(triples, group, stats=stats)
+        gvars = set(gdf.columns)
+        keys = sorted(gvars & bound)
+        if not keys:
+            raise ValueError(
+                f"optional group {group!r} shares no variable with the "
+                "required patterns — it would be a cartesian product")
+        out = out.join(gdf, keys, "left")
+        bound |= gvars
+    # NOT EXISTS groups: anti-join on the shared variables — rows with
+    # ANY matching group binding are dropped; binds nothing new
+    for group in not_exists or ():
+        gdf = bgp_query(triples, group, stats=stats)
+        keys = sorted(set(gdf.columns) & bound)
+        if not keys:
+            raise ValueError(
+                f"not_exists group {group!r} shares no variable with the "
+                "required patterns — the filter would be constant")
+        out = out.join(gdf.select(*keys), keys, "left_anti")
     sel: List[str] = (
         sorted(bound) if select is None
         else [v[1:] if v.startswith("?") else v for v in select]

@@ -125,3 +125,41 @@ def test_stats_ordering_preserves_results(spark, g):
     assert a.columns == b.columns
     assert {tuple(r) for r in a.collect()} == {tuple(r) for r in
                                                b.collect()}
+
+
+def test_optional_binds_null_on_miss(spark, g):
+    out = bgp_query(
+        g, [("?f", "imports", "?m")],
+        optional=[[("?m", "label", "?l")]])
+    # m2 has a label; add a module with none
+    g2 = g.union(spark.createDataFrame(
+        [("f3", "imports", "m3", "uri")], SCHEMA))
+    out = bgp_query(
+        g2, [("?f", "imports", "?m")],
+        optional=[[("?m", "label", "?l")]])
+    got = {(r["f"], r["m"]): r["l"] for r in out.collect()}
+    assert got[("f3", "m3")] is None
+    assert got[("f1", "m1")] == "numpy"
+    assert len(got) == 4
+
+
+def test_not_exists_filters_matches(spark, g):
+    # modules imported by f1 are excluded
+    out = bgp_query(
+        g, [("?x", "imports", "?m"), ("?m", "label", "?l")],
+        not_exists=[[("f1", "imports", "?m")]])
+    assert out.count() == 0  # f1 imports both m1 and m2
+    out2 = bgp_query(
+        g, [("?x", "imports", "?m"), ("?m", "label", "?l")],
+        not_exists=[[("f2", "imports", "?m")]])
+    # f2 imports only m1 -> m2 bindings survive
+    assert {r["m"] for r in out2.collect()} == {"m2"}
+
+
+def test_optional_and_not_exists_share_var_guards(g):
+    with pytest.raises(ValueError, match="optional group"):
+        bgp_query(g, [("?f", "imports", "?m")],
+                  optional=[[("?a", "label", "?b")]])
+    with pytest.raises(ValueError, match="not_exists group"):
+        bgp_query(g, [("?f", "imports", "?m")],
+                  not_exists=[[("?a", "label", "?b")]])
