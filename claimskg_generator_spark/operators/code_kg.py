@@ -207,6 +207,44 @@ def link_modules(
     )
 
 
+def repo_dependencies(files: DataFrame) -> DataFrame:
+    """Derive the repo-level dependency graph: ``A dependsOn B`` when a
+    file in repo A imports a module OWNED by repo B (owner = the repo
+    with the most files importing that (lang, module); ties break to
+    the lexicographically smallest repo — engine-stable), A != B.
+
+    This is the supply-chain relation transitive queries walk
+    (:func:`~claimskg_generator_spark.operators.sparql.path_closure`):
+    "which repos are downstream of this GPL-licensed one" is exactly
+    ``dependsOn+`` from its node.  Shape: one (lang, module, repo)
+    groupBy, then a module-vocabulary-bounded ranking window, then one
+    vocabulary-keyed equi-join — the corpus never self-joins.  Output:
+    distinct ``(src, dst)`` repo pairs."""
+    from pyspark.sql import Window
+
+    from claimskg_generator_spark.operators.code import extract_imports
+
+    per = (
+        extract_imports(files)
+        .groupBy("lang", "module", "repo")
+        .agg(F.count("*").alias("n_files"))
+    )
+    w = Window.partitionBy("lang", "module").orderBy(
+        F.desc("n_files"), F.asc("repo"))
+    owner = (
+        per.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("lang", "module", F.col("repo").alias("owner"))
+    )
+    return (
+        per.select("lang", "module", "repo")
+        .join(owner, ["lang", "module"])
+        .filter(F.col("repo") != F.col("owner"))
+        .select(F.col("repo").alias("src"), F.col("owner").alias("dst"))
+        .distinct()
+    )
+
+
 def canonicalize_modules(files: DataFrame, salt: int = 16) -> DataFrame:
     """A5 salted two-phase canonicalization over import surface forms:
     group case-variant spellings of one module under the lowercase

@@ -1,0 +1,706 @@
+"""SPARQL-subset query face over the ``(subj, pred, obj)`` triple table.
+
+The reference never hands its users a DataFrame — its graph is consumed
+through SPARQL (reference claimskg/reconciler/__init__.py issues SELECT
+queries over the loaded RDF graph, and the published ClaimsKG is served
+from a SPARQL endpoint).  :mod:`operators.bgp` gives the programmatic
+BGP; this module adds the three faces a SPARQL consumer reaches for
+next, each compiled onto the SAME plan machinery so the text face
+inherits bgp_query's literal pushdown, cost-ordered join chain and
+cartesian rejection instead of growing a second (worse) planner:
+
+* :func:`parse_sparql` / :func:`sparql_select` — a textual SPARQL
+  SELECT subset (PREFIX, BGP, OPTIONAL, FILTER NOT EXISTS, FILTER
+  expressions, DISTINCT, GROUP BY + aggregates, ORDER BY, LIMIT/OFFSET)
+  parsed by a recursive-descent parser and compiled to
+  ``bgp_query`` + post-plan Column expressions.  Parsing is O(query
+  text) driver-side; nothing about the distributed plan changes.
+* :func:`sparql_construct` — CONSTRUCT templates: one narrow
+  projection of the binding frame per template pattern, unioned and
+  set-deduped (RDF graphs are sets) — graph-to-graph transformation
+  without materializing bindings twice.
+* :func:`path_closure` — the SPARQL property path ``pred+``
+  (transitive closure with minimal hop counts) as semi-naive
+  iteration: each round extends only the LAST round's frontier by one
+  edge hop (never the whole closure), anti-joins the accumulated
+  result so a pair lands at its MINIMAL hop count and cycles
+  terminate, and truncates lineage on a fixed cadence — the same
+  bounded-plan discipline as components.bfs_layers / pagerank.
+
+Grammar (keywords case-insensitive; ``#`` comments allowed)::
+
+    query     := prefix* ( select | construct )
+    prefix    := PREFIX name ':' <iri>
+    select    := SELECT DISTINCT? ( '*' | item+ ) WHERE group solution*
+    item      := ?var | '(' AGG '(' (DISTINCT? ?var | '*') ')' AS ?var ')'
+    AGG       := COUNT | SUM | MIN | MAX | AVG
+    construct := CONSTRUCT '{' triples '}' WHERE group
+    group     := '{' ( triple '.'? | OPTIONAL group
+                     | FILTER NOT EXISTS group | FILTER '(' expr ')' )* '}'
+    triple    := term term term
+    term      := ?var | <iri> | pfx:local | "string" | number | a
+    expr      := conj ( '||' conj )*
+    conj      := prim ( '&&' prim )*
+    prim      := '(' expr ')' | operand CMP operand
+               | (CONTAINS|STRSTARTS|REGEX) '(' ?var ',' "string" ')'
+    CMP       := '=' | '!=' | '<' | '<=' | '>' | '>='
+    solution  := GROUP BY ?var+ | ORDER BY ((ASC|DESC)'('?var')'|?var)+
+               | LIMIT n | OFFSET n
+
+Semantics notes (all chosen to match the ANSI-SQL twin the driver
+oracle runs): terms are compared as strings (the triple table is
+string-typed); ``SUM``/``AVG`` cast the variable to double; ``a``
+expands to rdf:type; bag semantics unless DISTINCT.  Unsupported
+SPARQL (UNION, subqueries, property paths in patterns, BIND, VALUES)
+is rejected loudly at parse time — never silently mis-planned.
+"""
+
+import re
+from dataclasses import dataclass, field
+from functools import reduce
+from typing import Dict, List, Optional, Sequence, Tuple
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+# --------------------------------------------------------------------------
+# tokenizer
+# --------------------------------------------------------------------------
+
+_TOKEN = re.compile(
+    r"""(?P<ws>\s+|\#[^\n]*)
+      | (?P<iri><[^<>\s]*>)
+      | (?P<str>"(?:[^"\\]|\\.)*")
+      | (?P<var>\?\w+)
+      | (?P<pname>[A-Za-z_][\w-]*:[\w-]+(?:\.[\w-]+)*)
+      | (?P<word>[A-Za-z_]\w*)
+      | (?P<num>\d+(?:\.\d+)?)
+      | (?P<op>&&|\|\||!=|<=|>=|[{}().,;*=<>:])
+    """,
+    re.X,
+)
+
+_STR_ESCAPES = {"\\n": "\n", "\\t": "\t", "\\r": "\r",
+                '\\"': '"', "\\\\": "\\"}
+
+
+def _unescape(s: str) -> str:
+    return re.sub(r"\\[ntr\"\\]", lambda m: _STR_ESCAPES[m.group(0)], s)
+
+
+def _tokenize(text: str) -> List[str]:
+    toks, i = [], 0
+    while i < len(text):
+        m = _TOKEN.match(text, i)
+        if not m:
+            raise SparqlSyntaxError(
+                f"cannot tokenize at offset {i}: {text[i:i + 20]!r}")
+        i = m.end()
+        if m.lastgroup != "ws":
+            toks.append(m.group(0))
+    return toks
+
+
+class SparqlSyntaxError(ValueError):
+    """Raised for text the subset grammar cannot parse — including
+    recognized-but-unsupported SPARQL keywords, so misplanning is
+    impossible: a query either compiles onto bgp_query or errors."""
+
+
+# --------------------------------------------------------------------------
+# AST
+# --------------------------------------------------------------------------
+
+Triple = Tuple[str, str, str]
+#: filter AST nodes: ("cmp", op, lhs, rhs) | ("fn", name, var, lit)
+#:                   | ("and", [nodes]) | ("or", [nodes])
+#: operands: ("var", name) | ("lit", value)
+
+
+@dataclass
+class SelectItem:
+    var: Optional[str] = None          # plain ?var projection
+    agg: Optional[str] = None          # COUNT/SUM/MIN/MAX/AVG
+    arg: Optional[str] = None          # ?var or "*" (COUNT only)
+    agg_distinct: bool = False
+    alias: Optional[str] = None        # required for aggregates
+
+
+@dataclass
+class ParsedQuery:
+    form: str                                    # "select" | "construct"
+    prefixes: Dict[str, str] = field(default_factory=dict)
+    select: Optional[List[SelectItem]] = None    # None == SELECT *
+    distinct: bool = False
+    template: List[Triple] = field(default_factory=list)
+    patterns: List[Triple] = field(default_factory=list)
+    optional_groups: List[List[Triple]] = field(default_factory=list)
+    not_exists_groups: List[List[Triple]] = field(default_factory=list)
+    filters: List[tuple] = field(default_factory=list)
+    group_by: List[str] = field(default_factory=list)
+    order_by: List[Tuple[str, bool]] = field(default_factory=list)
+    limit: Optional[int] = None
+    offset: Optional[int] = None
+
+
+_AGGS = {"COUNT", "SUM", "MIN", "MAX", "AVG"}
+_FNS = {"CONTAINS", "STRSTARTS", "REGEX"}
+_UNSUPPORTED = {"UNION", "BIND", "VALUES", "MINUS", "ASK", "DESCRIBE",
+                "INSERT", "DELETE", "SERVICE", "GRAPH", "HAVING"}
+
+
+class _Parser:
+    def __init__(self, text: str):
+        self.toks = _tokenize(text)
+        self.i = 0
+        self.prefixes: Dict[str, str] = {}
+
+    # --- token helpers ---
+    def peek(self) -> Optional[str]:
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def next(self) -> str:
+        if self.i >= len(self.toks):
+            raise SparqlSyntaxError("unexpected end of query")
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def expect(self, tok: str) -> None:
+        t = self.next()
+        if t != tok:
+            raise SparqlSyntaxError(f"expected {tok!r}, got {t!r}")
+
+    def at_kw(self, *words: str) -> bool:
+        t = self.peek()
+        return t is not None and t.upper() in words
+
+    def kw(self, word: str) -> None:
+        t = self.next()
+        if t.upper() != word:
+            raise SparqlSyntaxError(f"expected {word}, got {t!r}")
+
+    def _check_supported(self) -> None:
+        t = self.peek()
+        if t is not None and t.upper() in _UNSUPPORTED:
+            raise SparqlSyntaxError(
+                f"{t.upper()} is outside the supported SPARQL subset")
+
+    # --- grammar ---
+    def parse(self) -> ParsedQuery:
+        while self.at_kw("PREFIX"):
+            self.next()
+            name = self.next()
+            if name.endswith(":"):        # "pfx:" tokenized as pname-ish
+                name = name[:-1]
+            else:
+                self.expect(":")
+            iri = self.next()
+            if not (iri.startswith("<") and iri.endswith(">")):
+                raise SparqlSyntaxError(f"PREFIX IRI must be <...>: {iri!r}")
+            self.prefixes[name] = iri[1:-1]
+        self._check_supported()
+        if self.at_kw("SELECT"):
+            q = self._select()
+        elif self.at_kw("CONSTRUCT"):
+            q = self._construct()
+        else:
+            raise SparqlSyntaxError(
+                f"expected SELECT or CONSTRUCT, got {self.peek()!r}")
+        if self.i < len(self.toks):
+            raise SparqlSyntaxError(
+                f"trailing tokens after query: {self.toks[self.i:]!r}")
+        q.prefixes = self.prefixes
+        return q
+
+    def _select(self) -> ParsedQuery:
+        self.kw("SELECT")
+        q = ParsedQuery(form="select")
+        if self.at_kw("DISTINCT"):
+            self.next()
+            q.distinct = True
+        if self.peek() == "*":
+            self.next()
+            q.select = None
+        else:
+            items: List[SelectItem] = []
+            while True:
+                t = self.peek()
+                if t is None:
+                    raise SparqlSyntaxError("unexpected end in SELECT list")
+                if t.startswith("?"):
+                    items.append(SelectItem(var=t[1:]))
+                    self.next()
+                elif t == "(":
+                    items.append(self._agg_item())
+                else:
+                    break
+            if not items:
+                raise SparqlSyntaxError("empty SELECT list")
+            q.select = items
+        self.kw("WHERE")
+        (q.patterns, q.optional_groups,
+         q.not_exists_groups, q.filters) = self._group()
+        self._solution_modifiers(q)
+        return q
+
+    def _agg_item(self) -> SelectItem:
+        self.expect("(")
+        fn = self.next().upper()
+        if fn not in _AGGS:
+            raise SparqlSyntaxError(f"unsupported aggregate {fn!r}")
+        self.expect("(")
+        it = SelectItem(agg=fn)
+        if self.at_kw("DISTINCT"):
+            self.next()
+            it.agg_distinct = True
+        t = self.next()
+        if t == "*":
+            if fn != "COUNT":
+                raise SparqlSyntaxError(f"{fn}(*) is not a thing")
+            it.arg = "*"
+        elif t.startswith("?"):
+            it.arg = t[1:]
+        else:
+            raise SparqlSyntaxError(f"aggregate arg must be ?var or *: {t!r}")
+        self.expect(")")
+        self.kw("AS")
+        alias = self.next()
+        if not alias.startswith("?"):
+            raise SparqlSyntaxError(f"AS target must be a ?var: {alias!r}")
+        it.alias = alias[1:]
+        self.expect(")")
+        return it
+
+    def _construct(self) -> ParsedQuery:
+        self.kw("CONSTRUCT")
+        q = ParsedQuery(form="construct")
+        q.template = self._triple_block()
+        if not q.template:
+            raise SparqlSyntaxError("empty CONSTRUCT template")
+        self.kw("WHERE")
+        (q.patterns, q.optional_groups,
+         q.not_exists_groups, q.filters) = self._group()
+        self._solution_modifiers(q)
+        if q.limit is not None or q.offset is not None or q.order_by:
+            raise SparqlSyntaxError(
+                "ORDER/LIMIT/OFFSET on CONSTRUCT are not in the subset "
+                "(the result is a set-deduped graph, not a solution list)")
+        return q
+
+    def _triple_block(self) -> List[Triple]:
+        """'{' triple ('.' triple)* '.'? '}' — plain patterns only."""
+        self.expect("{")
+        trips: List[Triple] = []
+        while self.peek() != "}":
+            trips.append(self._triple())
+            if self.peek() == ".":
+                self.next()
+        self.expect("}")
+        return trips
+
+    def _group(self):
+        self.expect("{")
+        patterns: List[Triple] = []
+        optionals: List[List[Triple]] = []
+        not_exists: List[List[Triple]] = []
+        filters: List[tuple] = []
+        while self.peek() != "}":
+            self._check_supported()
+            if self.at_kw("OPTIONAL"):
+                self.next()
+                optionals.append(self._triple_block())
+            elif self.at_kw("FILTER"):
+                self.next()
+                if self.at_kw("NOT"):
+                    self.next()
+                    self.kw("EXISTS")
+                    not_exists.append(self._triple_block())
+                else:
+                    self.expect("(")
+                    filters.append(self._expr())
+                    self.expect(")")
+            else:
+                patterns.append(self._triple())
+            if self.peek() == ".":
+                self.next()
+        self.expect("}")
+        if not patterns:
+            raise SparqlSyntaxError("WHERE group has no required patterns")
+        return patterns, optionals, not_exists, filters
+
+    def _triple(self) -> Triple:
+        return (self._term(), self._term(), self._term())
+
+    def _term(self) -> str:
+        t = self.next()
+        if t.startswith("?"):
+            return t
+        if t == "a":
+            return RDF_TYPE
+        if t.startswith("<") and t.endswith(">"):
+            return t[1:-1]
+        if t.startswith('"') and t.endswith('"'):
+            return _unescape(t[1:-1])
+        if re.fullmatch(r"\d+(?:\.\d+)?", t):
+            return t
+        m = re.fullmatch(r"([A-Za-z_][\w-]*):(.*)", t)
+        if m:
+            pfx, local = m.groups()
+            if pfx not in self.prefixes:
+                raise SparqlSyntaxError(f"unknown prefix {pfx!r} in {t!r}")
+            return self.prefixes[pfx] + local
+        raise SparqlSyntaxError(f"cannot read term {t!r}")
+
+    # --- FILTER expressions ---
+    def _expr(self) -> tuple:
+        parts = [self._conj()]
+        while self.peek() == "||":
+            self.next()
+            parts.append(self._conj())
+        return parts[0] if len(parts) == 1 else ("or", parts)
+
+    def _conj(self) -> tuple:
+        parts = [self._prim()]
+        while self.peek() == "&&":
+            self.next()
+            parts.append(self._prim())
+        return parts[0] if len(parts) == 1 else ("and", parts)
+
+    def _prim(self) -> tuple:
+        t = self.peek()
+        if t == "(":
+            self.next()
+            e = self._expr()
+            self.expect(")")
+            return e
+        if t is not None and t.upper() in _FNS:
+            fn = self.next().upper()
+            self.expect("(")
+            v = self.next()
+            if not v.startswith("?"):
+                raise SparqlSyntaxError(f"{fn} arg 1 must be a ?var: {v!r}")
+            self.expect(",")
+            s = self.next()
+            if not (s.startswith('"') and s.endswith('"')):
+                raise SparqlSyntaxError(f"{fn} arg 2 must be a string: {s!r}")
+            self.expect(")")
+            return ("fn", fn, v[1:], _unescape(s[1:-1]))
+        lhs = self._operand()
+        op = self.next()
+        if op not in ("=", "!=", "<", "<=", ">", ">="):
+            raise SparqlSyntaxError(f"unsupported comparison {op!r}")
+        return ("cmp", op, lhs, self._operand())
+
+    def _operand(self) -> tuple:
+        t = self.next()
+        if t.startswith("?"):
+            return ("var", t[1:])
+        if t.startswith('"') and t.endswith('"'):
+            return ("lit", _unescape(t[1:-1]))
+        if re.fullmatch(r"\d+(?:\.\d+)?", t):
+            return ("lit", t)
+        raise SparqlSyntaxError(f"operand must be ?var or literal: {t!r}")
+
+    def _solution_modifiers(self, q: ParsedQuery) -> None:
+        while self.peek() is not None:
+            self._check_supported()
+            if self.at_kw("GROUP"):
+                self.next()
+                self.kw("BY")
+                while self.peek() is not None and self.peek().startswith("?"):
+                    q.group_by.append(self.next()[1:])
+                if not q.group_by:
+                    raise SparqlSyntaxError("GROUP BY needs >= 1 variable")
+            elif self.at_kw("ORDER"):
+                self.next()
+                self.kw("BY")
+                got = False
+                while True:
+                    t = self.peek()
+                    if t is None:
+                        break
+                    if t.upper() in ("ASC", "DESC"):
+                        asc = self.next().upper() == "ASC"
+                        self.expect("(")
+                        v = self.next()
+                        self.expect(")")
+                    elif t.startswith("?"):
+                        asc, v = True, self.next()
+                    else:
+                        break
+                    if not v.startswith("?"):
+                        raise SparqlSyntaxError(
+                            f"ORDER BY needs a ?var, got {v!r}")
+                    q.order_by.append((v[1:], asc))
+                    got = True
+                if not got:
+                    raise SparqlSyntaxError("empty ORDER BY")
+            elif self.at_kw("LIMIT"):
+                self.next()
+                q.limit = self._int()
+            elif self.at_kw("OFFSET"):
+                self.next()
+                q.offset = self._int()
+            else:
+                break
+
+    def _int(self) -> int:
+        t = self.next()
+        if not re.fullmatch(r"\d+", t):
+            raise SparqlSyntaxError(f"expected an integer, got {t!r}")
+        return int(t)
+
+
+def parse_sparql(text: str) -> ParsedQuery:
+    """Parse the SPARQL subset into a :class:`ParsedQuery` AST."""
+    return _Parser(text).parse()
+
+
+# --------------------------------------------------------------------------
+# compiler
+# --------------------------------------------------------------------------
+
+def _filter_vars(node: tuple) -> set:
+    kind = node[0]
+    if kind in ("and", "or"):
+        return set().union(*(_filter_vars(n) for n in node[1]))
+    if kind == "fn":
+        return {node[2]}
+    out = set()
+    for opnd in (node[2], node[3]):
+        if opnd[0] == "var":
+            out.add(opnd[1])
+    return out
+
+
+def _operand_col(opnd: tuple) -> Column:
+    return F.col(opnd[1]) if opnd[0] == "var" else F.lit(opnd[1])
+
+
+def _filter_col(node: tuple) -> Column:
+    kind = node[0]
+    if kind == "and":
+        return reduce(lambda a, b: a & b, (_filter_col(n) for n in node[1]))
+    if kind == "or":
+        return reduce(lambda a, b: a | b, (_filter_col(n) for n in node[1]))
+    if kind == "fn":
+        _, fn, var, lit = node
+        if fn == "CONTAINS":
+            return F.col(var).contains(F.lit(lit))
+        if fn == "STRSTARTS":
+            return F.col(var).startswith(lit)
+        return F.col(var).rlike(lit)            # REGEX
+    _, op, lhs, rhs = node
+    left, right = _operand_col(lhs), _operand_col(rhs)
+    return {
+        "=": left == right, "!=": left != right,
+        "<": left < right, "<=": left <= right,
+        ">": left > right, ">=": left >= right,
+    }[op]
+
+
+def _agg_col(it: SelectItem) -> Column:
+    if it.agg == "COUNT":
+        if it.arg == "*":
+            c = F.count(F.lit(1))
+        elif it.agg_distinct:
+            c = F.countDistinct(F.col(it.arg))
+        else:
+            c = F.count(F.col(it.arg))
+    else:
+        src = F.col(it.arg)
+        if it.agg in ("SUM", "AVG"):
+            src = src.cast("double")   # string-typed obj column; SQL twin
+        if it.agg_distinct:
+            raise SparqlSyntaxError(
+                f"{it.agg}(DISTINCT ...) is outside the subset")
+        c = {"SUM": F.sum, "MIN": F.min, "MAX": F.max,
+             "AVG": F.avg}[it.agg](src)
+    return c.alias(it.alias)
+
+
+def _bindings(triples: DataFrame, q: ParsedQuery,
+              stats: Optional[dict]) -> DataFrame:
+    """The shared WHERE evaluation: bgp_query over ALL bound variables,
+    then FILTER expressions (they may reference variables the SELECT
+    list drops, so they apply before projection)."""
+    from claimskg_generator_spark.operators.bgp import bgp_query
+
+    df = bgp_query(
+        triples, q.patterns,
+        optional=q.optional_groups or None,
+        not_exists=q.not_exists_groups or None,
+        stats=stats,
+    )
+    bound = set(df.columns)
+    for flt in q.filters:
+        missing = _filter_vars(flt) - bound
+        if missing:
+            raise SparqlSyntaxError(
+                f"FILTER references unbound variables: {sorted(missing)}")
+        df = df.filter(_filter_col(flt))
+    return df
+
+
+def sparql_select(triples: DataFrame, query: str,
+                  stats: Optional[dict] = None) -> DataFrame:
+    """Run a SPARQL SELECT subset query against a ``(subj, pred, obj)``
+    triple table.  Column names are the selected variable names (alias
+    names for aggregates).  ``stats`` is the
+    :func:`~claimskg_generator_spark.operators.bgp.predicate_profile`
+    dict for estimated-cost join ordering, exactly as in ``bgp_query``.
+    """
+    q = query if isinstance(query, ParsedQuery) else parse_sparql(query)
+    if q.form != "select":
+        raise ValueError("not a SELECT query; use sparql_construct")
+    df = _bindings(triples, q, stats)
+    bound = set(df.columns)
+
+    has_agg = q.select is not None and any(it.agg for it in q.select)
+    if has_agg or q.group_by:
+        if q.select is None:
+            raise SparqlSyntaxError("SELECT * cannot combine with GROUP BY")
+        plain = [it.var for it in q.select if it.var is not None]
+        aggs = [it for it in q.select if it.agg is not None]
+        bad = [v for v in plain if v not in q.group_by]
+        if bad:
+            raise SparqlSyntaxError(
+                f"non-aggregate SELECT vars must be grouped: {bad}")
+        missing = [v for v in set(q.group_by) | {a.arg for a in aggs
+                                                 if a.arg != "*"}
+                   if v not in bound]
+        if missing:
+            raise SparqlSyntaxError(f"unbound variables: {sorted(missing)}")
+        if not aggs:
+            raise SparqlSyntaxError("GROUP BY without any aggregate")
+        df = df.groupBy(*q.group_by).agg(*[_agg_col(a) for a in aggs])
+        df = df.select(*[it.var if it.var is not None else it.alias
+                         for it in q.select])
+    else:
+        sel = (sorted(bound) if q.select is None
+               else [it.var for it in q.select])
+        missing = [v for v in sel if v not in bound]
+        if missing:
+            raise SparqlSyntaxError(f"unbound variables: {missing}")
+        df = df.select(*sel)
+    if q.distinct:
+        df = df.distinct()
+    if q.order_by:
+        cols = set(df.columns)
+        bad = [v for v, _ in q.order_by if v not in cols]
+        if bad:
+            raise SparqlSyntaxError(f"ORDER BY on unselected vars: {bad}")
+        df = df.orderBy(*[F.col(v).asc() if asc else F.col(v).desc()
+                          for v, asc in q.order_by])
+    if q.offset is not None:
+        df = df.offset(q.offset)
+    if q.limit is not None:
+        df = df.limit(q.limit)
+    return df
+
+
+def sparql_construct(triples: DataFrame, query: str,
+                     stats: Optional[dict] = None) -> DataFrame:
+    """Run a SPARQL CONSTRUCT subset query: evaluate the WHERE bindings
+    once, project each template pattern as one narrow select over that
+    frame, union, and set-dedup (an RDF graph is a set of triples).
+    Output columns: ``subj, pred, obj``."""
+    q = query if isinstance(query, ParsedQuery) else parse_sparql(query)
+    if q.form != "construct":
+        raise ValueError("not a CONSTRUCT query; use sparql_select")
+    df = _bindings(triples, q, stats)
+    bound = set(df.columns)
+
+    def term_col(term: str, pos: str) -> Column:
+        if term.startswith("?"):
+            v = term[1:]
+            if v not in bound:
+                raise SparqlSyntaxError(
+                    f"template variable ?{v} is not bound in WHERE")
+            return F.col(v).alias(pos)
+        return F.lit(term).alias(pos)
+
+    parts = [
+        df.select(term_col(s, "subj"), term_col(p, "pred"),
+                  term_col(o, "obj"))
+        for (s, p, o) in q.template
+    ]
+    return reduce(DataFrame.unionAll, parts).distinct()
+
+
+# --------------------------------------------------------------------------
+# property-path closure (pred+)
+# --------------------------------------------------------------------------
+
+def edges_from_triples(triples: DataFrame, pred: str) -> DataFrame:
+    """One predicate's edge sliver as a distinct ``(src, dst)`` frame —
+    the input shape :func:`path_closure` walks.  The literal filter sits
+    on the scan (predicate pushdown / pred-clustered file pruning)."""
+    return (
+        triples.filter(F.col("pred") == pred)
+        .select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+        .distinct()
+    )
+
+
+def path_closure(edges: DataFrame, max_hops: int,
+                 src: str = "src", dst: str = "dst",
+                 early_stop: bool = True,
+                 checkpoint_every: int = 3) -> DataFrame:
+    """Bounded transitive closure with minimal hop counts — the SPARQL
+    property path ``pred+`` over an edge relation (pair it with
+    :func:`edges_from_triples`, or any derived edge frame).
+
+    Output: ``(src, dst, hops)`` — every pair connected by a directed
+    path of 1..``max_hops`` edges, ``hops`` the MINIMAL path length
+    (a node on a cycle reaches itself: ``(x, x, k)`` rows are real
+    ``pred+`` semantics, not bugs).
+
+    Scale shape — semi-naive Datalog, the same discipline as
+    components.bfs_layers:531: each round joins only the LAST round's
+    frontier against the edge sliver (never the accumulated closure),
+    keyed equi-join + distinct + anti-join against the closure so far —
+    so a pair is found exactly once, at its minimal hop count, and
+    cycles cannot loop.  The edge frame persists once; closure and
+    frontier truncate lineage every ``checkpoint_every`` rounds.
+    ``early_stop=True`` probes the frontier per round (one tiny isEmpty
+    action each — the documented convergence probe); ``False`` runs
+    exactly ``max_hops`` rounds with no driver action, the fixed-depth
+    mode a bounded recursive-CTE SQL twin replays.
+    """
+    if max_hops < 1:
+        raise ValueError(f"max_hops must be >= 1, got {max_hops}")
+    e = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+         .distinct()
+         .persist(StorageLevel.MEMORY_AND_DISK))
+    reached = (e.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+               .withColumn("hops", F.lit(1).cast("int"))
+               .persist(StorageLevel.MEMORY_AND_DISK))
+    frontier = reached
+    cached = [e, reached]
+    for h in range(2, max_hops + 1):
+        step = frontier.select("src", F.col("dst").alias("via"))
+        nxt = (
+            step.join(e, step["via"] == e["u"])
+            .select("src", F.col("v").alias("dst"))
+            .distinct()
+            .join(reached.select("src", "dst"), ["src", "dst"], "left_anti")
+            .withColumn("hops", F.lit(h).cast("int"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        cached.append(nxt)
+        if early_stop and nxt.isEmpty():
+            break
+        reached = reached.unionAll(nxt)
+        frontier = nxt
+        if h % checkpoint_every == 0:
+            reached = reached.localCheckpoint(eager=True)
+            frontier = frontier.localCheckpoint(eager=True)
+    out = reached.localCheckpoint(eager=True)
+    for c in cached:
+        c.unpersist()
+    return out

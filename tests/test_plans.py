@@ -528,3 +528,45 @@ def test_module_links_vocab_bounded_window(spark):
     assert "Python" not in plan
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 3
     assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1
+
+
+def test_sparql_select_compiles_to_bgp_plan(spark):
+    """q107: the TEXT face must inherit the programmatic BGP plan — a
+    3-join chain over pattern slivers (never a cartesian), the pattern
+    literals planned as plain Filters feeding each sliver, the
+    disjunctive FILTER one Filter node, and zero Python anywhere (the
+    parser runs driver-side only)."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.q107_kg_sparql_select(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan
+    assert len(re.findall(r"\(\d+\) (?:BroadcastHash|SortMerge|ShuffledHash)Join", plan)) == 3
+    # Catalyst pushes the FILTER disjunction below the joins onto the
+    # label pattern's own sliver — pin that pushdown
+    opt = _optimized(e.q107_kg_sparql_select(spark, SF))
+    assert re.search(
+        r"StartsWith\(t#\d+\.obj, a\) OR Contains\(t#\d+\.obj, e\)", opt), opt
+
+
+def test_sparql_agg_single_final_aggregate(spark):
+    """q108: GROUP BY compiles to ONE logical aggregate after the
+    binding joins (partial + final + the distinct-lang expand pass —
+    never one aggregate per SPARQL aggregate item)."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.q108_kg_sparql_agg(spark, SF))
+    assert "CartesianProduct" not in plan and "Python" not in plan
+    assert len(re.findall(r"\(\d+\) (?:BroadcastHash|SortMerge|ShuffledHash)Join", plan)) == 2
+    assert len(re.findall(r"\(\d+\) Expand", plan)) <= 1
+
+
+def test_sparql_construct_one_union_set_dedup(spark):
+    """q109: both template triples project the SAME binding subtree —
+    one Union feeding one distinct (its exchange), no Python, no
+    cartesian."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.q109_kg_sparql_construct(spark, SF))
+    assert "CartesianProduct" not in plan and "Python" not in plan
+    assert len(re.findall(r"\(\d+\) Union", plan)) == 1

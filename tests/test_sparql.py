@@ -1,0 +1,348 @@
+"""SPARQL-subset front end (operators/sparql.py): parser, SELECT /
+CONSTRUCT compilation onto bgp_query, FILTER expressions, aggregates,
+solution modifiers, and the path_closure property-path operator.  The
+q106-q109 value paths are pinned by the driver oracles."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from claimskg_generator_spark.operators.sparql import (
+    RDF_TYPE,
+    SparqlSyntaxError,
+    edges_from_triples,
+    parse_sparql,
+    path_closure,
+    sparql_construct,
+    sparql_select,
+)
+
+SCHEMA = "subj string, pred string, obj string, okind string"
+
+
+@pytest.fixture(scope="module")
+def g(spark):
+    rows = [
+        ("f1", "imports", "m1", "uri"),
+        ("f1", "imports", "m2", "uri"),
+        ("f2", "imports", "m1", "uri"),
+        ("f3", "imports", "m2", "uri"),
+        ("m1", "label", "numpy", ""),
+        ("m2", "label", "requests", ""),
+        ("f1", "lang", "python", ""),
+        ("f2", "lang", "go", ""),
+        ("f3", "lang", "python", ""),
+        ("f1", RDF_TYPE, "File", "uri"),
+        ("f2", RDF_TYPE, "File", "uri"),
+        ("f1", "stars", "10", ""),
+        ("f2", "stars", "3", ""),
+        ("f3", "stars", "25", ""),
+    ]
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+# ---------------------------------------------------------------- parser
+
+def test_parse_prefixes_and_terms():
+    q = parse_sparql("""
+        PREFIX ex: <http://ex.org/>
+        SELECT ?f WHERE { ?f ex:imports "m1" . ?f a ex:File }
+    """)
+    assert q.form == "select"
+    assert q.patterns == [
+        ("?f", "http://ex.org/imports", "m1"),
+        ("?f", RDF_TYPE, "http://ex.org/File"),
+    ]
+    assert [i.var for i in q.select] == ["f"]
+
+
+def test_parse_string_escapes_and_numbers():
+    q = parse_sparql(r'SELECT ?x WHERE { ?x <p> "a\"b\nc" . ?x <q> 3.5 }')
+    assert q.patterns[0][2] == 'a"b\nc'
+    assert q.patterns[1][2] == "3.5"
+
+
+def test_parse_comments_ignored():
+    q = parse_sparql(
+        "SELECT ?x WHERE { # a comment\n ?x <p> ?y }  # trailing")
+    assert q.patterns == [("?x", "p", "?y")]
+
+
+def test_parse_solution_modifiers():
+    q = parse_sparql("""
+        SELECT DISTINCT ?a ?b WHERE { ?a <p> ?b }
+        ORDER BY DESC(?b) ?a LIMIT 7 OFFSET 2
+    """)
+    assert q.distinct and q.limit == 7 and q.offset == 2
+    assert q.order_by == [("b", False), ("a", True)]
+
+
+def test_parse_group_structure():
+    q = parse_sparql("""
+        SELECT ?a WHERE {
+          ?a <p> ?b .
+          OPTIONAL { ?b <q> ?c }
+          FILTER NOT EXISTS { ?a <bad> ?z }
+          FILTER (?b != "x" && CONTAINS(?b, "y"))
+        }
+    """)
+    assert q.optional_groups == [[("?b", "q", "?c")]]
+    assert q.not_exists_groups == [[("?a", "bad", "?z")]]
+    assert len(q.filters) == 1 and q.filters[0][0] == "and"
+
+
+@pytest.mark.parametrize("bad, msg", [
+    ("SELECT ?x WHERE { ?x <p> ?y } UNION { ?x <q> ?y }", "UNION"),
+    ("SELECT ?x WHERE { ?x <p> ?y . BIND(?y AS ?z) }", "BIND"),
+    ("ASK { ?x <p> ?y }", "ASK"),
+    ("SELECT ?x WHERE { ?x pfx:zzz ?y }", "unknown prefix"),
+    ("SELECT WHERE { ?x <p> ?y }", "empty SELECT"),
+    ("SELECT ?x WHERE { }", "no required patterns"),
+    ("SELECT ?x WHERE { ?x <p> }", "cannot read term"),
+    ("SELECT (SUM(*) AS ?s) WHERE { ?x <p> ?y }", "not a thing"),
+    ("SELECT ?x WHERE { ?x <p> ?y } LIMIT ?x", "integer"),
+    ("SELECT ?x WHERE { ?x <p> ?y } GROUP BY", "GROUP BY"),
+])
+def test_parse_errors(bad, msg):
+    with pytest.raises(SparqlSyntaxError, match=msg):
+        parse_sparql(bad)
+
+
+# ---------------------------------------------------------------- SELECT
+
+def test_select_matches_programmatic_bgp(g):
+    from claimskg_generator_spark.operators.bgp import bgp_query
+
+    text = sparql_select(g, """
+        SELECT ?f ?l WHERE { ?f <imports> ?m . ?m <label> ?l }
+    """)
+    prog = bgp_query(g, [("?f", "imports", "?m"), ("?m", "label", "?l")],
+                     select=["?f", "?l"])
+    assert sorted(map(tuple, text.collect())) == \
+        sorted(map(tuple, prog.collect()))
+
+
+def test_select_star_and_filter(g):
+    out = sparql_select(g, """
+        SELECT * WHERE {
+          ?f <imports> ?m . ?f <lang> ?lg
+          FILTER (?lg = "python" && ?m != "m2")
+        }
+    """)
+    assert out.columns == ["f", "lg", "m"]
+    assert {tuple(r) for r in out.collect()} == {("f1", "python", "m1")}
+
+
+def test_filter_or_and_functions(g):
+    out = sparql_select(g, """
+        SELECT ?m ?l WHERE {
+          ?f <imports> ?m . ?m <label> ?l
+          FILTER (STRSTARTS(?l, "num") || REGEX(?l, "^req.*s$"))
+        }
+    """)
+    assert {r["l"] for r in out.collect()} == {"numpy", "requests"}
+
+
+def test_filter_comparison_is_string_typed(g):
+    # "3" > "10" lexicographically — the documented string semantics
+    out = sparql_select(
+        g, 'SELECT ?f WHERE { ?f <stars> ?s FILTER (?s > "10") }')
+    assert {r["f"] for r in out.collect()} == {"f2", "f3"}
+
+
+def test_filter_on_unselected_var(g):
+    out = sparql_select(g, """
+        SELECT ?m WHERE { ?f <imports> ?m . ?f <lang> ?lg
+                          FILTER (?lg = "go") }
+    """)
+    assert [r["m"] for r in out.collect()] == ["m1"]
+
+
+def test_optional_and_not_exists_through_text(g):
+    out = sparql_select(g, """
+        SELECT ?f ?t WHERE {
+          ?f <imports> ?m .
+          OPTIONAL { ?f a ?t }
+          FILTER NOT EXISTS { ?f <lang> "go" }
+        }
+    """).distinct()
+    got = {(r["f"], r["t"]) for r in out.collect()}
+    assert got == {("f1", "File"), ("f3", None)}
+
+
+def test_distinct_order_limit_offset(g):
+    out = sparql_select(g, """
+        SELECT DISTINCT ?m WHERE { ?f <imports> ?m }
+        ORDER BY DESC(?m) LIMIT 1 OFFSET 1
+    """)
+    assert [r["m"] for r in out.collect()] == ["m1"]
+
+
+def test_aggregates(g):
+    out = sparql_select(g, """
+        SELECT ?lg (COUNT(*) AS ?n) (COUNT(DISTINCT ?m) AS ?nm)
+               (MIN(?m) AS ?first) (SUM(?s) AS ?stars)
+        WHERE { ?f <imports> ?m . ?f <lang> ?lg . ?f <stars> ?s }
+        GROUP BY ?lg
+    """)
+    rows = {r["lg"]: r for r in out.collect()}
+    assert out.columns == ["lg", "n", "nm", "first", "stars"]
+    # python: f1 imports m1+m2 (10 stars each binding), f3 imports m2 (25)
+    assert rows["python"]["n"] == 3
+    assert rows["python"]["nm"] == 2
+    assert rows["python"]["first"] == "m1"
+    assert rows["python"]["stars"] == pytest.approx(45.0)
+    assert rows["go"]["n"] == 1
+
+
+def test_agg_errors(g):
+    with pytest.raises(SparqlSyntaxError, match="must be grouped"):
+        sparql_select(g, """
+            SELECT ?f (COUNT(*) AS ?n) WHERE { ?f <imports> ?m }
+            GROUP BY ?m
+        """)
+    with pytest.raises(SparqlSyntaxError, match="without any aggregate"):
+        sparql_select(
+            g, "SELECT ?m WHERE { ?f <imports> ?m } GROUP BY ?m")
+    with pytest.raises(SparqlSyntaxError, match="unbound"):
+        sparql_select(
+            g, 'SELECT ?zzz WHERE { ?f <imports> ?m }')
+    with pytest.raises(SparqlSyntaxError, match="unbound"):
+        sparql_select(
+            g, 'SELECT ?m WHERE { ?f <imports> ?m FILTER (?nope = "x") }')
+
+
+def test_select_on_construct_rejected(g):
+    with pytest.raises(ValueError, match="not a SELECT"):
+        sparql_select(g, "CONSTRUCT { ?f <p> ?m } WHERE { ?f <imports> ?m }")
+
+
+# ------------------------------------------------------------- CONSTRUCT
+
+def test_construct_set_semantics(g):
+    out = sparql_construct(g, """
+        CONSTRUCT { ?lg <usedBy> ?f . ?f <usesLang> ?lg }
+        WHERE { ?f <imports> ?m . ?f <lang> ?lg }
+    """)
+    assert out.columns == ["subj", "pred", "obj"]
+    got = {tuple(r) for r in out.collect()}
+    # f1 has TWO imports but each constructed triple appears once (set)
+    assert out.count() == len(got) == 6
+    assert ("python", "usedBy", "f1") in got
+    assert ("f2", "usesLang", "go") in got
+
+
+def test_construct_literal_template_and_unbound(g):
+    out = sparql_construct(g, """
+        CONSTRUCT { ?f a <Importer> } WHERE { ?f <imports> ?m }
+    """)
+    got = {tuple(r) for r in out.collect()}
+    assert got == {(f, RDF_TYPE, "Importer") for f in ("f1", "f2", "f3")}
+    with pytest.raises(SparqlSyntaxError, match="not bound"):
+        sparql_construct(
+            g, "CONSTRUCT { ?f <p> ?nope } WHERE { ?f <imports> ?m }")
+
+
+# ---------------------------------------------------------- path_closure
+
+@pytest.fixture(scope="module")
+def chain(spark):
+    # a -> b -> c -> d   plus a 3-cycle x -> y -> z -> x
+    rows = [("a", "b"), ("b", "c"), ("c", "d"),
+            ("x", "y"), ("y", "z"), ("z", "x")]
+    return spark.createDataFrame(rows, "src string, dst string")
+
+
+def _closure_pairs(df):
+    return {(r["src"], r["dst"]): r["hops"] for r in df.collect()}
+
+
+def test_closure_min_hops(chain):
+    got = _closure_pairs(path_closure(chain, max_hops=5))
+    assert got[("a", "b")] == 1 and got[("a", "c")] == 2
+    assert got[("a", "d")] == 3
+    assert ("b", "a") not in got  # directed
+
+
+def test_closure_cycle_terminates_and_self_reaches(chain):
+    got = _closure_pairs(path_closure(chain, max_hops=10))
+    # x pred+ x holds on the 3-cycle, found at its minimal length
+    assert got[("x", "x")] == 3
+    assert got[("x", "z")] == 2
+    # cycle pairs never exceed hop 3 (every pair found at min length)
+    assert max(h for (s, _), h in got.items() if s in "xyz") == 3
+
+
+def test_closure_bounded_depth(chain):
+    got = _closure_pairs(path_closure(chain, max_hops=2))
+    assert ("a", "d") not in got
+    assert got[("a", "c")] == 2
+
+
+def test_closure_fixed_rounds_equals_early_stop(chain):
+    a = _closure_pairs(path_closure(chain, max_hops=6, early_stop=True))
+    b = _closure_pairs(path_closure(chain, max_hops=6, early_stop=False))
+    assert a == b
+
+
+def test_closure_vs_python_bfs(spark):
+    # deterministic pseudo-random sparse digraph, checked against a
+    # driver-side pairwise BFS
+    import hashlib
+
+    n = 30
+    edges = []
+    for u in range(n):
+        for k in range(2):
+            h = int(hashlib.md5(f"{u}:{k}".encode()).hexdigest(), 16)
+            v = h % n
+            if v != u:
+                edges.append((f"n{u}", f"n{v}"))
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+    expect = {}
+    for s in {u for u, _ in edges}:
+        frontier, seen, h = adj.get(s, set()), {}, 1
+        while frontier and h <= 6:
+            nxt = set()
+            for v in frontier:
+                if v not in seen:
+                    seen[v] = h
+                    nxt |= adj.get(v, set())
+            frontier = {v for v in nxt if v not in seen}
+            h += 1
+        for d, hh in seen.items():
+            expect[(s, d)] = hh
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = _closure_pairs(path_closure(df, max_hops=6))
+    assert got == expect
+
+
+def test_closure_input_validation(chain):
+    with pytest.raises(ValueError, match="max_hops"):
+        path_closure(chain, max_hops=0)
+
+
+def test_edges_from_triples(g):
+    e = edges_from_triples(g, "imports")
+    assert set(map(tuple, e.collect())) == {
+        ("f1", "m1"), ("f1", "m2"), ("f2", "m1"), ("f3", "m2")}
+    got = _closure_pairs(path_closure(e, max_hops=3))
+    assert all(h == 1 for h in got.values())  # bipartite: no 2-hop paths
+
+
+def test_repo_dependencies_ownership(spark):
+    from claimskg_generator_spark.operators.code_kg import repo_dependencies
+
+    # rA imports "numpy" from 2 files, rB from 1 -> rA owns numpy;
+    # tie on "flask" (1 file each) -> lexicographically smaller rA owns
+    rows = [
+        ("rA", "a1.py", "c", "python", "import numpy"),
+        ("rA", "a2.py", "c", "python", "import numpy\nimport flask"),
+        ("rB", "b1.py", "c", "python", "import numpy\nimport flask"),
+    ]
+    files = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, "
+              "content string")
+    got = set(map(tuple, repo_dependencies(files).collect()))
+    assert got == {("rB", "rA")}
