@@ -36,7 +36,11 @@ Grammar (keywords case-insensitive; ``#`` comments allowed)::
     AGG       := COUNT | SUM | MIN | MAX | AVG
     construct := CONSTRUCT '{' triples '}' WHERE group
     group     := '{' ( triple '.'? | OPTIONAL group
-                     | FILTER NOT EXISTS group | FILTER '(' expr ')' )* '}'
+                     | FILTER NOT EXISTS group | FILTER '(' expr ')'
+                     | block ( UNION block )+
+                     | VALUES ( ?var | '(' ?var+ ')' ) '{' row* '}' )* '}'
+    block     := '{' ( triple '.'? )* '}'
+    row       := literal | '(' literal+ ')'
     triple    := term term term
     term      := ?var | <iri> | pfx:local | "string" | number | a
     expr      := conj ( '||' conj )*
@@ -50,9 +54,14 @@ Grammar (keywords case-insensitive; ``#`` comments allowed)::
 Semantics notes (all chosen to match the ANSI-SQL twin the driver
 oracle runs): terms are compared as strings (the triple table is
 string-typed); ``SUM``/``AVG`` cast the variable to double; ``a``
-expands to rdf:type; bag semantics unless DISTINCT.  Unsupported
-SPARQL (UNION, subqueries, property paths in patterns, BIND, VALUES)
-is rejected loudly at parse time — never silently mis-planned.
+expands to rdf:type; bag semantics unless DISTINCT.  UNION branches
+must bind IDENTICAL variable sets (the common SPARQL shape) — that
+sidesteps the unbound-variable join-compatibility corner entirely, so
+a chain compiles to a plain bag union joined with the rest of the
+group on shared variables.  VALUES compiles to a literal relation
+broadcast-joined on its variables.  Unsupported SPARQL (subqueries,
+property paths inside patterns, BIND, MINUS, HAVING) is rejected
+loudly at parse time — never silently mis-planned.
 """
 
 import re
@@ -140,6 +149,11 @@ class ParsedQuery:
     optional_groups: List[List[Triple]] = field(default_factory=list)
     not_exists_groups: List[List[Triple]] = field(default_factory=list)
     filters: List[tuple] = field(default_factory=list)
+    #: each chain is >= 2 branches, each branch a BGP pattern list
+    union_chains: List[List[List[Triple]]] = field(default_factory=list)
+    #: (variable names, literal rows) per VALUES block
+    values_blocks: List[Tuple[List[str], List[Tuple[str, ...]]]] = \
+        field(default_factory=list)
     group_by: List[str] = field(default_factory=list)
     order_by: List[Tuple[str, bool]] = field(default_factory=list)
     limit: Optional[int] = None
@@ -148,7 +162,7 @@ class ParsedQuery:
 
 _AGGS = {"COUNT", "SUM", "MIN", "MAX", "AVG"}
 _FNS = {"CONTAINS", "STRSTARTS", "REGEX"}
-_UNSUPPORTED = {"UNION", "BIND", "VALUES", "MINUS", "ASK", "DESCRIBE",
+_UNSUPPORTED = {"BIND", "MINUS", "ASK", "DESCRIBE",
                 "INSERT", "DELETE", "SERVICE", "GRAPH", "HAVING"}
 
 
@@ -242,8 +256,7 @@ class _Parser:
                 raise SparqlSyntaxError("empty SELECT list")
             q.select = items
         self.kw("WHERE")
-        (q.patterns, q.optional_groups,
-         q.not_exists_groups, q.filters) = self._group()
+        self._group(q)
         self._solution_modifiers(q)
         return q
 
@@ -282,8 +295,7 @@ class _Parser:
         if not q.template:
             raise SparqlSyntaxError("empty CONSTRUCT template")
         self.kw("WHERE")
-        (q.patterns, q.optional_groups,
-         q.not_exists_groups, q.filters) = self._group()
+        self._group(q)
         self._solution_modifiers(q)
         if q.limit is not None or q.offset is not None or q.order_by:
             raise SparqlSyntaxError(
@@ -302,35 +314,90 @@ class _Parser:
         self.expect("}")
         return trips
 
-    def _group(self):
+    def _group(self, q: ParsedQuery) -> None:
         self.expect("{")
-        patterns: List[Triple] = []
-        optionals: List[List[Triple]] = []
-        not_exists: List[List[Triple]] = []
-        filters: List[tuple] = []
         while self.peek() != "}":
             self._check_supported()
             if self.at_kw("OPTIONAL"):
                 self.next()
-                optionals.append(self._triple_block())
+                q.optional_groups.append(self._triple_block())
             elif self.at_kw("FILTER"):
                 self.next()
                 if self.at_kw("NOT"):
                     self.next()
                     self.kw("EXISTS")
-                    not_exists.append(self._triple_block())
+                    q.not_exists_groups.append(self._triple_block())
                 else:
                     self.expect("(")
-                    filters.append(self._expr())
+                    q.filters.append(self._expr())
                     self.expect(")")
+            elif self.peek() == "{":
+                blocks = [self._triple_block()]
+                while self.at_kw("UNION"):
+                    self.next()
+                    blocks.append(self._triple_block())
+                if len(blocks) < 2:
+                    raise SparqlSyntaxError(
+                        "a braced block inside WHERE must be a UNION "
+                        "chain of >= 2 branches")
+                if any(not b for b in blocks):
+                    raise SparqlSyntaxError("empty UNION branch")
+                q.union_chains.append(blocks)
+            elif self.at_kw("VALUES"):
+                self.next()
+                q.values_blocks.append(self._values_block())
             else:
-                patterns.append(self._triple())
+                q.patterns.append(self._triple())
             if self.peek() == ".":
                 self.next()
         self.expect("}")
-        if not patterns:
+        if not q.patterns and not q.union_chains:
             raise SparqlSyntaxError("WHERE group has no required patterns")
-        return patterns, optionals, not_exists, filters
+
+    def _values_block(self) -> Tuple[List[str], List[Tuple[str, ...]]]:
+        names: List[str] = []
+        if self.peek() == "(":
+            self.next()
+            while self.peek() != ")":
+                v = self.next()
+                if not v.startswith("?"):
+                    raise SparqlSyntaxError(
+                        f"VALUES variable must be a ?var: {v!r}")
+                names.append(v[1:])
+            self.expect(")")
+        else:
+            v = self.next()
+            if not v.startswith("?"):
+                raise SparqlSyntaxError(
+                    f"VALUES variable must be a ?var: {v!r}")
+            names.append(v[1:])
+        if not names:
+            raise SparqlSyntaxError("VALUES needs >= 1 variable")
+        if len(set(names)) != len(names):
+            raise SparqlSyntaxError(f"duplicate VALUES variables: {names}")
+        self.expect("{")
+        rows: List[Tuple[str, ...]] = []
+        while self.peek() != "}":
+            if len(names) > 1 or self.peek() == "(":
+                self.expect("(")
+                row = tuple(self._values_term() for _ in names)
+                self.expect(")")
+            else:
+                row = (self._values_term(),)
+            rows.append(row)
+        self.expect("}")
+        if not rows:
+            raise SparqlSyntaxError("VALUES needs >= 1 row")
+        return names, rows
+
+    def _values_term(self) -> str:
+        t = self.peek()
+        if t is not None and t.startswith("?"):
+            raise SparqlSyntaxError(
+                f"VALUES rows must be literals, got {t!r}")
+        if t is not None and t.upper() == "UNDEF":
+            raise SparqlSyntaxError("UNDEF is outside the subset")
+        return self._term()
 
     def _triple(self) -> Triple:
         return (self._term(), self._term(), self._term())
@@ -526,16 +593,75 @@ def _agg_col(it: SelectItem) -> Column:
 def _bindings(triples: DataFrame, q: ParsedQuery,
               stats: Optional[dict]) -> DataFrame:
     """The shared WHERE evaluation: bgp_query over ALL bound variables,
-    then FILTER expressions (they may reference variables the SELECT
-    list drops, so they apply before projection)."""
+    UNION chains and VALUES relations joined in, then FILTER
+    expressions (they may reference variables the SELECT list drops, so
+    they apply before projection)."""
     from claimskg_generator_spark.operators.bgp import bgp_query
 
-    df = bgp_query(
-        triples, q.patterns,
-        optional=q.optional_groups or None,
-        not_exists=q.not_exists_groups or None,
-        stats=stats,
-    )
+    if not q.union_chains and not q.values_blocks:
+        # plain-BGP fast path: identical plan to the programmatic call
+        df = bgp_query(
+            triples, q.patterns,
+            optional=q.optional_groups or None,
+            not_exists=q.not_exists_groups or None,
+            stats=stats,
+        )
+    else:
+        # required patterns, then each UNION chain (branches must bind
+        # identical variable sets -> plain bag union), then each VALUES
+        # literal relation (broadcast) — all inner-joined on shared
+        # variables; OPTIONAL / NOT EXISTS groups join last, mirroring
+        # bgp_query's own group handling
+        frames: List[Tuple[DataFrame, bool]] = []
+        if q.patterns:
+            frames.append((bgp_query(triples, q.patterns, stats=stats),
+                           False))
+        for chain in q.union_chains:
+            branches = [bgp_query(triples, br, stats=stats)
+                        for br in chain]
+            cols = set(branches[0].columns)
+            for b in branches[1:]:
+                if set(b.columns) != cols:
+                    raise SparqlSyntaxError(
+                        "UNION branches must bind identical variable "
+                        f"sets in the subset: {sorted(cols)} vs "
+                        f"{sorted(b.columns)}")
+            order = sorted(cols)
+            frames.append((reduce(DataFrame.unionAll,
+                                  [b.select(*order) for b in branches]),
+                           False))
+        for names, rows in q.values_blocks:
+            vdf = triples.sparkSession.createDataFrame(
+                rows, ", ".join(f"{n} string" for n in names))
+            frames.append((vdf, True))
+        df = frames[0][0]
+        bound = set(df.columns)
+        for f, is_values in frames[1:]:
+            keys = sorted(set(f.columns) & bound)
+            if not keys:
+                raise SparqlSyntaxError(
+                    "a UNION/VALUES block shares no variable with the "
+                    "preceding patterns — this would be a cartesian "
+                    "product; split the query instead")
+            df = df.join(F.broadcast(f) if is_values else f, keys)
+            bound |= set(f.columns)
+        for group in q.optional_groups:
+            gdf = bgp_query(triples, group, stats=stats)
+            keys = sorted(set(gdf.columns) & bound)
+            if not keys:
+                raise SparqlSyntaxError(
+                    f"optional group {group!r} shares no variable with "
+                    "the required patterns")
+            df = df.join(gdf, keys, "left")
+            bound |= set(gdf.columns)
+        for group in q.not_exists_groups:
+            gdf = bgp_query(triples, group, stats=stats)
+            keys = sorted(set(gdf.columns) & bound)
+            if not keys:
+                raise SparqlSyntaxError(
+                    f"not_exists group {group!r} shares no variable "
+                    "with the required patterns")
+            df = df.join(gdf.select(*keys), keys, "left_anti")
     bound = set(df.columns)
     for flt in q.filters:
         missing = _filter_vars(flt) - bound

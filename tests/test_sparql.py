@@ -91,7 +91,7 @@ def test_parse_group_structure():
 
 
 @pytest.mark.parametrize("bad, msg", [
-    ("SELECT ?x WHERE { ?x <p> ?y } UNION { ?x <q> ?y }", "UNION"),
+    ("SELECT ?x WHERE { ?x <p> ?y . MINUS { ?x <q> ?y } }", "MINUS"),
     ("SELECT ?x WHERE { ?x <p> ?y . BIND(?y AS ?z) }", "BIND"),
     ("ASK { ?x <p> ?y }", "ASK"),
     ("SELECT ?x WHERE { ?x pfx:zzz ?y }", "unknown prefix"),
@@ -214,6 +214,100 @@ def test_agg_errors(g):
 def test_select_on_construct_rejected(g):
     with pytest.raises(ValueError, match="not a SELECT"):
         sparql_select(g, "CONSTRUCT { ?f <p> ?m } WHERE { ?f <imports> ?m }")
+
+
+# ----------------------------------------------------------- UNION/VALUES
+
+def test_union_basic_bag_semantics(g):
+    out = sparql_select(g, """
+        SELECT ?f WHERE {
+          { ?f <lang> "python" } UNION { ?f <imports> "m1" }
+        }
+    """)
+    got = sorted(r["f"] for r in out.collect())
+    # f1 matches BOTH branches -> appears twice (bag semantics)
+    assert got == ["f1", "f1", "f2", "f3"]
+
+
+def test_union_joins_with_required_patterns(g):
+    out = sparql_select(g, """
+        SELECT ?f ?m WHERE {
+          ?f <imports> ?m .
+          { ?f <lang> "go" } UNION { ?f <lang> "python" . ?f <stars> "25" }
+        }
+    """)
+    got = {(r["f"], r["m"]) for r in out.collect()}
+    assert got == {("f2", "m1"), ("f3", "m2")}
+
+
+def test_union_three_branches_and_values(g):
+    out = sparql_select(g, """
+        SELECT DISTINCT ?f WHERE {
+          { ?f <lang> "go" } UNION { ?f <lang> "python" }
+            UNION { ?f <stars> "25" }
+          VALUES ?f { "f2" "f3" "zzz" }
+        }
+    """)
+    assert {r["f"] for r in out.collect()} == {"f2", "f3"}
+
+
+def test_values_multi_var_binds_new_variable(g):
+    out = sparql_select(g, """
+        SELECT ?f ?tier WHERE {
+          ?f <lang> ?lg .
+          VALUES (?lg ?tier) { ("python" "hot") ("go" "cold") }
+        }
+    """)
+    got = {(r["f"], r["tier"]) for r in out.collect()}
+    assert got == {("f1", "hot"), ("f3", "hot"), ("f2", "cold")}
+
+
+def test_values_broadcast_plan(g):
+    df = sparql_select(g, """
+        SELECT ?f WHERE { ?f <lang> ?lg . VALUES ?lg { "python" } }
+    """)
+    jvm = df.sparkSession.sparkContext._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted")
+    plan = df._jdf.queryExecution().explainString(mode)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_union_mismatched_branch_vars_rejected(g):
+    with pytest.raises(SparqlSyntaxError, match="identical variable"):
+        sparql_select(g, """
+            SELECT ?f WHERE {
+              { ?f <lang> "go" } UNION { ?f <imports> ?m }
+            }
+        """)
+
+
+def test_union_values_cartesian_rejected(g):
+    with pytest.raises(SparqlSyntaxError, match="cartesian"):
+        sparql_select(g, """
+            SELECT ?f WHERE {
+              ?f <lang> "go" .
+              { ?x <imports> "m1" } UNION { ?x <imports> "m2" }
+            }
+        """)
+    with pytest.raises(SparqlSyntaxError, match="cartesian"):
+        sparql_select(
+            g, 'SELECT ?f WHERE { ?f <lang> "go" . VALUES ?z { "a" } }')
+
+
+@pytest.mark.parametrize("bad, msg", [
+    ("SELECT ?f WHERE { { ?f <p> ?x } }", "UNION chain"),
+    ("SELECT ?f WHERE { VALUES ?f { UNDEF } . ?f <p> ?x }", "UNDEF"),
+    ("SELECT ?f WHERE { VALUES ?f { ?g } . ?f <p> ?x }", "literal"),
+    ("SELECT ?f WHERE { VALUES ?f { } . ?f <p> ?x }", ">= 1 row"),
+    ("SELECT ?f WHERE { VALUES (?f ?f) { (\"a\" \"b\") } . ?f <p> ?x }",
+     "duplicate VALUES"),
+    ("SELECT ?f WHERE { VALUES <iri> { \"a\" } . ?f <p> ?x }",
+     "must be a .var"),
+])
+def test_union_values_parse_errors(bad, msg):
+    with pytest.raises(SparqlSyntaxError, match=msg):
+        parse_sparql(bad)
 
 
 # ------------------------------------------------------------- CONSTRUCT
