@@ -26,6 +26,13 @@ stages):
                ``--output``
 5. links / canonical — optional side outputs (entity linking,
                A5 module canonicalization)
+6. query     — ``--sparql``/``--sparql-file`` evaluates a SPARQL subset
+               query (operators/sparql.py) against the triples built
+               this run or an existing ``--query-table`` snapshot table
+               (``--as-of`` time travel); predicate_profile stats feed
+               estimated-cost BGP join ordering; result to
+               ``--query-output`` parquet and/or the summary JSON.
+               Query-only invocations (no input) read the table alone.
 
 Run on a cluster via spark-submit --py-files (scripts/
 make_pyfiles_zip.sh builds the zip); locally it creates its own
@@ -46,7 +53,7 @@ def build_arg_parser() -> argparse.ArgumentParser:
         prog="claimskg-code-kg",
         description="KG construction over a source-code repository table",
     )
-    src = p.add_mutually_exclusive_group(required=True)
+    src = p.add_mutually_exclusive_group()
     src.add_argument("--input",
                      help="code-files parquet (repo, path, commit, lang, "
                           "content)")
@@ -66,6 +73,28 @@ def build_arg_parser() -> argparse.ArgumentParser:
                      help="entity-link table output (parquet)")
     out.add_argument("--canonical-output",
                      help="module canonicalization output (parquet)")
+    qry = p.add_argument_group(
+        "query", "run a SPARQL subset query (operators/sparql.py) against "
+                 "the graph — the triples built this run, or an existing "
+                 "snapshot table via --query-table")
+    qg = qry.add_mutually_exclusive_group()
+    qg.add_argument("--sparql",
+                    help="SPARQL SELECT or CONSTRUCT text")
+    qg.add_argument("--sparql-file",
+                    help="file containing the SPARQL query")
+    qry.add_argument("--query-table",
+                     help="snapshot-table root to query (default: the "
+                          "triples built this run)")
+    qry.add_argument("--as-of", type=int, default=None,
+                     help="time-travel snapshot id for --query-table")
+    qry.add_argument("--query-output",
+                     help="parquet dir for the full query result")
+    qry.add_argument("--query-print", type=int, default=20, metavar="N",
+                     help="include up to N result rows in the summary "
+                          "JSON (0 = none; default 20)")
+    qry.add_argument("--no-query-stats", action="store_true",
+                     help="skip the predicate_profile pass that feeds "
+                          "estimated-cost BGP join ordering")
     p.add_argument("--checkpoint-dir", default=None,
                    help="stage-boundary checkpoint root (resume on rerun)")
     p.add_argument("--checkpoint-content-probe", action="store_true",
@@ -104,11 +133,89 @@ def _exact_dedup(files):
 
 def main(argv=None) -> int:
     args = build_arg_parser().parse_args(argv)
-    if not (args.table_dir or args.output or args.ntriples_output):
-        print("error: need --table-dir, --output and/or --ntriples-output",
+    query_text = args.sparql
+    if args.sparql_file:
+        with open(args.sparql_file, "r", encoding="utf-8") as fh:
+            query_text = fh.read()
+    building = bool(args.input or args.synth_from_documents)
+    if building and not (args.table_dir or args.output
+                         or args.ntriples_output or query_text):
+        print("error: need --table-dir, --output, --ntriples-output "
+              "and/or a query", file=sys.stderr)
+        return 2
+    if not building and not query_text:
+        print("error: need --input/--synth-from-documents and/or a "
+              "--sparql query", file=sys.stderr)
+        return 2
+    if not building and query_text and not args.query_table:
+        print("error: a query without a build needs --query-table",
               file=sys.stderr)
         return 2
 
+    spark = SparkSession.getActiveSession()
+    created = spark is None
+    if created:
+        spark = (SparkSession.builder.appName("code-kg")
+                 .config("spark.sql.adaptive.enabled", "true")
+                 .getOrCreate())
+
+    summary = {"stages": [], "counts": {}}
+    try:
+        triples = None
+        if building:
+            files, triples = _build_graph(spark, args, summary)
+            summary["counts"]["triples"] = triples.count()
+            summary["counts"]["files"] = files.count()
+        if query_text:
+            _run_query(spark, args, query_text, triples, summary)
+        print(json.dumps(summary))
+        return 0
+    finally:
+        if created:
+            spark.stop()
+
+
+def _run_query(spark, args, query_text, triples, summary) -> None:
+    """Evaluate a SPARQL subset query against --query-table (optionally
+    time-traveled) or the triples built this run; predicate_profile
+    stats feed estimated-cost join ordering unless --no-query-stats."""
+    from claimskg_generator_spark.operators.bgp import predicate_profile
+    from claimskg_generator_spark.operators.sparql import (
+        parse_sparql,
+        sparql_construct,
+        sparql_select,
+    )
+
+    if args.query_table:
+        from claimskg_generator_spark.sources.snapshot_table import (
+            SnapshotTable,
+        )
+
+        graph = SnapshotTable(spark, args.query_table).read(
+            snapshot_id=args.as_of)
+    else:
+        graph = triples
+    stats = None
+    if not args.no_query_stats:
+        stats = {r["pred"]: (r["n_triples"], r["n_subj"], r["n_obj"])
+                 for r in predicate_profile(graph).collect()}
+    q = parse_sparql(query_text)
+    run = sparql_select if q.form == "select" else sparql_construct
+    result = run(graph, q, stats=stats)
+    info = {"form": q.form, "columns": result.columns}
+    if args.query_output:
+        result.write.mode("overwrite").parquet(args.query_output)
+        info["output"] = args.query_output
+        info["n_rows"] = result.count()
+    if args.query_print:
+        info["rows"] = [row.asDict()
+                        for row in result.limit(args.query_print).collect()]
+    summary["query"] = info
+
+
+def _build_graph(spark, args, summary):
+    """The construction stages (gate -> dedup -> triples -> sinks), each
+    a checkpoint-resumable boundary.  Returns (files, triples)."""
     from claimskg_generator_spark.operators.code import with_code_quality
     from claimskg_generator_spark.operators.code_kg import (
         canonicalize_modules,
@@ -122,101 +229,86 @@ def main(argv=None) -> int:
         plan_token,
     )
 
-    spark = SparkSession.getActiveSession()
-    created = spark is None
-    if created:
-        spark = (SparkSession.builder.appName("code-kg")
-                 .config("spark.sql.adaptive.enabled", "true")
-                 .getOrCreate())
+    in_path = args.input or args.synth_from_documents
+    fp = (input_fingerprint(spark, in_path,
+                            content_probe=args.checkpoint_content_probe)
+          if args.checkpoint_dir else "")
+    ck = CheckpointManager(spark, args.checkpoint_dir)
 
-    summary = {"stages": [], "counts": {}}
-    try:
-        in_path = args.input or args.synth_from_documents
-        fp = (input_fingerprint(spark, in_path,
-                                content_probe=args.checkpoint_content_probe)
-              if args.checkpoint_dir else "")
-        ck = CheckpointManager(spark, args.checkpoint_dir)
+    if args.input:
+        files = spark.read.parquet(args.input)
+    else:
+        from claimskg_generator_spark.sources.codesynth import code_files
 
-        if args.input:
-            files = spark.read.parquet(args.input)
-        else:
-            from claimskg_generator_spark.sources.codesynth import code_files
+        files = code_files(spark.read.parquet(args.synth_from_documents))
 
-            files = code_files(spark.read.parquet(args.synth_from_documents))
+    cfg = (f"{fp}|gate={args.quality_gate}|dedup={args.exact_dedup}"
+           f"|scheme={args.uri_scheme}")
+    if args.quality_gate:
+        gated = with_code_quality(files).filter("keep").drop(
+            "n_lines", "max_line_len", "avg_line_len", "alnum_frac",
+            "is_autogenerated", "has_hex_blob", "keep")
+        files = ck.materialize("gate", gated,
+                               token=plan_token(gated, cfg))
+    if args.exact_dedup:
+        deduped = _exact_dedup(files)
+        files = ck.materialize("dedup", deduped,
+                               token=plan_token(deduped, cfg))
 
-        cfg = (f"{fp}|gate={args.quality_gate}|dedup={args.exact_dedup}"
-               f"|scheme={args.uri_scheme}")
-        if args.quality_gate:
-            gated = with_code_quality(files).filter("keep").drop(
-                "n_lines", "max_line_len", "avg_line_len", "alnum_frac",
-                "is_autogenerated", "has_hex_blob", "keep")
-            files = ck.materialize("gate", gated,
-                                   token=plan_token(gated, cfg))
-        if args.exact_dedup:
-            deduped = _exact_dedup(files)
-            files = ck.materialize("dedup", deduped,
-                                   token=plan_token(deduped, cfg))
+    triples = code_triples(files, scheme=args.uri_scheme)
+    triples = ck.materialize("triples", triples,
+                             token=plan_token(triples, cfg))
 
-        triples = code_triples(files, scheme=args.uri_scheme)
-        triples = ck.materialize("triples", triples,
-                                 token=plan_token(triples, cfg))
-
-        if args.table_dir:
-            # commit-once gate: the materialize itself is a stage boundary
-            # (same identity token as the triples stage), so a resumed run
-            # never appends the same snapshot twice
-            token = plan_token(triples, cfg)
-            marker = ("table_commit", f"_IDENTITY.{token}")
-            if args.checkpoint_dir and ck._exists(
-                    ck._path(marker[0]), marker[1]):
-                ck.events.append(("table_commit", "resume", 0.0,
-                                  args.table_dir))
-                from claimskg_generator_spark.sources.snapshot_table import (
-                    SnapshotTable,
-                )
-                summary["snapshot_id"] = SnapshotTable(
-                    spark, args.table_dir).current_snapshot_id()
-            else:
-                import time as _t
-
-                t0 = _t.time()
-                sid = materialize_code_kg(
-                    spark, files, args.table_dir, scheme=args.uri_scheme,
-                    n_partitions=args.n_partitions, triples=triples)
-                if args.checkpoint_dir:
-                    ck._touch(ck._path(marker[0]), marker[1])
-                ck.events.append(("table_commit", "write",
-                                  _t.time() - t0, args.table_dir))
-                summary["snapshot_id"] = sid
-        if args.output:
-            triples.write.mode("overwrite").parquet(args.output)
-        if args.ntriples_output:
-            from claimskg_generator_spark.plans.pipeline import (
-                write_ntriples,
+    if args.table_dir:
+        # commit-once gate: the materialize itself is a stage boundary
+        # (same identity token as the triples stage), so a resumed run
+        # never appends the same snapshot twice
+        token = plan_token(triples, cfg)
+        marker = ("table_commit", f"_IDENTITY.{token}")
+        if args.checkpoint_dir and ck._exists(
+                ck._path(marker[0]), marker[1]):
+            ck.events.append(("table_commit", "resume", 0.0,
+                              args.table_dir))
+            from claimskg_generator_spark.sources.snapshot_table import (
+                SnapshotTable,
             )
+            summary["snapshot_id"] = SnapshotTable(
+                spark, args.table_dir).current_snapshot_id()
+        else:
+            import time as _t
 
-            write_ntriples(triples, args.ntriples_output)
-        if args.links_output:
-            link_modules(files, min_repos=args.min_repos,
-                         threshold=args.link_threshold,
-                         scheme=args.uri_scheme).write.mode(
-                "overwrite").parquet(args.links_output)
-        if args.canonical_output:
-            canonicalize_modules(files).write.mode("overwrite").parquet(
-                args.canonical_output)
+            t0 = _t.time()
+            sid = materialize_code_kg(
+                spark, files, args.table_dir, scheme=args.uri_scheme,
+                n_partitions=args.n_partitions, triples=triples)
+            if args.checkpoint_dir:
+                ck._touch(ck._path(marker[0]), marker[1])
+            ck.events.append(("table_commit", "write",
+                              _t.time() - t0, args.table_dir))
+            summary["snapshot_id"] = sid
+    if args.output:
+        triples.write.mode("overwrite").parquet(args.output)
+    if args.ntriples_output:
+        from claimskg_generator_spark.plans.pipeline import (
+            write_ntriples,
+        )
 
-        ck.write_manifest()
-        summary["stages"] = [
-            {"stage": s, "action": a, "wall_s": round(w, 3)}
-            for s, a, w, _p in ck.events
-        ]
-        summary["counts"]["triples"] = triples.count()
-        summary["counts"]["files"] = files.count()
-        print(json.dumps(summary))
-        return 0
-    finally:
-        if created:
-            spark.stop()
+        write_ntriples(triples, args.ntriples_output)
+    if args.links_output:
+        link_modules(files, min_repos=args.min_repos,
+                     threshold=args.link_threshold,
+                     scheme=args.uri_scheme).write.mode(
+            "overwrite").parquet(args.links_output)
+    if args.canonical_output:
+        canonicalize_modules(files).write.mode("overwrite").parquet(
+            args.canonical_output)
+
+    ck.write_manifest()
+    summary["stages"] = [
+        {"stage": s, "action": a, "wall_s": round(w, 3)}
+        for s, a, w, _p in ck.events
+    ]
+    return files, triples
 
 
 if __name__ == "__main__":

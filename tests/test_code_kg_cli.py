@@ -115,3 +115,68 @@ def test_ntriples_output(spark, docs_path, tmp_path, capsys):
     # URI objects serialize bracketed, literals quoted
     assert any("> <urn:code:repo:" in l for l in lines)
     assert any('"python"' in l for l in lines)
+
+
+def test_sparql_query_mode_build_and_query(spark, docs_path, tmp_path,
+                                           capsys):
+    """Build + query in one invocation: the SELECT runs against the
+    triples built this run (no --query-table), rows land in the summary
+    and the full result in --query-output parquet."""
+    qout = str(tmp_path / "qres")
+    s = _run(capsys, "--synth-from-documents", docs_path,
+             "--output", str(tmp_path / "t_q"),
+             "--sparql",
+             "PREFIX s: <http://schema.org/> "
+             "SELECT ?r (COUNT(?f) AS ?n) WHERE "
+             "{ ?f s:codeRepository ?r } GROUP BY ?r",
+             "--query-output", qout, "--query-print", "5")
+    q = s["query"]
+    assert q["form"] == "select" and q["columns"] == ["r", "n"]
+    assert len(q["rows"]) == 5
+    got = spark.read.parquet(qout)
+    assert got.count() == q["n_rows"]
+    assert got.agg(F.sum("n")).collect()[0][0] == s["counts"]["files"]
+
+
+def test_sparql_query_only_against_snapshot_table(spark, docs_path,
+                                                  tmp_path, capsys):
+    """Query-only invocation (no input): read an existing snapshot
+    table, time-travel included; CONSTRUCT form writes a graph."""
+    table = str(tmp_path / "kg_q")
+    s0 = _run(capsys, "--synth-from-documents", docs_path,
+              "--table-dir", table)
+    qfile = tmp_path / "q.rq"
+    qfile.write_text(
+        "PREFIX c: <http://example.org/code#>\n"
+        "CONSTRUCT { ?r c:usesModule ?m }\n"
+        "WHERE { ?f c:imports ?m . ?f <http://schema.org/codeRepository>"
+        " ?r }\n")
+    s = _run(capsys, "--sparql-file", str(qfile), "--query-table", table,
+             "--query-print", "3")
+    q = s["query"]
+    assert q["form"] == "construct"
+    assert q["columns"] == ["subj", "pred", "obj"]
+    assert len(q["rows"]) == 3
+    assert all(r["pred"] == "http://example.org/code#usesModule"
+               for r in q["rows"])
+    # stats-off path must produce the same graph (compare full outputs)
+    a = str(tmp_path / "qa")
+    b = str(tmp_path / "qb")
+    _run(capsys, "--sparql-file", str(qfile), "--query-table", table,
+         "--query-print", "0", "--query-output", a)
+    _run(capsys, "--sparql-file", str(qfile), "--query-table", table,
+         "--query-print", "0", "--query-output", b, "--no-query-stats")
+    rows_a = sorted(map(tuple, spark.read.parquet(a).collect()))
+    rows_b = sorted(map(tuple, spark.read.parquet(b).collect()))
+    assert rows_a == rows_b and len(rows_a) > 0
+    # --as-of time-travels to the (only) committed snapshot
+    s3 = _run(capsys, "--sparql-file", str(qfile), "--query-table", table,
+              "--as-of", str(s0["snapshot_id"]), "--query-print", "0")
+    assert "rows" not in s3["query"]
+
+
+def test_sparql_query_mode_errors(docs_path, tmp_path, capsys):
+    # query with no build and no table
+    assert main(["--sparql", "SELECT ?s WHERE { ?s <p> ?o }"]) == 2
+    # no input and no query at all
+    assert main([]) == 2
