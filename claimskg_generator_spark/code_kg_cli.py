@@ -182,7 +182,9 @@ def _run_query(spark, args, query_text, triples, summary) -> None:
     from claimskg_generator_spark.operators.bgp import predicate_profile
     from claimskg_generator_spark.operators.sparql import (
         parse_sparql,
+        sparql_ask,
         sparql_construct,
+        sparql_describe,
         sparql_select,
     )
 
@@ -200,7 +202,8 @@ def _run_query(spark, args, query_text, triples, summary) -> None:
         stats = {r["pred"]: (r["n_triples"], r["n_subj"], r["n_obj"])
                  for r in predicate_profile(graph).collect()}
     q = parse_sparql(query_text)
-    run = sparql_select if q.form == "select" else sparql_construct
+    run = {"select": sparql_select, "construct": sparql_construct,
+           "ask": sparql_ask, "describe": sparql_describe}[q.form]
     result = run(graph, q, stats=stats)
     info = {"form": q.form, "columns": result.columns}
     if args.query_output:

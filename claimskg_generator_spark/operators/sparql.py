@@ -29,26 +29,35 @@ cartesian rejection instead of growing a second (worse) planner:
 
 Grammar (keywords case-insensitive; ``#`` comments allowed)::
 
-    query     := prefix* ( select | construct )
+    query     := prefix* ( select | construct | ask | describe )
     prefix    := PREFIX name ':' <iri>
     select    := SELECT DISTINCT? ( '*' | item+ ) WHERE group solution*
     item      := ?var | '(' AGG '(' (DISTINCT? ?var | '*') ')' AS ?var ')'
     AGG       := COUNT | SUM | MIN | MAX | AVG
     construct := CONSTRUCT '{' triples '}' WHERE group
-    group     := '{' ( triple '.'? | OPTIONAL group
+    ask       := ASK group
+    describe  := DESCRIBE dterm+ ( WHERE group )?
+    dterm     := ?var | <iri> | pfx:local
+    group     := '{' ( triple '.'? | OPTIONAL group | MINUS group
                      | FILTER NOT EXISTS group | FILTER '(' expr ')'
+                     | BIND '(' bexpr AS ?var ')'
                      | block ( UNION block )+
                      | VALUES ( ?var | '(' ?var+ ')' ) '{' row* '}' )* '}'
     block     := '{' ( triple '.'? )* '}'
     row       := literal | '(' literal+ ')'
-    triple    := term term term
+    triple    := term path term
+    path      := pelt ( '/' pelt )* | pelt ( '|' pelt )+ | ?var
+    pelt      := '^'? ( <iri> | pfx:local | a )
     term      := ?var | <iri> | pfx:local | "string" | number | a
     expr      := conj ( '||' conj )*
     conj      := prim ( '&&' prim )*
     prim      := '(' expr ')' | operand CMP operand
                | (CONTAINS|STRSTARTS|REGEX) '(' ?var ',' "string" ')'
     CMP       := '=' | '!=' | '<' | '<=' | '>' | '>='
-    solution  := GROUP BY ?var+ | ORDER BY ((ASC|DESC)'('?var')'|?var)+
+    bexpr     := operand | CONCAT '(' bexpr (',' bexpr)* ')'
+               | (STRLEN|UCASE|LCASE|STR) '(' ?var ')'
+    solution  := GROUP BY ?var+ | HAVING '(' expr ')'
+               | ORDER BY ((ASC|DESC)'('?var')'|?var)+
                | LIMIT n | OFFSET n
 
 Semantics notes (all chosen to match the ANSI-SQL twin the driver
@@ -59,8 +68,31 @@ must bind IDENTICAL variable sets (the common SPARQL shape) — that
 sidesteps the unbound-variable join-compatibility corner entirely, so
 a chain compiles to a plain bag union joined with the rest of the
 group on shared variables.  VALUES compiles to a literal relation
-broadcast-joined on its variables.  Unsupported SPARQL (subqueries,
-property paths inside patterns, BIND, MINUS, HAVING) is rejected
+broadcast-joined on its variables.
+
+Property paths in predicate position rewrite at parse time onto the
+same BGP machinery — sequence ``p1/p2`` chains through fresh hidden
+variables (projected away; fresh vars never collide with user ``?``
+names because ``?__pv…`` is reserved), inverse ``^p`` swaps
+subject/object, and alternation ``p1|p2`` becomes a two-branch UNION
+chain (so it is accepted only in the required group, where UNION
+lives).  ``p+`` closure stays a separate operator
+(:func:`path_closure`) because it is iterative, not a static rewrite.
+
+``BIND`` expressions evaluate AFTER all pattern/MINUS joins and BEFORE
+FILTER expressions regardless of written position (document-order
+scoping inside one group is not in the subset); the bound variable is
+then a first-class binding for SELECT/GROUP BY/CONSTRUCT.  ``MINUS``
+compiles to a left-anti join on the shared variables with SQL NULL
+semantics — a row whose shared variable is NULL (possible via
+OPTIONAL) is never removed, and a MINUS group sharing NO variable
+removes nothing (the SPARQL disjoint-domain rule).  ``HAVING`` filters
+the aggregated frame (its variables are output columns: group keys or
+aggregate aliases).  ``ASK`` returns a one-row ``(ask boolean)``
+frame; ``DESCRIBE`` returns the subject-based description (all triples
+whose subject is a described node) as a set-deduped
+``(subj, pred, obj)`` graph.  Unsupported SPARQL (subqueries,
+``GRAPH``/``SERVICE``, updates, ``p*``/``p?`` in patterns) is rejected
 loudly at parse time — never silently mis-planned.
 """
 
@@ -87,7 +119,7 @@ _TOKEN = re.compile(
       | (?P<pname>[A-Za-z_][\w-]*:[\w-]+(?:\.[\w-]+)*)
       | (?P<word>[A-Za-z_]\w*)
       | (?P<num>\d+(?:\.\d+)?)
-      | (?P<op>&&|\|\||!=|<=|>=|[{}().,;*=<>:])
+      | (?P<op>&&|\|\||!=|<=|>=|[{}().,;*=<>:/^|])
     """,
     re.X,
 )
@@ -140,7 +172,7 @@ class SelectItem:
 
 @dataclass
 class ParsedQuery:
-    form: str                                    # "select" | "construct"
+    form: str                     # "select" | "construct" | "ask" | "describe"
     prefixes: Dict[str, str] = field(default_factory=dict)
     select: Optional[List[SelectItem]] = None    # None == SELECT *
     distinct: bool = False
@@ -148,13 +180,19 @@ class ParsedQuery:
     patterns: List[Triple] = field(default_factory=list)
     optional_groups: List[List[Triple]] = field(default_factory=list)
     not_exists_groups: List[List[Triple]] = field(default_factory=list)
+    minus_groups: List[List[Triple]] = field(default_factory=list)
     filters: List[tuple] = field(default_factory=list)
+    #: (target variable, bind-expression AST) in written order
+    binds: List[Tuple[str, tuple]] = field(default_factory=list)
     #: each chain is >= 2 branches, each branch a BGP pattern list
     union_chains: List[List[List[Triple]]] = field(default_factory=list)
     #: (variable names, literal rows) per VALUES block
     values_blocks: List[Tuple[List[str], List[Tuple[str, ...]]]] = \
         field(default_factory=list)
+    #: DESCRIBE targets: "?var" or an expanded IRI string
+    describe_terms: List[str] = field(default_factory=list)
     group_by: List[str] = field(default_factory=list)
+    having: List[tuple] = field(default_factory=list)
     order_by: List[Tuple[str, bool]] = field(default_factory=list)
     limit: Optional[int] = None
     offset: Optional[int] = None
@@ -162,8 +200,8 @@ class ParsedQuery:
 
 _AGGS = {"COUNT", "SUM", "MIN", "MAX", "AVG"}
 _FNS = {"CONTAINS", "STRSTARTS", "REGEX"}
-_UNSUPPORTED = {"BIND", "MINUS", "ASK", "DESCRIBE",
-                "INSERT", "DELETE", "SERVICE", "GRAPH", "HAVING"}
+_BIND_FNS = {"STRLEN", "UCASE", "LCASE", "STR"}
+_UNSUPPORTED = {"INSERT", "DELETE", "SERVICE", "GRAPH", "LOAD", "CLEAR"}
 
 
 class _Parser:
@@ -171,6 +209,7 @@ class _Parser:
         self.toks = _tokenize(text)
         self.i = 0
         self.prefixes: Dict[str, str] = {}
+        self._fresh = 0   # hidden sequence-path variable counter
 
     # --- token helpers ---
     def peek(self) -> Optional[str]:
@@ -221,9 +260,14 @@ class _Parser:
             q = self._select()
         elif self.at_kw("CONSTRUCT"):
             q = self._construct()
+        elif self.at_kw("ASK"):
+            q = self._ask()
+        elif self.at_kw("DESCRIBE"):
+            q = self._describe()
         else:
             raise SparqlSyntaxError(
-                f"expected SELECT or CONSTRUCT, got {self.peek()!r}")
+                "expected SELECT, CONSTRUCT, ASK or DESCRIBE, got "
+                f"{self.peek()!r}")
         if self.i < len(self.toks):
             raise SparqlSyntaxError(
                 f"trailing tokens after query: {self.toks[self.i:]!r}")
@@ -303,12 +347,56 @@ class _Parser:
                 "(the result is a set-deduped graph, not a solution list)")
         return q
 
+    def _ask(self) -> ParsedQuery:
+        self.kw("ASK")
+        q = ParsedQuery(form="ask")
+        self._group(q)
+        if self.i < len(self.toks):
+            raise SparqlSyntaxError(
+                "ASK takes no solution modifiers (the result is one "
+                "boolean row)")
+        return q
+
+    def _describe(self) -> ParsedQuery:
+        self.kw("DESCRIBE")
+        q = ParsedQuery(form="describe")
+        while True:
+            t = self.peek()
+            if t is None or t.upper() == "WHERE":
+                break
+            if t.startswith("?"):
+                q.describe_terms.append(self.next())
+            else:
+                term = self._term()
+                if term.startswith("?"):
+                    raise SparqlSyntaxError(
+                        f"DESCRIBE target must be a ?var or IRI: {t!r}")
+                q.describe_terms.append(term)
+        if not q.describe_terms:
+            raise SparqlSyntaxError("DESCRIBE needs >= 1 target")
+        has_vars = any(t.startswith("?") for t in q.describe_terms)
+        if self.at_kw("WHERE"):
+            self.next()
+            self._group(q)
+        elif has_vars:
+            raise SparqlSyntaxError(
+                "DESCRIBE with ?var targets needs a WHERE group")
+        return q
+
     def _triple_block(self) -> List[Triple]:
-        """'{' triple ('.' triple)* '.'? '}' — plain patterns only."""
+        """'{' triple ('.' triple)* '.'? '}' — patterns only (sequence
+        and inverse paths rewrite in place; alternation is rejected
+        here because a nested group cannot host a UNION chain)."""
         self.expect("{")
         trips: List[Triple] = []
         while self.peek() != "}":
-            trips.append(self._triple())
+            expanded, alt = self._triple()
+            if alt is not None:
+                raise SparqlSyntaxError(
+                    "alternation paths (p1|p2) are only supported in "
+                    "the required group, not inside OPTIONAL/MINUS/"
+                    "NOT EXISTS/UNION/CONSTRUCT blocks")
+            trips.extend(expanded)
             if self.peek() == ".":
                 self.next()
         self.expect("}")
@@ -321,6 +409,20 @@ class _Parser:
             if self.at_kw("OPTIONAL"):
                 self.next()
                 q.optional_groups.append(self._triple_block())
+            elif self.at_kw("MINUS"):
+                self.next()
+                q.minus_groups.append(self._triple_block())
+            elif self.at_kw("BIND"):
+                self.next()
+                self.expect("(")
+                expr = self._bind_expr()
+                self.kw("AS")
+                v = self.next()
+                if not v.startswith("?"):
+                    raise SparqlSyntaxError(
+                        f"BIND AS target must be a ?var: {v!r}")
+                self.expect(")")
+                q.binds.append((v[1:], expr))
             elif self.at_kw("FILTER"):
                 self.next()
                 if self.at_kw("NOT"):
@@ -347,7 +449,10 @@ class _Parser:
                 self.next()
                 q.values_blocks.append(self._values_block())
             else:
-                q.patterns.append(self._triple())
+                expanded, alt = self._triple()
+                q.patterns.extend(expanded)
+                if alt is not None:
+                    q.union_chains.append(alt)
             if self.peek() == ".":
                 self.next()
         self.expect("}")
@@ -399,8 +504,100 @@ class _Parser:
             raise SparqlSyntaxError("UNDEF is outside the subset")
         return self._term()
 
-    def _triple(self) -> Triple:
-        return (self._term(), self._term(), self._term())
+    def _triple(self) -> Tuple[List[Triple], Optional[List[List[Triple]]]]:
+        """One ``term path term`` pattern, property paths rewritten at
+        parse time: returns ``(triples, alt)`` where ``triples`` is the
+        (possibly sequence-expanded / inverse-swapped) pattern list and
+        ``alt`` is a UNION chain when the path is an alternation (else
+        None; exactly one of the two carries the pattern)."""
+        s = self._term()
+        kind, elts = self._path()
+        o = self._term()
+        if kind == "alt":
+            branches = [[(o, p, s) if inv else (s, p, o)]
+                        for inv, p in elts]
+            return [], branches
+        cur, out = s, []
+        for n, (inv, p) in enumerate(elts):
+            last = n == len(elts) - 1
+            if last:
+                nxt = o
+            else:
+                nxt = f"?__pv{self._fresh}"
+                self._fresh += 1
+            out.append((nxt, p, cur) if inv else (cur, p, nxt))
+            cur = nxt
+        return out, None
+
+    def _path(self) -> Tuple[str, List[Tuple[bool, str]]]:
+        """Predicate-position path: ``("seq", [(inverse, iri), ...])``
+        (length 1 == a plain predicate) or ``("alt", ...)``.  A bare
+        ``?var`` predicate stays a variable (no path operators around
+        it); ``+``/``*``/``?`` modifiers are rejected — closure is the
+        iterative :func:`path_closure` operator, not a static rewrite."""
+        first = self._path_elt()
+        if self.peek() == "/":
+            elts = [first]
+            while self.peek() == "/":
+                self.next()
+                elts.append(self._path_elt())
+            if self.peek() == "|":
+                raise SparqlSyntaxError(
+                    "mixing / and | in one path is outside the subset "
+                    "— parenthesize as separate patterns")
+            self._no_path_var(elts)
+            return "seq", elts
+        if self.peek() == "|":
+            elts = [first]
+            while self.peek() == "|":
+                self.next()
+                elts.append(self._path_elt())
+            self._no_path_var(elts)
+            return "alt", elts
+        if first[0]:
+            self._no_path_var([first])
+        return "seq", [first]
+
+    def _path_elt(self) -> Tuple[bool, str]:
+        inv = False
+        if self.peek() == "^":
+            self.next()
+            inv = True
+        return inv, self._term()
+
+    @staticmethod
+    def _no_path_var(elts: List[Tuple[bool, str]]) -> None:
+        bad = [p for _, p in elts if p.startswith("?")]
+        if bad:
+            raise SparqlSyntaxError(
+                f"path elements must be IRIs, not variables: {bad}")
+
+    # --- BIND expressions ---
+    def _bind_expr(self) -> tuple:
+        """bexpr := operand | CONCAT '(' operand, ... ')'
+        | (STRLEN|UCASE|LCASE|STR) '(' ?var ')' — AST nodes
+        ("concat", [operands]) / ("bfn", name, var) / operand."""
+        t = self.peek()
+        if t is not None and t.upper() == "CONCAT":
+            self.next()
+            self.expect("(")
+            parts = [self._bind_expr()]     # args recurse: CONCAT(UCASE(?x), "!")
+            while self.peek() == ",":
+                self.next()
+                parts.append(self._bind_expr())
+            self.expect(")")
+            if len(parts) < 2:
+                raise SparqlSyntaxError("CONCAT needs >= 2 arguments")
+            return ("concat", parts)
+        if t is not None and t.upper() in _BIND_FNS:
+            fn = self.next().upper()
+            self.expect("(")
+            v = self.next()
+            if not v.startswith("?"):
+                raise SparqlSyntaxError(f"{fn} arg must be a ?var: {v!r}")
+            self.expect(")")
+            return ("bfn", fn, v[1:])
+        return self._operand()
 
     def _term(self) -> str:
         t = self.next()
@@ -482,6 +679,11 @@ class _Parser:
                     q.group_by.append(self.next()[1:])
                 if not q.group_by:
                     raise SparqlSyntaxError("GROUP BY needs >= 1 variable")
+            elif self.at_kw("HAVING"):
+                self.next()
+                self.expect("(")
+                q.having.append(self._expr())
+                self.expect(")")
             elif self.at_kw("ORDER"):
                 self.next()
                 self.kw("BY")
@@ -570,6 +772,29 @@ def _filter_col(node: tuple) -> Column:
     }[op]
 
 
+def _bind_vars(node: tuple) -> set:
+    if node[0] == "concat":
+        return set().union(*(_bind_vars(n) for n in node[1]))
+    if node[0] == "bfn":
+        return {node[2]}
+    return {node[1]} if node[0] == "var" else set()
+
+
+def _bind_col(node: tuple) -> Column:
+    """BIND expression -> Column.  STR is the identity on our
+    string-typed terms (kept so standard queries parse); STRLEN yields
+    an int column — the SQL twin casts length() to match."""
+    if node[0] == "concat":
+        return F.concat(*[_bind_col(o) for o in node[1]])
+    if node[0] == "bfn":
+        _, fn, var = node
+        col = F.col(var)
+        return {"STRLEN": F.length(col).cast("int"),
+                "UCASE": F.upper(col), "LCASE": F.lower(col),
+                "STR": col}[fn]
+    return _operand_col(node)
+
+
 def _agg_col(it: SelectItem) -> Column:
     if it.agg == "COUNT":
         if it.arg == "*":
@@ -593,9 +818,9 @@ def _agg_col(it: SelectItem) -> Column:
 def _bindings(triples: DataFrame, q: ParsedQuery,
               stats: Optional[dict]) -> DataFrame:
     """The shared WHERE evaluation: bgp_query over ALL bound variables,
-    UNION chains and VALUES relations joined in, then FILTER
-    expressions (they may reference variables the SELECT list drops, so
-    they apply before projection)."""
+    UNION chains and VALUES relations joined in, then MINUS anti-joins,
+    BIND columns, and FILTER expressions (they may reference variables
+    the SELECT list drops, so they apply before projection)."""
     from claimskg_generator_spark.operators.bgp import bgp_query
 
     if not q.union_chains and not q.values_blocks:
@@ -663,6 +888,25 @@ def _bindings(triples: DataFrame, q: ParsedQuery,
                     "with the required patterns")
             df = df.join(gdf.select(*keys), keys, "left_anti")
     bound = set(df.columns)
+    for group in q.minus_groups:
+        gdf = bgp_query(triples, group, stats=stats)
+        keys = sorted(set(gdf.columns) & bound)
+        if not keys:
+            # SPARQL disjoint-domain rule: MINUS with no shared
+            # variable removes nothing (unlike NOT EXISTS, which would
+            # empty the result when the group matches anything)
+            continue
+        df = df.join(gdf.select(*keys), keys, "left_anti")
+    for var, expr in q.binds:
+        if var in bound:
+            raise SparqlSyntaxError(
+                f"BIND target ?{var} is already bound")
+        missing = _bind_vars(expr) - bound
+        if missing:
+            raise SparqlSyntaxError(
+                f"BIND references unbound variables: {sorted(missing)}")
+        df = df.withColumn(var, _bind_col(expr))
+        bound.add(var)
     for flt in q.filters:
         missing = _filter_vars(flt) - bound
         if missing:
@@ -704,11 +948,23 @@ def sparql_select(triples: DataFrame, query: str,
         if not aggs:
             raise SparqlSyntaxError("GROUP BY without any aggregate")
         df = df.groupBy(*q.group_by).agg(*[_agg_col(a) for a in aggs])
+        out_cols = set(q.group_by) | {a.alias for a in aggs}
+        for h in q.having:
+            bad = _filter_vars(h) - out_cols
+            if bad:
+                raise SparqlSyntaxError(
+                    "HAVING may only reference group keys or aggregate "
+                    f"aliases: {sorted(bad)}")
+            df = df.filter(_filter_col(h))
         df = df.select(*[it.var if it.var is not None else it.alias
                          for it in q.select])
     else:
-        sel = (sorted(bound) if q.select is None
-               else [it.var for it in q.select])
+        if q.having:
+            raise SparqlSyntaxError("HAVING without GROUP BY")
+        # SELECT * projects the user-visible bindings — never the
+        # hidden ?__pv sequence-path variables
+        sel = (sorted(v for v in bound if not v.startswith("__pv"))
+               if q.select is None else [it.var for it in q.select])
         missing = [v for v in sel if v not in bound]
         if missing:
             raise SparqlSyntaxError(f"unbound variables: {missing}")
@@ -756,6 +1012,60 @@ def sparql_construct(triples: DataFrame, query: str,
         for (s, p, o) in q.template
     ]
     return reduce(DataFrame.unionAll, parts).distinct()
+
+
+def sparql_ask(triples: DataFrame, query: str,
+               stats: Optional[dict] = None) -> DataFrame:
+    """Run a SPARQL ASK subset query: does the WHERE group match at
+    all?  Returns a ONE-ROW frame ``(ask boolean)`` — kept lazy (no
+    driver collect) so it composes like every other query face.  The
+    plan is the binding join chain capped by ``limit(1)``: Spark stops
+    the scan at the first produced row (LocalLimit early-out), so a
+    100 TB graph answers a satisfiable ASK after touching one match."""
+    q = query if isinstance(query, ParsedQuery) else parse_sparql(query)
+    if q.form != "ask":
+        raise ValueError(f"not an ASK query (form={q.form!r})")
+    probe = _bindings(triples, q, stats).limit(1)
+    return probe.agg((F.count(F.lit(1)) > 0).alias("ask"))
+
+
+def sparql_describe(triples: DataFrame, query: str,
+                    stats: Optional[dict] = None) -> DataFrame:
+    """Run a SPARQL DESCRIBE subset query: the subject-based
+    description (every triple whose subject is a described node — the
+    bnode-free concise-bounded-description, exact for this engine's
+    KGs, which mint URIs instead of blank nodes) of each target.
+    ``?var`` targets draw their nodes from the WHERE bindings; IRI
+    targets contribute themselves.  The node set is distinct-projected
+    per variable (slim single-column frames), unioned, and semi-joined
+    against the triple table on ``subj`` — one narrow join keyed on
+    the scan's natural subject clustering, never a full materialization
+    of bindings x triples.  Output: set-deduped ``(subj, pred, obj)``."""
+    q = query if isinstance(query, ParsedQuery) else parse_sparql(query)
+    if q.form != "describe":
+        raise ValueError(f"not a DESCRIBE query (form={q.form!r})")
+    spark = triples.sparkSession
+    var_targets = [t[1:] for t in q.describe_terms if t.startswith("?")]
+    iri_targets = [t for t in q.describe_terms if not t.startswith("?")]
+    frames: List[DataFrame] = []
+    if var_targets:
+        df = _bindings(triples, q, stats)
+        bound = set(df.columns)
+        missing = [v for v in var_targets if v not in bound]
+        if missing:
+            raise SparqlSyntaxError(
+                f"DESCRIBE variables unbound in WHERE: {missing}")
+        frames += [df.select(F.col(v).alias("node")).distinct()
+                   for v in var_targets]
+    if iri_targets:
+        frames.append(spark.createDataFrame(
+            [(t,) for t in iri_targets], "node string"))
+    nodes = reduce(DataFrame.unionAll, frames).distinct()
+    return (
+        triples.join(nodes, triples["subj"] == nodes["node"], "left_semi")
+        .select("subj", "pred", "obj")
+        .distinct()
+    )
 
 
 # --------------------------------------------------------------------------

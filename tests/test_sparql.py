@@ -91,9 +91,8 @@ def test_parse_group_structure():
 
 
 @pytest.mark.parametrize("bad, msg", [
-    ("SELECT ?x WHERE { ?x <p> ?y . MINUS { ?x <q> ?y } }", "MINUS"),
-    ("SELECT ?x WHERE { ?x <p> ?y . BIND(?y AS ?z) }", "BIND"),
-    ("ASK { ?x <p> ?y }", "ASK"),
+    ("SELECT ?x WHERE { GRAPH <g> { ?x <p> ?y } }", "GRAPH"),
+    ("SELECT ?x WHERE { SERVICE <s> { ?x <p> ?y } }", "SERVICE"),
     ("SELECT ?x WHERE { ?x pfx:zzz ?y }", "unknown prefix"),
     ("SELECT WHERE { ?x <p> ?y }", "empty SELECT"),
     ("SELECT ?x WHERE { }", "no required patterns"),
@@ -440,3 +439,160 @@ def test_repo_dependencies_ownership(spark):
               "content string")
     got = set(map(tuple, repo_dependencies(files).collect()))
     assert got == {("rB", "rA")}
+
+
+# ----------------------------------------- paths / BIND / MINUS / HAVING
+
+def test_sequence_path_expands_through_hidden_var(g):
+    q = parse_sparql(
+        "SELECT ?f ?l WHERE { ?f <imports>/<label> ?l }")
+    assert q.patterns == [
+        ("?f", "imports", "?__pv0"), ("?__pv0", "label", "?l")]
+    got = sorted(map(tuple, sparql_select(g, q).collect()))
+    assert got == [("f1", "numpy"), ("f1", "requests"),
+                   ("f2", "numpy"), ("f3", "requests")]
+
+
+def test_inverse_path_swaps_subject_object(g):
+    inv = sparql_select(g, "SELECT ?m ?f WHERE { ?m ^<imports> ?f }")
+    fwd = sparql_select(g, "SELECT ?m ?f WHERE { ?f <imports> ?m }")
+    assert sorted(map(tuple, inv.collect())) == \
+        sorted(map(tuple, fwd.collect()))
+
+
+def test_alternation_path_is_a_union_chain(g):
+    q = parse_sparql(
+        'SELECT ?f ?x WHERE { ?f <lang>|<stars> ?x . ?f a <File> }')
+    assert q.union_chains == [
+        [[("?f", "lang", "?x")], [("?f", "stars", "?x")]]]
+    got = sorted(map(tuple, sparql_select(g, q).collect()))
+    assert got == [("f1", "10"), ("f1", "python"),
+                   ("f2", "3"), ("f2", "go")]
+
+
+def test_select_star_hides_sequence_path_vars(g):
+    df = sparql_select(g, "SELECT * WHERE { ?f <imports>/<label> ?l }")
+    assert df.columns == ["f", "l"]
+
+
+def test_bind_concat_and_string_fns(g):
+    got = dict(sparql_select(g, """
+        SELECT ?m ?k WHERE {
+          ?x <label> ?m . BIND(CONCAT(UCASE(?m), "!") AS ?u)
+          BIND(?u AS ?k)
+        }
+    """).collect())
+    assert got == {"numpy": "NUMPY!", "requests": "REQUESTS!"}
+    lens = dict(sparql_select(g, """
+        SELECT ?m ?n WHERE { ?x <label> ?m . BIND(STRLEN(?m) AS ?n) }
+    """).collect())
+    assert lens == {"numpy": 5, "requests": 8}
+
+
+def test_bind_var_usable_in_group_by_and_filter(g):
+    rows = sparql_select(g, """
+        SELECT ?k (COUNT(*) AS ?n) WHERE {
+          ?f <lang> ?l . BIND(UCASE(?l) AS ?k) FILTER(?k != "GO")
+        } GROUP BY ?k
+    """).collect()
+    assert [(r["k"], r["n"]) for r in rows] == [("PYTHON", 2)]
+
+
+def test_bind_errors(g):
+    with pytest.raises(SparqlSyntaxError, match="already bound"):
+        sparql_select(g, "SELECT ?f WHERE { ?f <lang> ?l . "
+                         'BIND("x" AS ?l) }').collect()
+    with pytest.raises(SparqlSyntaxError, match="unbound"):
+        sparql_select(g, "SELECT ?f WHERE { ?f <lang> ?l . "
+                         "BIND(?nope AS ?z) }").collect()
+
+
+def test_minus_removes_on_shared_vars(g):
+    got = sorted(r["f"] for r in sparql_select(g, """
+        SELECT ?f WHERE { ?f <imports> ?m
+                          MINUS { ?f <lang> "python" } }
+    """).collect())
+    assert got == ["f2"]
+
+
+def test_minus_disjoint_domain_removes_nothing(g):
+    # MINUS group shares NO variable -> SPARQL keeps everything
+    # (NOT EXISTS over the same group would empty the result)
+    kept = sparql_select(g, """
+        SELECT ?f WHERE { ?f <imports> ?m MINUS { ?z <lang> "python" } }
+    """).count()
+    assert kept == 4
+
+
+def test_having_filters_aggregates(g):
+    rows = sparql_select(g, """
+        SELECT ?l (COUNT(*) AS ?n) WHERE { ?f <lang> ?l . ?f <imports> ?m }
+        GROUP BY ?l HAVING(?n >= 2) ORDER BY ?l
+    """).collect()
+    assert [(r["l"], r["n"]) for r in rows] == [("python", 3)]
+    with pytest.raises(SparqlSyntaxError, match="HAVING"):
+        sparql_select(g, "SELECT ?f WHERE { ?f <lang> ?l } HAVING(?l = \"x\")")
+    with pytest.raises(SparqlSyntaxError, match="group keys or aggregate"):
+        sparql_select(g, """
+            SELECT ?l (COUNT(*) AS ?n) WHERE { ?f <lang> ?l }
+            GROUP BY ?l HAVING(?zz > 1)
+        """)
+
+
+# --------------------------------------------------------- ASK / DESCRIBE
+
+def test_ask_true_false_one_boolean_row(g):
+    from claimskg_generator_spark.operators.sparql import sparql_ask
+
+    t = sparql_ask(g, 'ASK { ?f <lang> "go" . ?f <imports> ?m }')
+    assert [tuple(r) for r in t.collect()] == [(True,)]
+    assert t.columns == ["ask"]
+    f = sparql_ask(g, 'ASK { ?f <lang> "rust" }')
+    assert [tuple(r) for r in f.collect()] == [(False,)]
+
+
+def test_ask_plan_has_limit_early_out(g):
+    from claimskg_generator_spark.operators.sparql import sparql_ask
+
+    plan = sparql_ask(g, 'ASK { ?f <lang> "go" }')._jdf \
+        .queryExecution().optimizedPlan().toString()
+    assert "GlobalLimit 1" in plan or "Limit 1" in plan
+
+
+def test_describe_var_and_iri_targets(g):
+    from claimskg_generator_spark.operators.sparql import sparql_describe
+
+    got = set(map(tuple, sparql_describe(g, """
+        DESCRIBE ?m <f2> WHERE { ?f <imports> ?m . ?f <lang> "go" }
+    """).collect()))
+    # nodes: m1 (imported by go file f2) + the literal IRI f2
+    assert got == {
+        ("m1", "label", "numpy"),
+        ("f2", "imports", "m1"), ("f2", "lang", "go"),
+        ("f2", RDF_TYPE, "File"), ("f2", "stars", "3"),
+    }
+
+
+def test_describe_iri_only_needs_no_where(g):
+    from claimskg_generator_spark.operators.sparql import sparql_describe
+
+    got = set(map(tuple, sparql_describe(g, "DESCRIBE <m1> <m2>")
+                  .collect()))
+    assert got == {("m1", "label", "numpy"), ("m2", "label", "requests")}
+
+
+def test_describe_unbound_var_rejected(g):
+    from claimskg_generator_spark.operators.sparql import sparql_describe
+
+    with pytest.raises(SparqlSyntaxError, match="unbound"):
+        sparql_describe(g, "DESCRIBE ?zz WHERE { ?f <lang> ?l }")
+
+
+def test_new_forms_dispatch_guards(g):
+    from claimskg_generator_spark.operators.sparql import (
+        sparql_ask, sparql_describe)
+
+    with pytest.raises(ValueError, match="not an ASK"):
+        sparql_ask(g, "SELECT ?f WHERE { ?f <lang> ?l }")
+    with pytest.raises(ValueError, match="not a DESCRIBE"):
+        sparql_describe(g, "ASK { ?f <lang> ?l }")
