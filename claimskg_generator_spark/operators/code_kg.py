@@ -85,6 +85,31 @@ P_SHA256 = CODE + "sha256"
 P_IMPORTS = CODE + "imports"
 P_LINKS_TO = CODE + "linksTo"
 
+# --- vocabulary schema (consumed by operators/rdfs.rdfs_entail) ---
+# Two-level class and property hierarchies so subClassOf/subPropertyOf
+# transitivity is actually exercised, plus domain/range for the two
+# object properties.  Schema-sized by construction: this ships to
+# executors as broadcast literal relations, never as a data join.
+T_RESOURCE = CODE + "Resource"
+T_DEPENDENCY = CODE + "Dependency"
+P_DEPENDS_ON = CODE + "dependsOn"
+P_RELATED_TO = CODE + "relatedTo"
+
+_RDFS = "http://www.w3.org/2000/01/rdf-schema#"
+CODE_ONTOLOGY = [
+    (T_SOURCE_FILE, _RDFS + "subClassOf", T_RESOURCE),
+    (T_REPOSITORY, _RDFS + "subClassOf", T_RESOURCE),
+    (T_MODULE, _RDFS + "subClassOf", T_DEPENDENCY),
+    (T_DEPENDENCY, _RDFS + "subClassOf", T_RESOURCE),
+    (P_IMPORTS, _RDFS + "subPropertyOf", P_DEPENDS_ON),
+    (P_DEPENDS_ON, _RDFS + "subPropertyOf", P_RELATED_TO),
+    (P_LINKS_TO, _RDFS + "subPropertyOf", P_RELATED_TO),
+    (P_IMPORTS, _RDFS + "domain", T_SOURCE_FILE),
+    (P_IMPORTS, _RDFS + "range", T_MODULE),
+    (P_REPO, _RDFS + "domain", T_SOURCE_FILE),
+    (P_REPO, _RDFS + "range", T_REPOSITORY),
+]
+
 
 def mint_uri(kind: str, key: Column, scheme: str = "md5") -> Column:
     """Deterministic entity URI from a (kind, natural-key) pair.

@@ -1,0 +1,169 @@
+"""RDFS entailment materialization — the ρdf inference rules over a
+``(subj, pred, obj)`` triple table against a schema-sized ontology.
+
+A KG-construction pipeline that publishes a graph under a vocabulary
+(the reference publishes schema.org ClaimReview; this engine's code KG
+publishes schema.org SoftwareSourceCode + an example.org extension)
+owes its consumers the ENTAILED graph: queries for the superclass
+(``?x a code:Resource``) or the superproperty (``?s code:dependsOn
+?o``) must hit, not miss, when the data was asserted at the subclass /
+subproperty level.  SPARQL endpoints get this from an RDFS reasoner;
+here it is one deterministic graph-to-graph operator.
+
+Rules implemented (the minimal deductive system of Muñoz, Pérez &
+Gutierrez, "Simple and Efficient Minimal RDFS", ESWC 2007 — the ρdf
+fragment; equivalently RDFS rules rdfs2/3/5/7/9/11 of the W3C RDF
+Semantics):
+
+* subPropertyOf transitivity + lifting: (p sp q), (s p o) => (s q o)
+* domain: (p dom c), (s p o) => (s rdf:type c)
+* range:  (p rng c), (s p o) => (o rdf:type c)
+* subClassOf transitivity + lifting: (c sc d), (x rdf:type c)
+  => (x rdf:type d)
+
+Fixpoint shape: applying the four families in the order property-lift
+-> domain/range -> class-lift, each over the CLOSED (transitive)
+schema relations, reaches the full ρdf fixpoint of the data triples in
+ONE pass — new type triples can only feed the class-lift rule, which
+runs last over the closed subclass relation, and entailed property
+triples carry predicates whose domain/range the closure already lifted
+(the standard stratification argument of the ρdf paper).  No iteration
+over the DATA is ever needed.
+
+Scale shape: the ontology is SCHEMA-sized (vocabulary terms, not
+instances — KBs even for schema.org-scale vocabularies), so its
+transitive closure runs driver-side in pure Python and ships to the
+executors as broadcast-joined literal relations; the 100 TB data
+frame is touched by exactly four narrow broadcast joins + one
+set-dedup union — no self-join of the data, no iteration, one
+exchange (the final distinct).  This mirrors every other small-dim
+pattern in the engine (ratings table, VALUES relations).
+
+Reference parity note: the reference emits its graph WITHOUT
+materialized entailment and leaves inference to the consuming SPARQL
+store (reference claimskg/generator/__init__.py builds plain
+rdflib.Graph triples); this operator is the Spark-first equivalent of
+turning that store-side reasoning on.
+"""
+
+from typing import Dict, Iterable, List, Set, Tuple
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+RDFS = "http://www.w3.org/2000/01/rdf-schema#"
+SUBCLASS = RDFS + "subClassOf"
+SUBPROP = RDFS + "subPropertyOf"
+DOMAIN = RDFS + "domain"
+RANGE = RDFS + "range"
+
+Triple = Tuple[str, str, str]
+
+
+def _transitive(pairs: Iterable[Tuple[str, str]]) -> Set[Tuple[str, str]]:
+    """Strict (irreflexive unless cyclic) transitive closure of a tiny
+    schema relation — plain BFS per source, O(V*E) on KB-sized input."""
+    adj: Dict[str, Set[str]] = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+    closed: Set[Tuple[str, str]] = set()
+    for start in adj:
+        seen: Set[str] = set()
+        frontier = set(adj[start])
+        while frontier:
+            seen |= frontier
+            frontier = set().union(
+                *(adj.get(n, set()) for n in frontier)) - seen
+        closed |= {(start, d) for d in seen}
+    return closed
+
+
+def _check_ontology(ontology: List[Triple]) -> None:
+    bad = [t for t in ontology
+           if t[1] not in (SUBCLASS, SUBPROP, DOMAIN, RANGE)]
+    if bad:
+        raise ValueError(
+            f"ontology triples must use rdfs:subClassOf/subPropertyOf/"
+            f"domain/range predicates, got {bad[:3]}")
+
+
+def rdfs_entail(triples: DataFrame, ontology: List[Triple],
+                include_schema: bool = False) -> DataFrame:
+    """Materialize the ρdf entailment of ``triples`` under ``ontology``.
+
+    ``ontology`` is a driver-side list of ``(s, p, o)`` schema triples
+    (predicates restricted to the four rdfs terms — anything else is
+    rejected loudly).  Returns the set-deduped entailed graph as
+    ``(subj, pred, obj)``; ``include_schema=True`` additionally emits
+    the CLOSED ontology itself (subClassOf/subPropertyOf made
+    transitive) as triples, the W3C-entailment reading where schema
+    and data live in one graph.
+
+    The four rule families are broadcast joins against literal
+    relations built from the closed schema; see the module docstring
+    for why one pass reaches the fixpoint.
+    """
+    _check_ontology(ontology)
+    spark = triples.sparkSession
+    sc_closed = _transitive(
+        (s, o) for s, p, o in ontology if p == SUBCLASS)
+    sp_closed = _transitive(
+        (s, o) for s, p, o in ontology if p == SUBPROP)
+    dom = {(s, o) for s, p, o in ontology if p == DOMAIN}
+    rng = {(s, o) for s, p, o in ontology if p == RANGE}
+    # rdfs2/3 fire for superproperties too: a (s p o) with p ⊑ q and
+    # (q dom c) entails (s q o) which entails (s type c) — fold the
+    # lifted domains/ranges into the maps so one join pass suffices
+    dom |= {(p, c) for p, q in sp_closed for q2, c in dom if q2 == q}
+    rng |= {(p, c) for p, q in sp_closed for q2, c in rng if q2 == q}
+
+    data = triples.select("subj", "pred", "obj")
+    parts = [data]
+
+    def rel(pairs: Set[Tuple[str, str]], a: str, b: str) -> DataFrame:
+        return spark.createDataFrame(sorted(pairs), f"{a} string, {b} string")
+
+    if sp_closed:
+        sp = rel(sp_closed, "p", "q")
+        parts.append(
+            data.join(F.broadcast(sp), data["pred"] == sp["p"])
+            .select("subj", F.col("q").alias("pred"), "obj"))
+    if dom:
+        dm = rel(dom, "p", "c")
+        parts.append(
+            data.join(F.broadcast(dm), data["pred"] == dm["p"])
+            .select("subj", F.lit(RDF_TYPE).alias("pred"),
+                    F.col("c").alias("obj")))
+    if rng:
+        rn = rel(rng, "p", "c")
+        parts.append(
+            data.join(F.broadcast(rn), data["pred"] == rn["p"])
+            .select(F.col("obj").alias("subj"),
+                    F.lit(RDF_TYPE).alias("pred"),
+                    F.col("c").alias("obj")))
+    if sc_closed:
+        # class-lift runs over data types AND the domain/range-derived
+        # types: union the type sources first, then one broadcast join
+        sc = rel(sc_closed, "c", "d")
+        typed = [p.filter(F.col("pred") == RDF_TYPE) for p in parts]
+        types = typed[0]
+        for t in typed[1:]:
+            types = types.unionAll(t)
+        parts.append(
+            types.join(F.broadcast(sc), types["obj"] == sc["c"])
+            .select("subj", F.lit(RDF_TYPE).alias("pred"),
+                    F.col("d").alias("obj")))
+    if include_schema:
+        schema_rows = sorted(
+            {(s, SUBCLASS, o) for s, o in sc_closed}
+            | {(s, SUBPROP, o) for s, o in sp_closed}
+            | {(s, DOMAIN, o) for s, o in dom}
+            | {(s, RANGE, o) for s, o in rng})
+        if schema_rows:
+            parts.append(spark.createDataFrame(
+                schema_rows, "subj string, pred string, obj string"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.distinct()

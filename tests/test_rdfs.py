@@ -1,0 +1,142 @@
+"""RDFS ρdf entailment (operators/rdfs.py): one-pass broadcast-join
+materialization vs a naive pure-Python fixpoint, rule-by-rule checks,
+and the code-KG ontology wiring (q116's value path is pinned by the
+driver oracle)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from claimskg_generator_spark.operators.rdfs import (
+    DOMAIN,
+    RANGE,
+    RDF_TYPE,
+    SUBCLASS,
+    SUBPROP,
+    _transitive,
+    rdfs_entail,
+)
+
+SCHEMA3 = "subj string, pred string, obj string"
+
+
+def _python_fixpoint(data, onto):
+    """Naive rule-at-a-time iteration to fixpoint — the ground truth
+    the one-pass operator must reproduce."""
+    sc = {(s, o) for s, p, o in onto if p == SUBCLASS}
+    sp = {(s, o) for s, p, o in onto if p == SUBPROP}
+    dom = {(s, o) for s, p, o in onto if p == DOMAIN}
+    rng = {(s, o) for s, p, o in onto if p == RANGE}
+    g = set(data)
+    while True:
+        new = set()
+        new |= {(s, q, o) for (s, p, o) in g for (p2, q) in sp if p2 == p}
+        new |= {(s, RDF_TYPE, c) for (s, p, o) in g
+                for (p2, c) in dom if p2 == p}
+        new |= {(o, RDF_TYPE, c) for (s, p, o) in g
+                for (p2, c) in rng if p2 == p}
+        new |= {(x, RDF_TYPE, d) for (x, p, c) in g if p == RDF_TYPE
+                for (c2, d) in sc if c2 == c}
+        if new <= g:
+            return g
+        g |= new
+
+
+ONTO = [
+    ("File", SUBCLASS, "Doc"), ("Doc", SUBCLASS, "Thing"),
+    ("Mod", SUBCLASS, "Thing"),
+    ("imports", SUBPROP, "dependsOn"),
+    ("dependsOn", SUBPROP, "relatedTo"),
+    ("imports", DOMAIN, "File"), ("imports", RANGE, "Mod"),
+]
+
+DATA = [
+    ("f1", "imports", "m1"),
+    ("f2", "imports", "m2"),
+    ("f1", RDF_TYPE, "File"),
+    ("x", "relatedTo", "y"),        # already at the top property
+    ("z", RDF_TYPE, "Thing"),       # already at the top class
+]
+
+
+def test_transitive_closure_helper():
+    assert _transitive([("a", "b"), ("b", "c"), ("c", "d")]) == {
+        ("a", "b"), ("a", "c"), ("a", "d"),
+        ("b", "c"), ("b", "d"), ("c", "d")}
+    # cycle terminates and self-reaches
+    assert ("a", "a") in _transitive([("a", "b"), ("b", "a")])
+
+
+def test_one_pass_equals_python_fixpoint(spark):
+    df = spark.createDataFrame(DATA, SCHEMA3)
+    got = set(map(tuple, rdfs_entail(df, ONTO).collect()))
+    assert got == _python_fixpoint(DATA, ONTO)
+    # spot-check the chained entailments individually
+    assert ("f1", "dependsOn", "m1") in got          # one sp level
+    assert ("f1", "relatedTo", "m1") in got          # transitive sp
+    assert ("f1", RDF_TYPE, "Doc") in got            # sc from domain-type
+    assert ("f1", RDF_TYPE, "Thing") in got          # transitive sc
+    assert ("m1", RDF_TYPE, "Mod") in got            # range
+    assert ("m1", RDF_TYPE, "Thing") in got          # sc over range-type
+
+
+def test_domain_range_lift_through_superproperty(spark):
+    # (p sp q), (q dom c): an asserted (s p o) must still type s as c
+    onto = [("p", SUBPROP, "q"), ("q", DOMAIN, "C"), ("q", RANGE, "D")]
+    df = spark.createDataFrame([("a", "p", "b")], SCHEMA3)
+    got = set(map(tuple, rdfs_entail(df, onto).collect()))
+    assert got == _python_fixpoint([("a", "p", "b")], onto)
+    assert ("a", RDF_TYPE, "C") in got and ("b", RDF_TYPE, "D") in got
+
+
+def test_include_schema_emits_closed_ontology(spark):
+    df = spark.createDataFrame([("a", "imports", "b")], SCHEMA3)
+    got = set(map(tuple, rdfs_entail(df, ONTO, include_schema=True)
+                  .collect()))
+    assert ("imports", SUBPROP, "relatedTo") in got   # CLOSED, not raw
+    assert ("File", SUBCLASS, "Thing") in got
+    without = set(map(tuple, rdfs_entail(df, ONTO).collect()))
+    assert not any(p in (SUBCLASS, SUBPROP, DOMAIN, RANGE)
+                   for _, p, _ in without)
+
+
+def test_empty_ontology_is_identity(spark):
+    df = spark.createDataFrame(DATA, SCHEMA3)
+    got = set(map(tuple, rdfs_entail(df, []).collect()))
+    assert got == set(DATA)
+
+
+def test_bad_ontology_predicate_rejected(spark):
+    df = spark.createDataFrame(DATA, SCHEMA3)
+    with pytest.raises(ValueError, match="ontology triples"):
+        rdfs_entail(df, [("a", "madeUpPredicate", "b")])
+
+
+def test_entailment_plan_broadcasts_schema(spark):
+    df = spark.createDataFrame(DATA, SCHEMA3)
+    plan = rdfs_entail(df, ONTO)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_code_ontology_on_code_triples(spark):
+    from claimskg_generator_spark.operators import code_kg as ck
+    from claimskg_generator_spark.operators.code_kg import code_triples
+
+    files = spark.createDataFrame(
+        [("rA", "a.py", "c1", "python", "import numpy")],
+        "repo string, path string, commit string, lang string, "
+        "content string")
+    trips = code_triples(files).select("subj", "pred", "obj")
+    got = set(map(tuple, rdfs_entail(trips, ck.CODE_ONTOLOGY).collect()))
+    base = set(map(tuple, trips.collect()))
+    assert base <= got
+    file_uri = next(s for s, p, o in base
+                    if p == ck.RDF_TYPE and o == ck.T_SOURCE_FILE)
+    mod_uri = next(o for s, p, o in base if p == ck.P_IMPORTS)
+    assert (file_uri, ck.P_DEPENDS_ON, mod_uri) in got
+    assert (file_uri, ck.P_RELATED_TO, mod_uri) in got
+    assert (file_uri, ck.RDF_TYPE, ck.T_RESOURCE) in got
+    assert (mod_uri, ck.RDF_TYPE, ck.T_DEPENDENCY) in got
+    assert (mod_uri, ck.RDF_TYPE, ck.T_RESOURCE) in got
+    assert got == _python_fixpoint(base, ck.CODE_ONTOLOGY)
