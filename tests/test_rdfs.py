@@ -140,3 +140,24 @@ def test_code_ontology_on_code_triples(spark):
     assert (mod_uri, ck.RDF_TYPE, ck.T_DEPENDENCY) in got
     assert (mod_uri, ck.RDF_TYPE, ck.T_RESOURCE) in got
     assert got == _python_fixpoint(base, ck.CODE_ONTOLOGY)
+
+
+def test_sparql_over_lazy_entailed_view(spark):
+    """Query-time inference (q118's shape): the SPARQL face composed
+    over the unmaterialized rdfs_entail frame answers superproperty /
+    superclass queries with zero asserted matches, and the query's
+    predicate literal is pushed into the union branches (it appears as
+    a pushed filter, including on the tiny schema relation)."""
+    from claimskg_generator_spark.operators.sparql import sparql_select
+
+    rows = [("f", "imports", "m"), ("f", RDF_TYPE, "File"),
+            ("m", RDF_TYPE, "Module")]
+    g2 = spark.createDataFrame(rows, SCHEMA3)
+    onto = [("Module", SUBCLASS, "Thing"),
+            ("imports", SUBPROP, "dependsOn")]
+    df = sparql_select(
+        rdfs_entail(g2, onto),
+        "SELECT ?f ?m WHERE { ?f <dependsOn> ?m . ?m a <Thing> }")
+    assert [tuple(r) for r in df.collect()] == [("f", "m")]
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("dependsOn") >= 2   # literal pushed into branches
