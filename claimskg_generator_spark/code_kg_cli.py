@@ -26,10 +26,20 @@ stages):
                ``--output``
 5. links / canonical — optional side outputs (entity linking,
                A5 module canonicalization)
-6. query     — ``--sparql``/``--sparql-file`` evaluates a SPARQL subset
-               query (operators/sparql.py) against the triples built
-               this run or an existing ``--query-table`` snapshot table
-               (``--as-of`` time travel); predicate_profile stats feed
+6. entail    — ``--entail`` materializes the RDFS ρdf entailment of the
+               graph under the code vocabulary (operators/rdfs.py,
+               code_kg.CODE_ONTOLOGY) BEFORE the sinks, so published
+               tables/exports carry superproperty/superclass facts
+7. validate  — ``--validate`` runs the SHACL-lite publication shapes
+               (operators/shacl.py, code_kg.code_shapes) over the graph
+               (built this run, or ``--query-table``); conforms flag +
+               violation count land in the summary JSON, the full
+               report in ``--validate-output`` parquet
+8. query     — ``--sparql``/``--sparql-file`` evaluates a SPARQL subset
+               query (SELECT/CONSTRUCT/ASK/DESCRIBE, operators/
+               sparql.py) against the triples built this run or an
+               existing ``--query-table`` snapshot table (``--as-of``
+               time travel); predicate_profile stats feed
                estimated-cost BGP join ordering; result to
                ``--query-output`` parquet and/or the summary JSON.
                Query-only invocations (no input) read the table alone.
@@ -41,6 +51,7 @@ stdout as the single last line.
 """
 
 import argparse
+import hashlib
 import json
 import sys
 
@@ -101,6 +112,14 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="harden the input fingerprint with first/last-"
                         "block digests (closes the same-second-overwrite "
                         "window; two ranged reads per file)")
+    p.add_argument("--entail", action="store_true",
+                   help="materialize the RDFS entailment of the graph "
+                        "under the code vocabulary before the sinks")
+    p.add_argument("--validate", action="store_true",
+                   help="run the SHACL-lite publication shapes; conforms "
+                        "+ violation count go to the summary JSON")
+    p.add_argument("--validate-output",
+                   help="parquet dir for the full SHACL violations report")
     p.add_argument("--quality-gate", action="store_true",
                    help="drop files failing the StarCoder-style gates")
     p.add_argument("--exact-dedup", action="store_true",
@@ -143,13 +162,14 @@ def main(argv=None) -> int:
         print("error: need --table-dir, --output, --ntriples-output "
               "and/or a query", file=sys.stderr)
         return 2
-    if not building and not query_text:
-        print("error: need --input/--synth-from-documents and/or a "
-              "--sparql query", file=sys.stderr)
+    if not building and not query_text and not args.validate:
+        print("error: need --input/--synth-from-documents, a --sparql "
+              "query, and/or --validate", file=sys.stderr)
         return 2
-    if not building and query_text and not args.query_table:
-        print("error: a query without a build needs --query-table",
-              file=sys.stderr)
+    if not building and (query_text or args.validate) \
+            and not args.query_table:
+        print("error: a query/--validate without a build needs "
+              "--query-table", file=sys.stderr)
         return 2
 
     spark = SparkSession.getActiveSession()
@@ -166,6 +186,8 @@ def main(argv=None) -> int:
             files, triples = _build_graph(spark, args, summary)
             summary["counts"]["triples"] = triples.count()
             summary["counts"]["files"] = files.count()
+        if args.validate:
+            _run_validate(spark, args, triples, summary)
         if query_text:
             _run_query(spark, args, query_text, triples, summary)
         print(json.dumps(summary))
@@ -173,6 +195,37 @@ def main(argv=None) -> int:
     finally:
         if created:
             spark.stop()
+
+
+def _resolve_graph(spark, args, triples):
+    """The graph a post-build stage targets: --query-table (optionally
+    time-traveled) if given, else the triples built this run."""
+    if args.query_table:
+        from claimskg_generator_spark.sources.snapshot_table import (
+            SnapshotTable,
+        )
+
+        return SnapshotTable(spark, args.query_table).read(
+            snapshot_id=args.as_of)
+    return triples
+
+
+def _run_validate(spark, args, triples, summary) -> None:
+    """SHACL-lite publication gate: the code_kg.code_shapes() contract
+    over the (possibly entailed) graph; conforms + count to the
+    summary, the full report to --validate-output."""
+    from claimskg_generator_spark.operators.code_kg import code_shapes
+    from claimskg_generator_spark.operators.shacl import shacl_validate
+
+    report = shacl_validate(_resolve_graph(spark, args, triples),
+                            code_shapes())
+    if args.validate_output:
+        report.write.mode("overwrite").parquet(args.validate_output)
+        report = spark.read.parquet(args.validate_output)
+    n = report.count()
+    summary["validation"] = {"conforms": n == 0, "n_violations": n}
+    if args.validate_output:
+        summary["validation"]["output"] = args.validate_output
 
 
 def _run_query(spark, args, query_text, triples, summary) -> None:
@@ -188,15 +241,7 @@ def _run_query(spark, args, query_text, triples, summary) -> None:
         sparql_select,
     )
 
-    if args.query_table:
-        from claimskg_generator_spark.sources.snapshot_table import (
-            SnapshotTable,
-        )
-
-        graph = SnapshotTable(spark, args.query_table).read(
-            snapshot_id=args.as_of)
-    else:
-        graph = triples
+    graph = _resolve_graph(spark, args, triples)
     stats = None
     if not args.no_query_stats:
         stats = {r["pred"]: (r["n_triples"], r["n_subj"], r["n_obj"])
@@ -246,7 +291,7 @@ def _build_graph(spark, args, summary):
         files = code_files(spark.read.parquet(args.synth_from_documents))
 
     cfg = (f"{fp}|gate={args.quality_gate}|dedup={args.exact_dedup}"
-           f"|scheme={args.uri_scheme}")
+           f"|scheme={args.uri_scheme}|entail={args.entail}")
     if args.quality_gate:
         gated = with_code_quality(files).filter("keep").drop(
             "n_lines", "max_line_len", "avg_line_len", "alnum_frac",
@@ -261,6 +306,21 @@ def _build_graph(spark, args, summary):
     triples = code_triples(files, scheme=args.uri_scheme)
     triples = ck.materialize("triples", triples,
                              token=plan_token(triples, cfg))
+    if args.entail:
+        from claimskg_generator_spark.operators.code_kg import (
+            CODE_ONTOLOGY,
+        )
+        from claimskg_generator_spark.operators.rdfs import rdfs_entail
+
+        entailed = rdfs_entail(triples, CODE_ONTOLOGY, okind_col="okind")
+        # identity from the UPSTREAM plan + the ontology content: the
+        # entailed plan itself embeds createDataFrame literal relations,
+        # which semanticHash does not canonicalize across constructions
+        onto_fp = hashlib.sha256(
+            repr(sorted(CODE_ONTOLOGY)).encode()).hexdigest()[:12]
+        triples = ck.materialize(
+            "entail", entailed,
+            token=plan_token(triples, f"{cfg}|entail_onto={onto_fp}"))
 
     if args.table_dir:
         # commit-once gate: the materialize itself is a stage boundary

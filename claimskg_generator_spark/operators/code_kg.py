@@ -423,3 +423,31 @@ def materialize_code_kg(
         },
     })
     return sid
+
+
+def code_shapes():
+    """The code KG's publication contract as SHACL-lite shapes
+    (operators/shacl.py): every file has exactly one repository edge
+    and one content sha256, languages come from the closed synth set
+    MINUS js (deliberately narrow so the validation face exercises a
+    non-empty report — js files yield ``in`` violations), import
+    targets are typed Modules, and module labels are single, lowercase
+    identifiers.  Shared by the registry's q117 and the CLI's
+    ``--validate``."""
+    from claimskg_generator_spark.operators.shacl import (
+        NodeShape,
+        PropertyShape,
+    )
+
+    return [
+        NodeShape("FileShape", T_SOURCE_FILE, (
+            PropertyShape(P_REPO, min_count=1, max_count=1),
+            PropertyShape(P_SHA256, min_count=1, max_count=1),
+            PropertyShape(P_LANG, in_values=("python", "go", "java")),
+            PropertyShape(P_IMPORTS, class_=T_MODULE),
+        )),
+        NodeShape("ModuleShape", T_MODULE, (
+            PropertyShape(RDFS_LABEL, min_count=1, max_count=1,
+                          pattern="^[a-z][a-z0-9_]*$"),
+        )),
+    ]

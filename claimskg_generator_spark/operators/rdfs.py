@@ -46,7 +46,7 @@ rdflib.Graph triples); this operator is the Spark-first equivalent of
 turning that store-side reasoning on.
 """
 
-from typing import Dict, Iterable, List, Set, Tuple
+from typing import Dict, Iterable, List, Optional, Set, Tuple
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -89,7 +89,8 @@ def _check_ontology(ontology: List[Triple]) -> None:
 
 
 def rdfs_entail(triples: DataFrame, ontology: List[Triple],
-                include_schema: bool = False) -> DataFrame:
+                include_schema: bool = False,
+                okind_col: Optional[str] = None) -> DataFrame:
     """Materialize the ρdf entailment of ``triples`` under ``ontology``.
 
     ``ontology`` is a driver-side list of ``(s, p, o)`` schema triples
@@ -99,6 +100,11 @@ def rdfs_entail(triples: DataFrame, ontology: List[Triple],
     the CLOSED ontology itself (subClassOf/subPropertyOf made
     transitive) as triples, the W3C-entailment reading where schema
     and data live in one graph.
+
+    ``okind_col`` names an object-kind column to carry through (the
+    engine's RDF sinks need it): property-lifted triples keep their
+    source triple's kind, while derived type/schema triples are
+    ``'uri'`` (their objects are class/property IRIs by construction).
 
     The four rule families are broadcast joins against literal
     relations built from the closed schema; see the module docstring
@@ -118,7 +124,10 @@ def rdfs_entail(triples: DataFrame, ontology: List[Triple],
     dom |= {(p, c) for p, q in sp_closed for q2, c in dom if q2 == q}
     rng |= {(p, c) for p, q in sp_closed for q2, c in rng if q2 == q}
 
-    data = triples.select("subj", "pred", "obj")
+    k = ([F.col(okind_col).alias("okind")] if okind_col else [])
+    k_uri = ([F.lit("uri").alias("okind")] if okind_col else [])
+    cols = ["subj", "pred", "obj"] + (["okind"] if okind_col else [])
+    data = triples.select("subj", "pred", "obj", *k)
     parts = [data]
 
     def rel(pairs: Set[Tuple[str, str]], a: str, b: str) -> DataFrame:
@@ -128,32 +137,34 @@ def rdfs_entail(triples: DataFrame, ontology: List[Triple],
         sp = rel(sp_closed, "p", "q")
         parts.append(
             data.join(F.broadcast(sp), data["pred"] == sp["p"])
-            .select("subj", F.col("q").alias("pred"), "obj"))
+            .select("subj", F.col("q").alias("pred"), "obj",
+                    *(["okind"] if okind_col else [])))
     if dom:
         dm = rel(dom, "p", "c")
         parts.append(
             data.join(F.broadcast(dm), data["pred"] == dm["p"])
             .select("subj", F.lit(RDF_TYPE).alias("pred"),
-                    F.col("c").alias("obj")))
+                    F.col("c").alias("obj"), *k_uri))
     if rng:
         rn = rel(rng, "p", "c")
         parts.append(
             data.join(F.broadcast(rn), data["pred"] == rn["p"])
             .select(F.col("obj").alias("subj"),
                     F.lit(RDF_TYPE).alias("pred"),
-                    F.col("c").alias("obj")))
+                    F.col("c").alias("obj"), *k_uri))
     if sc_closed:
         # class-lift runs over data types AND the domain/range-derived
         # types: union the type sources first, then one broadcast join
         sc = rel(sc_closed, "c", "d")
-        typed = [p.filter(F.col("pred") == RDF_TYPE) for p in parts]
+        typed = [p.filter(F.col("pred") == RDF_TYPE).select(
+            "subj", "pred", "obj") for p in parts]
         types = typed[0]
         for t in typed[1:]:
             types = types.unionAll(t)
         parts.append(
             types.join(F.broadcast(sc), types["obj"] == sc["c"])
             .select("subj", F.lit(RDF_TYPE).alias("pred"),
-                    F.col("d").alias("obj")))
+                    F.col("d").alias("obj"), *k_uri))
     if include_schema:
         schema_rows = sorted(
             {(s, SUBCLASS, o) for s, o in sc_closed}
@@ -161,9 +172,12 @@ def rdfs_entail(triples: DataFrame, ontology: List[Triple],
             | {(s, DOMAIN, o) for s, o in dom}
             | {(s, RANGE, o) for s, o in rng})
         if schema_rows:
-            parts.append(spark.createDataFrame(
-                schema_rows, "subj string, pred string, obj string"))
-    out = parts[0]
+            sdf = spark.createDataFrame(
+                schema_rows, "subj string, pred string, obj string")
+            if okind_col:
+                sdf = sdf.select("subj", "pred", "obj", *k_uri)
+            parts.append(sdf)
+    out = parts[0].select(*cols)
     for p in parts[1:]:
-        out = out.unionAll(p)
+        out = out.unionAll(p.select(*cols))
     return out.distinct()

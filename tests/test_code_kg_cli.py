@@ -180,3 +180,60 @@ def test_sparql_query_mode_errors(docs_path, tmp_path, capsys):
     assert main(["--sparql", "SELECT ?s WHERE { ?s <p> ?o }"]) == 2
     # no input and no query at all
     assert main([]) == 2
+
+
+def test_entail_and_validate_stages(spark, docs_path, tmp_path, capsys):
+    """--entail materializes the ρdf closure before the sinks (the
+    written graph carries dependsOn/Resource facts); --validate runs
+    the publication shapes and reports violations (the synth corpus
+    has js files, which the closed language set deliberately flags)."""
+    from claimskg_generator_spark.operators import code_kg as ck
+
+    out = str(tmp_path / "t_ent")
+    vout = str(tmp_path / "viol")
+    s = _run(capsys, "--synth-from-documents", docs_path,
+             "--output", out, "--entail", "--validate",
+             "--validate-output", vout)
+    got = spark.read.parquet(out)
+    assert got.columns == ["subj", "pred", "obj", "okind"]
+    preds = {r["pred"] for r in got.select("pred").distinct().collect()}
+    assert ck.P_DEPENDS_ON in preds and ck.P_RELATED_TO in preds
+    types = {r["obj"] for r in got.filter(
+        F.col("pred") == ck.RDF_TYPE).select("obj").distinct().collect()}
+    assert ck.T_RESOURCE in types and ck.T_DEPENDENCY in types
+    # lifted facts ride 'uri' okind; asserted literals keep theirs
+    kinds = {r["okind"] for r in got.filter(
+        F.col("pred") == ck.P_DEPENDS_ON).select("okind").collect()}
+    assert kinds == {"uri"}
+    v = s["validation"]
+    assert v["conforms"] is False and v["n_violations"] > 0
+    rep = spark.read.parquet(vout)
+    assert rep.count() == v["n_violations"]
+    cons = {r["constraint"] for r in rep.select("constraint")
+            .distinct().collect()}
+    assert "in" in cons        # the js files
+
+
+def test_validate_against_snapshot_table(spark, docs_path, tmp_path,
+                                         capsys):
+    table = str(tmp_path / "kg_v")
+    _run(capsys, "--synth-from-documents", docs_path,
+         "--table-dir", table)
+    s = _run(capsys, "--validate", "--query-table", table)
+    assert s["validation"]["n_violations"] > 0
+    # validate-only without a table is a usage error
+    assert main(["--validate"]) == 2
+
+
+def test_entail_resume_stage(spark, docs_path, tmp_path, capsys):
+    ckdir = str(tmp_path / "ck_ent")
+    argv = ["--synth-from-documents", docs_path,
+            "--output", str(tmp_path / "o1"), "--entail",
+            "--checkpoint-dir", ckdir]
+    s1 = _run(capsys, *argv)
+    assert any(st["stage"] == "entail" and st["action"] == "write"
+               for st in s1["stages"])
+    s2 = _run(capsys, *argv[:-2] + ["--checkpoint-dir", ckdir])
+    assert any(st["stage"] == "entail" and st["action"] == "resume"
+               for st in s2["stages"])
+    assert s1["counts"]["triples"] == s2["counts"]["triples"]
