@@ -131,7 +131,13 @@ def rdfs_entail(triples: DataFrame, ontology: List[Triple],
     parts = [data]
 
     def rel(pairs: Set[Tuple[str, str]], a: str, b: str) -> DataFrame:
-        return spark.createDataFrame(sorted(pairs), f"{a} string, {b} string")
+        # SQL VALUES -> a pure-JVM LocalRelation: broadcast-clean plans
+        # (createDataFrame can route through a Python RDD scan)
+        rows = ", ".join(
+            "('{}', '{}')".format(x.replace("'", "''"),
+                                  y.replace("'", "''"))
+            for x, y in sorted(pairs))
+        return spark.sql(f"SELECT * FROM (VALUES {rows}) AS t({a}, {b})")
 
     if sp_closed:
         sp = rel(sp_closed, "p", "q")

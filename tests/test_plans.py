@@ -570,3 +570,45 @@ def test_sparql_construct_one_union_set_dedup(spark):
     plan = _plan(e.q109_kg_sparql_construct(spark, SF))
     assert "CartesianProduct" not in plan and "Python" not in plan
     assert len(re.findall(r"\(\d+\) Union", plan)) == 1
+
+
+def test_sparql_minus_is_anti_join_ask_is_limit1(spark):
+    """q113/q115: MINUS compiles to a left-anti join (one per
+    alternation branch here — the UNION chain anti-joins once on the
+    unioned frame), never a subtract-via-join-and-filter; ASK's plan is
+    the binding chain capped by a limit-1 early-out feeding one
+    aggregate, no Python, no cartesian."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.q113_kg_sparql_minus_alt(spark, SF))
+    assert "CartesianProduct" not in plan and "Python" not in plan
+    assert "LeftAnti" in plan
+    plan = _plan(e.q115_kg_sparql_ask(spark, SF))
+    assert "CartesianProduct" not in plan and "Python" not in plan
+    assert re.search(r"\(\d+\) (?:Global|Collect)Limit", plan), plan
+
+
+def test_rdfs_entail_broadcast_rules_only(spark):
+    """q116: every entailment rule is a broadcast join against a
+    schema-sized literal relation — the DATA side never sort-merge
+    joins or self-joins, and the only wide exchanges are the final
+    set-dedup's."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.q116_kg_rdfs_entailment(spark, SF))
+    assert "CartesianProduct" not in plan and "Python" not in plan
+    assert "SortMergeJoin" not in plan
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) >= 4
+
+
+def test_shacl_report_anti_joins_no_smj(spark):
+    """q117: cardinality checks are combinable counts over
+    pred-filtered slivers, minCount-zero and sh:class are left-anti
+    joins, and with a broadcast-sized focus set nothing sort-merge
+    joins."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.q117_kg_shacl_report(spark, SF))
+    assert "CartesianProduct" not in plan and "Python" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("LeftAnti") >= 3
