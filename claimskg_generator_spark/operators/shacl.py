@@ -158,6 +158,92 @@ def shacl_validate(triples: DataFrame,
     return reduce(DataFrame.unionAll, parts).distinct()
 
 
+def claims_shapes() -> "list[NodeShape]":
+    """The ClaimsKG publication contract (the reference's schema.org
+    ClaimReview model, reference claimskg/generator/__init__.py) as
+    SHACL-lite shapes: every ClaimReview reviews exactly one typed
+    CreativeWork, carries its original + normalized Rating pair, and
+    has one publication date (the reference keeps rows with unparsable
+    dates but emits no datePublished — those surface as minCount
+    violations, not dropped rows); every claim body has exactly one
+    text; citation fan-out is capped; every Rating that is MEANT to
+    carry a value has exactly one (the reference's never-match
+    normalization quirk leaves some normalized ratings valueless —
+    again a REPORTED fact).  Shared by the registry's q119 and the
+    pure-Python golden generator (scripts/gen_pipeline_goldens.py),
+    which evaluates these same shapes over the reference-semantics
+    oracle triples."""
+    s = "http://schema.org/"
+    return [
+        NodeShape("ClaimReviewShape", s + "ClaimReview", (
+            PropertyShape(s + "itemReviewed", min_count=1, max_count=1,
+                          class_=s + "CreativeWork"),
+            PropertyShape(s + "reviewRating", min_count=1, max_count=2,
+                          class_=s + "Rating"),
+            PropertyShape(s + "datePublished", min_count=1, max_count=1),
+        )),
+        NodeShape("CreativeWorkShape", s + "CreativeWork", (
+            PropertyShape(s + "text", min_count=1, max_count=1),
+            PropertyShape(s + "citation", max_count=4),
+        )),
+        NodeShape("RatingShape", s + "Rating", (
+            PropertyShape(s + "ratingValue", min_count=1, max_count=1),
+            PropertyShape(s + "author", min_count=1, max_count=1),
+        )),
+    ]
+
+
+def python_validate(triples, shapes: Sequence[NodeShape]):
+    """Pure-Python twin of :func:`shacl_validate` over an iterable of
+    ``(subj, pred, obj)`` tuples — used by the golden generator so the
+    driver oracle cross-checks the Spark plan against an independent
+    evaluator (the house q20/q21/q23 pattern).  Returns the violation
+    set as sorted 5-tuples."""
+    trip = [(t[0], t[1], t[2]) for t in triples]
+    by_type = {}
+    for s, p, o in trip:
+        if p == RDF_TYPE:
+            by_type.setdefault(o, set()).add(s)
+    out = set()
+    for shape in shapes:
+        focus = by_type.get(shape.target_class, set())
+        for ps in shape.properties:
+            vals = {}
+            for s, p, o in trip:
+                if p == ps.path and s in focus:
+                    vals.setdefault(s, []).append(o)
+            tag = (shape.name, ps.path)
+            if ps.min_count > 0:
+                for f in focus:
+                    n = len(vals.get(f, ()))
+                    if n < ps.min_count:
+                        out.add((f, *tag, "minCount", str(n)))
+            if ps.max_count is not None:
+                for f, vv in vals.items():
+                    if len(vv) > ps.max_count:
+                        out.add((f, *tag, "maxCount", str(len(vv))))
+            if ps.pattern is not None:
+                import re as _re
+
+                rx = _re.compile(ps.pattern)
+                for f, vv in vals.items():
+                    for v in vv:
+                        if not rx.search(v):
+                            out.add((f, *tag, "pattern", v))
+            if ps.in_values is not None:
+                for f, vv in vals.items():
+                    for v in vv:
+                        if v not in ps.in_values:
+                            out.add((f, *tag, "in", v))
+            if ps.class_ is not None:
+                typed = by_type.get(ps.class_, set())
+                for f, vv in vals.items():
+                    for v in vv:
+                        if v not in typed:
+                            out.add((f, *tag, "class", v))
+    return sorted(out)
+
+
 def conforms(triples: DataFrame, shapes: Sequence[NodeShape]) -> DataFrame:
     """The one-row ``sh:conforms`` face: ``(conforms boolean,
     n_violations bigint)`` — lazy, like sparql_ask."""

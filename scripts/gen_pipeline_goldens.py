@@ -147,16 +147,29 @@ def main():
             embs, [0, 1, 2, 3, 4], k=5, n_centroids=32, n_probe=4,
             n_iters=1, quantize_means=9)]
 
+    # 9. q119: the ClaimsKG publication shapes evaluated by the pure-
+    # Python SHACL twin over the reference-semantics oracle triples —
+    # independent of the Spark shacl_validate plan it gates
+    from claimskg_generator_spark.operators.shacl import (
+        claims_shapes,
+        python_validate,
+    )
+
+    q119 = [list(r) for r in python_validate(oracle.triples,
+                                             claims_shapes())]
+
     out = {"n": N, "seed": SEED, "theta": THETA,
            "q21": q21, "q23": q23, "q20": q20, "kw_dim": kw_dim,
-           "q31": q31, "q28": q28, "q29": q29, "q30": q30}
+           "q31": q31, "q28": q28, "q29": q29, "q30": q30,
+           "q119": q119}
     with open(os.path.join(GOLDEN_DIR, "driver_goldens.json"), "w") as f:
         json.dump(out, f, indent=0)
     print(f"q21 families={len(q21)} q23 pairs={len(q23)} q20 rows={len(q20)} "
           f"kw_dim rows={len(kw_dim)} "
           f"q28 pairs={ {k: len(v) for k, v in q28.items()} } "
           f"q29 pairs={ {k: len(v) for k, v in q29.items()} } "
-          f"q30 rows={ {k: len(v) for k, v in q30.items()} }")
+          f"q30 rows={ {k: len(v) for k, v in q30.items()} } "
+          f"q119 violations={len(q119)}")
 
 
 if __name__ == "__main__":

@@ -109,3 +109,16 @@ def test_q30_golden_fresh(goldens, sf):
     assert [list(r) for r in ivf_topk_py(
         embs, [0, 1, 2, 3, 4], k=5, n_centroids=32, n_probe=4, n_iters=1,
         quantize_means=9)] == [list(r) for r in goldens["q30"][key]]
+
+
+def test_q119_golden_fresh(goldens):
+    from claimskg_generator_spark.operators.shacl import (
+        claims_shapes,
+        python_validate,
+    )
+
+    oracle = ReferenceOracle(THESAURUS_ENTRIES)
+    oracle.generate(gen_records(goldens["n"], goldens["seed"]))
+    want = [list(r) for r in python_validate(oracle.triples,
+                                             claims_shapes())]
+    assert [list(r) for r in goldens["q119"]] == want

@@ -166,3 +166,19 @@ def test_sparql_over_lazy_entailed_view(spark):
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert "dependsOn" in plan
     assert "PythonRDD" not in plan and "ApplySchemaToPython" not in plan
+
+
+def test_entailment_is_data_linear_incremental(spark):
+    """ρdf entailment is LINEAR in the data (every rule consumes one
+    data triple + schema), so maintaining an entailed graph under
+    appends needs only the delta: entail(G ∪ Δ) == entail(G) ∪
+    entail(Δ).  This is the incremental-refresh contract the snapshot
+    table's append path relies on — no re-derivation of the base."""
+    base = spark.createDataFrame(DATA, SCHEMA3)
+    delta = spark.createDataFrame(
+        [("f9", "imports", "m9"), ("f9", RDF_TYPE, "File")], SCHEMA3)
+    full = set(map(tuple, rdfs_entail(base.unionAll(delta), ONTO)
+                   .collect()))
+    inc = (set(map(tuple, rdfs_entail(base, ONTO).collect()))
+           | set(map(tuple, rdfs_entail(delta, ONTO).collect())))
+    assert full == inc

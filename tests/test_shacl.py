@@ -125,3 +125,15 @@ def test_plan_pushes_pred_filters(g):
         .optimizedPlan().toString()
     # every sliver is a pred-filtered scan, never a full-graph self-join
     assert plan.count("pred#") >= 3
+
+
+def test_python_twin_matches_spark_validate(spark, g):
+    """python_validate (the golden generator's evaluator) and the
+    Spark operator must agree constraint-for-constraint."""
+    from claimskg_generator_spark.operators.shacl import python_validate
+
+    rows = [tuple(r) for r in g.collect()]
+    py = python_validate(rows, [FILE_SHAPE, MOD_SHAPE])
+    sp = sorted(map(tuple, shacl_validate(
+        g, [FILE_SHAPE, MOD_SHAPE]).collect()))
+    assert py == sp and len(py) == 5
