@@ -202,6 +202,13 @@ BENCH_QUERIES = [
     "q94_winnow_pairs",
     "q98_code_kg_triples",
     "q102_kg_diff",
+    # SPARQL-completion wave: only the two data-wide shapes are timed
+    # (q111-q115/q118 join pred-literal slivers — the q101 policy;
+    # q119 re-runs the full claims pipeline q21 already times): the
+    # RDFS entailment's 4-rule union + set-dedup exchange, and the
+    # SHACL report's sliver aggregations + anti-joins over the graph
+    "q116_kg_rdfs_entailment",
+    "q117_kg_shacl_report",
 ]
 
 # The 13-query round-2 headline set: its subtotal is reported alongside the
