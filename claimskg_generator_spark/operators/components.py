@@ -235,6 +235,79 @@ def canonicalize_sameas(triples: DataFrame,
     return rest.unionByName(star)
 
 
+def smush_sameas(triples: DataFrame, max_iter: int = 50,
+                 broadcast_mapping: bool = True,
+                 keep_links: bool = True) -> DataFrame:
+    """Full identity resolution ("smushing"): resolve the graph's
+    ``owl:sameAs`` equivalence classes and REWRITE every triple's
+    subject and URI object onto the class representative (the minimum
+    URI), so all facts asserted about any alias land on ONE canonical
+    node.  :func:`canonicalize_sameas` only normalizes the sameAs
+    edges themselves (star form); this rewrites the whole graph
+    through the mapping — the operator a consumer needs when duplicate
+    entities (reconciler output, IFP entailment — rdfs.ifp_sameas)
+    should disappear from query results, not merely be linked.
+
+    ``keep_links=True`` retains the provenance star (alias ->
+    representative) in the output so original URIs stay resolvable;
+    ``False`` drops the aliases entirely.  Literal objects (``okind``
+    != 'uri', when the column is present) are never rewritten.
+    Idempotent: smushing a smushed graph is a no-op (the provenance
+    star maps aliases to an already-canonical representative, and
+    rewritten facts only mention representatives).
+
+    Scale shape: the class mapping is proportional to the number of
+    DUPLICATE entities — orders of magnitude smaller than the graph —
+    so it broadcasts (``broadcast_mapping=True``; pass False to let
+    AQE pick a shuffled join for pathological duplication rates) and
+    the 100 TB triple frame is touched by two broadcast left joins +
+    the one set-dedup exchange.  Class resolution itself is
+    :func:`connected_components` over the sameAs sliver only
+    (O(log^2 n) rounds on the duplicate subgraph, bounded lineage)."""
+    from claimskg_generator_spark.constants.namespaces import NS
+
+    is_same = F.col("pred") == NS.OWL_SAME_AS
+    rest = triples.where(~is_same)
+    edges = triples.where(is_same).select("subj", "obj")
+    mapping = (
+        connected_components(edges, src="subj", dst="obj",
+                             max_iter=max_iter)
+        .where(F.col("node") != F.col("component"))
+    )
+    m = F.broadcast(mapping) if broadcast_mapping else mapping
+    ms = m.select(F.col("node").alias("__sn"),
+                  F.col("component").alias("__sr"))
+    mo = m.select(F.col("node").alias("__on"),
+                  F.col("component").alias("__or"))
+    has_okind = "okind" in triples.columns
+    obj_cond = F.col("obj") == F.col("__on")
+    if has_okind:
+        obj_cond = obj_cond & (F.col("okind") == F.lit("uri"))
+    out_cols = [
+        F.coalesce("__sr", "subj").alias("subj") if c == "subj"
+        else F.coalesce("__or", "obj").alias("obj") if c == "obj"
+        else F.col(c)
+        for c in triples.columns
+    ]
+    out = (
+        rest.join(ms, F.col("subj") == F.col("__sn"), "left")
+        .join(mo, obj_cond, "left")
+        .select(*out_cols)
+        .distinct()
+    )
+    if keep_links:
+        star_cols = [
+            F.col("node").alias("subj") if c == "subj"
+            else F.lit(NS.OWL_SAME_AS).alias("pred") if c == "pred"
+            else F.col("component").alias("obj") if c == "obj"
+            else F.lit("uri").alias("okind") if c == "okind"
+            else F.lit(None).cast(triples.schema[c].dataType).alias(c)
+            for c in triples.columns
+        ]
+        out = out.unionByName(mapping.select(*star_cols))
+    return out
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",

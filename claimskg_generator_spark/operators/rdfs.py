@@ -46,7 +46,7 @@ rdflib.Graph triples); this operator is the Spark-first equivalent of
 turning that store-side reasoning on.
 """
 
-from typing import Dict, Iterable, List, Optional, Set, Tuple
+from typing import Dict, Iterable, List, Optional, Sequence, Set, Tuple
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -187,3 +187,66 @@ def rdfs_entail(triples: DataFrame, ontology: List[Triple],
     for p in parts[1:]:
         out = out.unionAll(p.select(*cols))
     return out.distinct()
+
+
+def ifp_sameas(triples: DataFrame, ifp_preds: Sequence[str],
+               max_group: int = 1000) -> DataFrame:
+    """OWL inverse-functional-property entailment (OWL 2 RL rule
+    ``prp-ifp``): two subjects asserting the SAME value of an
+    inverse-functional predicate denote the same entity — emit the
+    ``owl:sameAs`` edges that identity implies.
+
+    This is the classic KG identity-resolution rule (foaf:mbox,
+    checksum, DOI, ISBN ...); here the code KG's per-file content
+    sha256 (operators/code_kg.P_SHA256) is the natural IFP: files
+    carrying identical bytes under different repo/path identities are
+    the same source artifact.  The reference has no analog — its
+    reconciler emits pairwise sameAs from string similarity
+    (reference claimskg/reconciler/__init__.py:126-147) and leaves
+    rule-derived identity to the downstream OWL store.
+
+    Output: star edges WITHIN each (pred, value) group — every member
+    points at the group's minimum subject — as ``(subj,
+    owl:sameAs, obj, okind='uri')`` rows.  Stars, not pairwise cliques,
+    so the edge count is linear in the group size; downstream closure
+    (:func:`~claimskg_generator_spark.operators.components.
+    smush_sameas`) still unions classes that overlap ACROSS predicates
+    or with asserted sameAs edges.
+
+    ``max_group`` caps the per-value subject set: a value shared by
+    more subjects is treated as NON-identifying and dropped (an empty
+    string or all-zero checksum shared by millions is evidence the
+    property is not inverse-functional for that value — and the cap is
+    what keeps one degenerate value from materializing an unbounded
+    row at 100 TB).  The drop is a documented semantic, same policy as
+    the posting-list df caps in dedup.py/code.py.
+
+    Scale shape: one groupBy(pred, obj) over the IFP sliver (predicate
+    pushdown keeps the scan narrow), star pairs generated WITHIN the
+    grouped row (sort_array + slice/transform — no self-join, no
+    explode before the cap), one final set-dedup."""
+    preds = list(ifp_preds)
+    if not preds:
+        raise ValueError("ifp_preds must name at least one predicate")
+    if max_group < 2:
+        raise ValueError(f"max_group must be >= 2, got {max_group}")
+    from claimskg_generator_spark.constants.namespaces import NS
+
+    groups = (
+        triples.where(F.col("pred").isin(preds))
+        .groupBy("pred", "obj")
+        .agg(F.sort_array(F.collect_set("subj")).alias("__subjs"))
+        .where(F.size("__subjs").between(2, max_group))
+    )
+    # star edges within the row: members 2..n -> member 1 (the minimum)
+    edges = groups.select(F.explode(F.transform(
+        F.slice(F.col("__subjs"), 2, F.size("__subjs") - 1),
+        lambda s: F.struct(s.alias("subj"),
+                           F.element_at("__subjs", 1).alias("rep")),
+    )).alias("e"))
+    return edges.select(
+        F.col("e.subj").alias("subj"),
+        F.lit(NS.OWL_SAME_AS).alias("pred"),
+        F.col("e.rep").alias("obj"),
+        F.lit("uri").alias("okind"),
+    ).distinct()

@@ -471,3 +471,75 @@ def test_bfs_nonconvergence_raises_and_validates(spark):
         _bfs(spark, [(1, 2), (2, 3), (3, 4)], [1], max_rounds=2)
     with _pytest.raises(ValueError, match="n_rounds"):
         _bfs(spark, [(1, 2)], [1], n_rounds=-1)
+
+
+# -------------------------------------------------------------- smush
+
+OWL_SAME_AS = "http://www.w3.org/2002/07/owl#sameAs"
+SCHEMA4 = "subj string, pred string, obj string, okind string"
+
+
+def _smush(spark, rows, **kw):
+    from claimskg_generator_spark.operators.components import smush_sameas
+
+    df = spark.createDataFrame(rows, SCHEMA4)
+    out = smush_sameas(df, **kw)
+    return {(r.subj, r.pred, r.obj, r.okind) for r in out.collect()}
+
+
+def test_smush_rewrites_chained_aliases_onto_representative(spark):
+    # a <-> b <-> c form ONE class even though no direct a-c edge exists
+    rows = [
+        ("b", OWL_SAME_AS, "a", "uri"),
+        ("b", OWL_SAME_AS, "c", "uri"),
+        ("c", "knows", "z", "uri"),
+        ("z", "knows", "b", "uri"),
+        ("a", "name", "Ann", ""),       # literal object: never rewritten
+        ("c", "name", "Ann", ""),       # collapses with the row above
+    ]
+    got = _smush(spark, rows)
+    assert got == {
+        ("a", "knows", "z", "uri"),
+        ("z", "knows", "a", "uri"),
+        ("a", "name", "Ann", ""),
+        ("b", OWL_SAME_AS, "a", "uri"),   # provenance star
+        ("c", OWL_SAME_AS, "a", "uri"),
+    }
+
+
+def test_smush_literal_object_matching_alias_uri_is_kept(spark):
+    # an okind='' literal whose TEXT equals an alias URI must survive
+    rows = [
+        ("b", OWL_SAME_AS, "a", "uri"),
+        ("x", "note", "b", ""),
+    ]
+    got = _smush(spark, rows, keep_links=False)
+    assert got == {("x", "note", "b", "")}
+
+
+def test_smush_idempotent_and_droplinks(spark):
+    rows = [
+        ("b", OWL_SAME_AS, "a", "uri"),
+        ("b", "p", "q", "uri"),
+        ("a", "p", "q", "uri"),
+    ]
+    once = _smush(spark, rows)
+    assert once == {("a", "p", "q", "uri"), ("b", OWL_SAME_AS, "a", "uri")}
+    again = _smush(spark, [list(t) for t in sorted(once)])
+    assert again == once
+    assert _smush(spark, rows, keep_links=False) == {("a", "p", "q", "uri")}
+
+
+def test_smush_no_sameas_is_identity(spark):
+    rows = [("a", "p", "b", "uri"), ("a", "q", "lit", "")]
+    assert _smush(spark, rows) == set(map(tuple, rows))
+
+
+def test_smush_without_okind_column_rewrites_all_matching_objs(spark):
+    from claimskg_generator_spark.operators.components import smush_sameas
+
+    df = spark.createDataFrame(
+        [("b", OWL_SAME_AS, "a"), ("x", "knows", "b")],
+        "subj string, pred string, obj string")
+    got = {(r.subj, r.pred, r.obj) for r in smush_sameas(df).collect()}
+    assert got == {("x", "knows", "a"), ("b", OWL_SAME_AS, "a")}

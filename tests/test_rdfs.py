@@ -182,3 +182,55 @@ def test_entailment_is_data_linear_incremental(spark):
     inc = (set(map(tuple, rdfs_entail(base, ONTO).collect()))
            | set(map(tuple, rdfs_entail(delta, ONTO).collect())))
     assert full == inc
+
+
+# ---------------------------------------------------------------- IFP
+
+OWL_SAME_AS = "http://www.w3.org/2002/07/owl#sameAs"
+SCHEMA4 = "subj string, pred string, obj string, okind string"
+
+
+def _ifp(spark, rows, preds, **kw):
+    from claimskg_generator_spark.operators.rdfs import ifp_sameas
+
+    df = spark.createDataFrame(rows, SCHEMA4)
+    out = ifp_sameas(df, preds, **kw)
+    return {(r.subj, r.pred, r.obj, r.okind) for r in out.collect()}
+
+
+def test_ifp_star_edges_to_min_subject(spark):
+    rows = [
+        ("b", "sha", "v1", ""), ("a", "sha", "v1", ""),
+        ("c", "sha", "v1", ""),
+        ("x", "sha", "v2", ""),            # singleton: no edge
+        ("a", "other", "v1", ""),          # non-IFP pred ignored
+    ]
+    got = _ifp(spark, rows, ["sha"])
+    assert got == {("b", OWL_SAME_AS, "a", "uri"),
+                   ("c", OWL_SAME_AS, "a", "uri")}
+
+
+def test_ifp_groups_are_per_pred_and_value(spark):
+    # same value under a different predicate must NOT merge classes
+    rows = [("a", "sha", "v", ""), ("b", "sha", "v", ""),
+            ("c", "mbox", "v", ""), ("d", "mbox", "v", "")]
+    got = _ifp(spark, rows, ["sha", "mbox"])
+    assert got == {("b", OWL_SAME_AS, "a", "uri"),
+                   ("d", OWL_SAME_AS, "c", "uri")}
+
+
+def test_ifp_max_group_drops_degenerate_values(spark):
+    rows = [(s, "sha", "zero", "") for s in "abcde"] + [
+        ("p", "sha", "real", ""), ("q", "sha", "real", "")]
+    got = _ifp(spark, rows, ["sha"], max_group=4)
+    assert got == {("q", OWL_SAME_AS, "p", "uri")}
+
+
+def test_ifp_validates_args(spark):
+    df = spark.createDataFrame([("a", "p", "v", "")], SCHEMA4)
+    from claimskg_generator_spark.operators.rdfs import ifp_sameas
+
+    with pytest.raises(ValueError, match="ifp_preds"):
+        ifp_sameas(df, [])
+    with pytest.raises(ValueError, match="max_group"):
+        ifp_sameas(df, ["p"], max_group=1)
