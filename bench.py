@@ -209,6 +209,10 @@ BENCH_QUERIES = [
     # SHACL report's sliver aggregations + anti-joins over the graph
     "q116_kg_rdfs_entailment",
     "q117_kg_shacl_report",
+    # identity resolution: IFP grouping + CC over the sameAs sliver +
+    # the whole-graph broadcast rewrite — the only smush-family query,
+    # and data-wide (touches every triple twice)
+    "q120_kg_ifp_smush",
 ]
 
 # The 13-query round-2 headline set: its subtotal is reported alongside the

@@ -612,3 +612,21 @@ def test_shacl_report_anti_joins_no_smj(spark):
     assert "CartesianProduct" not in plan and "Python" not in plan
     assert "SortMergeJoin" not in plan
     assert plan.count("LeftAnti") >= 3
+
+
+def test_smush_rewrite_joins_broadcast(spark):
+    """smush_sameas's two rewrite joins must broadcast the
+    duplicate-proportional mapping — the 100 TB triple frame is never
+    shuffled for the rewrite (the only wide exchanges are inside the
+    sameAs-sliver connected_components and the final set-dedup)."""
+    from claimskg_generator_spark.operators.components import smush_sameas
+
+    same = "http://www.w3.org/2002/07/owl#sameAs"
+    df = spark.createDataFrame(
+        [("b", same, "a", "uri"), ("b", "p", "x", ""),
+         ("y", "q", "b", "uri")],
+        "subj string, pred string, obj string, okind string")
+    plan = _plan(smush_sameas(df))
+    assert len(re.findall(r"BroadcastHashJoin", plan)) >= 2
+    # neither rewrite join may degrade to a sort-merge over the data
+    assert "SortMergeJoin" not in plan
