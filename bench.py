@@ -213,6 +213,11 @@ BENCH_QUERIES = [
     # the whole-graph broadcast rewrite — the only smush-family query,
     # and data-wide (touches every triple twice)
     "q120_kg_ifp_smush",
+    # publication stats: one conditional-distinct pass + two groupBys
+    "q121_kg_void_stats",
+    # prp-trp: data-sized iterative closure unioned into the graph —
+    # the only entailment query whose rule relation is NOT schema-sized
+    "q123_kg_transitive_entail",
 ]
 
 # The 13-query round-2 headline set: its subtotal is reported alongside the

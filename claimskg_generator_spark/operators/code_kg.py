@@ -84,6 +84,11 @@ P_COMMIT = SCHEMA + "version"
 P_SHA256 = CODE + "sha256"
 P_IMPORTS = CODE + "imports"
 P_LINKS_TO = CODE + "linksTo"
+# the repo-level supply-chain relation (repo_dependencies lifted into
+# the graph by repo_dep_triples); DECLARED transitive — the predicate
+# operators/rdfs.transitive_entail and the SPARQL in-pattern `p+`
+# close over
+P_DEPENDS_REPO = CODE + "dependsOnRepo"
 
 # --- vocabulary schema (consumed by operators/rdfs.rdfs_entail) ---
 # Two-level class and property hierarchies so subClassOf/subPropertyOf
@@ -267,6 +272,24 @@ def repo_dependencies(files: DataFrame) -> DataFrame:
         .filter(F.col("repo") != F.col("owner"))
         .select(F.col("repo").alias("src"), F.col("owner").alias("dst"))
         .distinct()
+    )
+
+
+def repo_dep_triples(files: DataFrame, scheme: str = "md5") -> DataFrame:
+    """:func:`repo_dependencies` lifted into the graph: one
+    ``(repo_uri, code:dependsOnRepo, repo_uri, 'uri')`` triple per
+    derived dependency edge, repo URIs minted exactly as
+    :func:`code_triples` mints them — so the edges join the published
+    KG on the same nodes.  This is the relation the transitive faces
+    walk: materialized by ``transitive_entail(g, [P_DEPENDS_REPO], d)``
+    or per-query by the SPARQL pattern ``?a code:dependsOnRepo+ ?b``.
+    """
+    deps = repo_dependencies(files)
+    return deps.select(
+        mint_uri("repo", F.col("src"), scheme).alias("subj"),
+        F.lit(P_DEPENDS_REPO).alias("pred"),
+        mint_uri("repo", F.col("dst"), scheme).alias("obj"),
+        F.lit("uri").alias("okind"),
     )
 
 

@@ -1,0 +1,209 @@
+"""KG dataset statistics — W3C VoID descriptions and characteristic
+sets over a ``(subj, pred, obj)`` triple table.
+
+A published knowledge graph ships with a statistical self-description:
+the W3C VoID vocabulary (https://www.w3.org/TR/void/) standardizes the
+dataset-level counts (void:triples, void:distinctSubjects, ...) and the
+per-property / per-class partitions every LOD endpoint publishes, and
+characteristic sets (Neumann & Moerkotte, "Characteristic Sets:
+Accurate Cardinality Estimation for RDF Queries with Multiple Joins",
+ICDE 2011) are the structure summary RDF stores build for join
+cardinality estimation.  The reference publishes ClaimsKG with exactly
+such a VoID+stats sidecar (its stats output — reference export.py's
+counters — is the ad-hoc version of this); here both are deterministic
+one-operator aggregations.
+
+Scale shape: :func:`void_stats` is two groupBys and one single-row
+aggregate — the per-property partition is a plain map-side-combinable
+groupBy(pred) (predicate vocabularies are KB-sized, so the shuffle
+carries one row per predicate per task), the per-class partition
+aggregates only the ``rdf:type`` sliver (predicate pushdown keeps the
+scan narrow), and the dataset-level distincts run in ONE pass with
+conditional count_distincts.  ``approx=True`` swaps every exact
+count_distinct for HLL approx_count_distinct — at 10^12 triples the
+exact distinct-subject count is itself a giant shuffle, and VoID
+consumers use these numbers for planning, not accounting.
+:func:`characteristic_sets` is one groupBy(subj) (bounded fan-in: a
+subject's predicate set, not its triples, travels) and one KB-sized
+regroup on the set fingerprint.
+"""
+
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+VOID = "http://rdfs.org/ns/void#"
+
+#: metric name -> VoID predicate, for :func:`void_rdf`
+_VOID_PREDS = {
+    "triples": VOID + "triples",
+    "distinct_subjects": VOID + "distinctSubjects",
+    "distinct_objects": VOID + "distinctObjects",
+    "properties": VOID + "properties",
+    "classes": VOID + "classes",
+    "entities": VOID + "entities",
+}
+
+_OUT_COLS = ["scope", "key", "metric", "value"]
+
+
+def _cd(col, approx: bool) -> Column:
+    return (F.approx_count_distinct(col) if approx
+            else F.count_distinct(col))
+
+
+def void_stats(triples: DataFrame, approx: bool = False) -> DataFrame:
+    """The VoID statistical description of a triple table, long format:
+    ``(scope, key, metric, value)``.
+
+    * ``scope='dataset', key=''`` — whole-graph counts: ``triples``,
+      ``distinct_subjects``, ``distinct_objects``, ``properties``
+      (distinct predicates), ``classes`` (distinct rdf:type objects),
+      ``entities`` (distinct typed subjects — the VoID reading of
+      void:entities as "resources of some class in the dataset").
+    * ``scope='property', key=<predicate>`` — void:propertyPartition
+      rows: ``triples``, ``distinct_subjects``, ``distinct_objects``.
+    * ``scope='class', key=<class IRI>`` — void:classPartition rows:
+      ``entities`` (distinct instances).
+
+    Input should be the set-deduped graph (VoID counts are set counts;
+    a bag input simply makes ``triples`` a bag count).  ``approx=True``
+    uses HLL sketches for every distinct count (the 100 TB path; the
+    value oracle checks the exact mode).
+    """
+    one = triples.agg(
+        F.count(F.lit(1)).alias("triples"),
+        _cd(F.col("subj"), approx).alias("distinct_subjects"),
+        _cd(F.col("obj"), approx).alias("distinct_objects"),
+        _cd(F.col("pred"), approx).alias("properties"),
+        _cd(F.when(F.col("pred") == RDF_TYPE, F.col("obj")),
+            approx).alias("classes"),
+        _cd(F.when(F.col("pred") == RDF_TYPE, F.col("subj")),
+            approx).alias("entities"),
+    )
+    names = ["triples", "distinct_subjects", "distinct_objects",
+             "properties", "classes", "entities"]
+    stack = ", ".join(f"'{n}', {n}" for n in names)
+    dataset = one.selectExpr(
+        "'dataset' AS scope", "'' AS key",
+        f"stack({len(names)}, {stack}) AS (metric, value)")
+
+    per_prop = triples.groupBy(F.col("pred").alias("key")).agg(
+        F.count(F.lit(1)).alias("triples"),
+        _cd(F.col("subj"), approx).alias("distinct_subjects"),
+        _cd(F.col("obj"), approx).alias("distinct_objects"),
+    ).selectExpr(
+        "'property' AS scope", "key",
+        "stack(3, 'triples', triples,"
+        " 'distinct_subjects', distinct_subjects,"
+        " 'distinct_objects', distinct_objects) AS (metric, value)")
+
+    per_class = (
+        triples.where(F.col("pred") == RDF_TYPE)
+        .groupBy(F.col("obj").alias("key"))
+        .agg(_cd(F.col("subj"), approx).alias("value"))
+        .select(F.lit("class").alias("scope"), "key",
+                F.lit("entities").alias("metric"), "value")
+    )
+    out = dataset.select(*_OUT_COLS).unionAll(
+        per_prop.select(*_OUT_COLS)).unionAll(
+        per_class.select(*_OUT_COLS))
+    return out.withColumn("value", F.col("value").cast("bigint"))
+
+
+def void_rdf(triples: DataFrame, dataset_uri: str,
+             approx: bool = False) -> DataFrame:
+    """The same statistics rendered as VoID RDF ``(subj, pred, obj,
+    okind)`` triples — the publication face a LOD consumer dereferences.
+
+    Partition nodes are minted deterministically from the partition key
+    (``<dataset>/prop-<md5(pred)>`` / ``<dataset>/class-<md5(class)>``)
+    so the description is replayable; counts are plain integer
+    literals.  A pure projection of :func:`void_stats` — pinned equal
+    to it by the round-trip pytest, no second aggregation.
+    """
+    st = void_stats(triples, approx=approx)
+    val = F.col("value").cast("string")
+    ds = F.lit(dataset_uri)
+
+    dataset = st.where(F.col("scope") == "dataset").select(
+        ds.alias("subj"),
+        _void_pred_col().alias("pred"),
+        val.alias("obj"), F.lit("").alias("okind"))
+    type_row = st.sparkSession.sql(
+        "SELECT '{d}' AS subj, '{t}' AS pred, '{v}Dataset' AS obj, "
+        "'uri' AS okind".format(d=dataset_uri.replace("'", "''"),
+                                t=RDF_TYPE, v=VOID))
+
+    def partition(scope: str, link: str, key_pred: str,
+                  node_tag: str) -> DataFrame:
+        part = st.where(F.col("scope") == scope)
+        node = F.concat(ds, F.lit(f"/{node_tag}-"), F.md5("key"))
+        return (
+            part.select(ds.alias("subj"), F.lit(link).alias("pred"),
+                        node.alias("obj"), F.lit("uri").alias("okind"))
+            .unionAll(part.select(
+                node.alias("subj"), F.lit(key_pred).alias("pred"),
+                F.col("key").alias("obj"), F.lit("uri").alias("okind")))
+            .unionAll(part.select(
+                node.alias("subj"), _void_pred_col().alias("pred"),
+                val.alias("obj"), F.lit("").alias("okind")))
+        )
+
+    out = type_row.unionAll(dataset).unionAll(
+        partition("property", VOID + "propertyPartition",
+                  VOID + "property", "prop")).unionAll(
+        partition("class", VOID + "classPartition",
+                  VOID + "class", "class"))
+    return out.distinct()
+
+
+def _void_pred_col() -> Column:
+    expr = F
+    for name, pred in _VOID_PREDS.items():
+        expr = expr.when(F.col("metric") == name, F.lit(pred))
+    return expr
+
+
+def characteristic_sets(triples: DataFrame,
+                        max_set_preds: Optional[int] = None) -> DataFrame:
+    """Characteristic sets (Neumann & Moerkotte, ICDE 2011): partition
+    subjects by their exact set of distinct predicates and count each
+    partition — the structure summary an RDF store uses to estimate
+    star-join cardinalities (the number of subjects matching a BGP star
+    is at most the sum of ``entities`` over the supersets of its
+    predicate set).
+
+    Output: ``(predset, entities, triples)`` — ``predset`` the
+    comma-joined sorted distinct predicates (deterministic fingerprint),
+    ``entities`` the number of subjects carrying exactly that set,
+    ``triples`` their total triple count (so ``triples / entities`` is
+    the mean multiplicity the estimator divides by).
+
+    ``max_set_preds`` guards the degenerate hub case: a subject with
+    more distinct predicates is folded into the single overflow set
+    ``'*'`` instead of minting an unbounded-width fingerprint string
+    (same documented-cap policy as the dedup posting lists).
+
+    Scale: one groupBy(subj) whose combinable state is the predicate
+    SET (bounded by the vocabulary, not the subject's triple count),
+    then a KB-sized regroup on the fingerprint.
+    """
+    per_subj = triples.groupBy("subj").agg(
+        F.sort_array(F.collect_set("pred")).alias("preds"),
+        F.count(F.lit(1)).alias("n"))
+    fp = F.array_join(F.col("preds"), ",")
+    if max_set_preds is not None:
+        if max_set_preds < 1:
+            raise ValueError(
+                f"max_set_preds must be >= 1, got {max_set_preds}")
+        fp = F.when(F.size("preds") > max_set_preds,
+                    F.lit("*")).otherwise(fp)
+    return (
+        per_subj.select(fp.alias("predset"), "n")
+        .groupBy("predset")
+        .agg(F.count(F.lit(1)).alias("entities"),
+             F.sum("n").cast("bigint").alias("triples"))
+    )

@@ -189,6 +189,58 @@ def rdfs_entail(triples: DataFrame, ontology: List[Triple],
     return out.distinct()
 
 
+def transitive_entail(triples: DataFrame, trans_preds: Sequence[str],
+                      max_hops: int, okind_col: Optional[str] = None,
+                      early_stop: bool = False) -> DataFrame:
+    """OWL transitive-property entailment (OWL 2 RL rule ``prp-trp``),
+    depth-bounded: for every predicate DECLARED transitive, the graph
+    entails the edge for each directed path — materialize those edges
+    and return the set-deduped entailed graph.
+
+    Unlike the ρdf rules of :func:`rdfs_entail` (schema-sized relations,
+    one broadcast pass), prp-trp closes a DATA-sized relation, so each
+    declared predicate's edge sliver (predicate pushdown keeps the scan
+    narrow) runs the semi-naive iteration of
+    :func:`~claimskg_generator_spark.operators.sparql.path_closure` —
+    per-round frontier joins, bounded lineage, never the accumulated
+    closure re-joined.  ``max_hops`` bounds the depth explicitly (the
+    same bounded-recursion contract as path_closure / bfs_layers; a
+    depth-d bound entails paths of <= d edges, and the value oracle
+    replays exactly that bound as a recursive CTE).  ``early_stop=True``
+    stops as soon as a round adds nothing (one tiny isEmpty probe per
+    round); the default runs the fixed depth with zero driver actions.
+
+    Entailed rows carry ``okind='uri'`` when ``okind_col`` is given —
+    objects of a transitive property are IRIs by construction (OWL
+    restricts TransitiveProperty to object properties).
+
+    The SPARQL face reaches the same semantics per-query via the
+    in-pattern ``p+`` path; this operator is the publication-side
+    materialization of it (consumers of the emitted graph get the
+    closure without a reasoner), mirroring how rdfs_entail
+    materializes what q118 computes lazily.
+    """
+    from claimskg_generator_spark.operators.sparql import path_closure
+
+    preds = list(trans_preds)
+    if not preds:
+        raise ValueError("trans_preds must name at least one predicate")
+    k = [F.col(okind_col).alias("okind")] if okind_col else []
+    k_uri = [F.lit("uri").alias("okind")] if okind_col else []
+    cols = ["subj", "pred", "obj"] + (["okind"] if okind_col else [])
+    out = triples.select("subj", "pred", "obj", *k)
+    for p in preds:
+        edges = (triples.where(F.col("pred") == p)
+                 .select(F.col("subj").alias("src"),
+                         F.col("obj").alias("dst")))
+        closed = path_closure(edges, max_hops=max_hops,
+                              early_stop=early_stop)
+        out = out.unionAll(closed.select(
+            F.col("src").alias("subj"), F.lit(p).alias("pred"),
+            F.col("dst").alias("obj"), *k_uri))
+    return out.distinct()
+
+
 def ifp_sameas(triples: DataFrame, ifp_preds: Sequence[str],
                max_group: int = 1000) -> DataFrame:
     """OWL inverse-functional-property entailment (OWL 2 RL rule

@@ -46,7 +46,7 @@ Grammar (keywords case-insensitive; ``#`` comments allowed)::
     block     := '{' ( triple '.'? )* '}'
     row       := literal | '(' literal+ ')'
     triple    := term path term
-    path      := pelt ( '/' pelt )* | pelt ( '|' pelt )+ | ?var
+    path      := pelt '+' | pelt ( '/' pelt )* | pelt ( '|' pelt )+ | ?var
     pelt      := '^'? ( <iri> | pfx:local | a )
     term      := ?var | <iri> | pfx:local | "string" | number | a
     expr      := conj ( '||' conj )*
@@ -76,8 +76,17 @@ variables (projected away; fresh vars never collide with user ``?``
 names because ``?__pv…`` is reserved), inverse ``^p`` swaps
 subject/object, and alternation ``p1|p2`` becomes a two-branch UNION
 chain (so it is accepted only in the required group, where UNION
-lives).  ``p+`` closure stays a separate operator
-(:func:`path_closure`) because it is iterative, not a static rewrite.
+lives).  ``p+`` closure is NOT a static rewrite: the pattern compiles
+to the semi-naive iteration of :func:`path_closure` over the
+predicate's edge sliver, depth-bounded by the ``closure_hops``
+argument of the query faces (default 8 — a documented bounded subset
+of the unbounded SPARQL ``+``, exactly the contract of path_closure
+itself; the value oracle replays the same bound as a recursive CTE).
+The closure frame joins the rest of the group on its shared
+variables; a literal endpoint filters the closure result.  Accepted
+only in the required group and only on a single (possibly inverse)
+predicate — ``p+/q`` and ``(p|q)+`` are outside the subset.  A node on
+a cycle reaches itself (real ``p+`` semantics).
 
 ``BIND`` expressions evaluate AFTER all pattern/MINUS joins and BEFORE
 FILTER expressions regardless of written position (document-order
@@ -119,7 +128,7 @@ _TOKEN = re.compile(
       | (?P<pname>[A-Za-z_][\w-]*:[\w-]+(?:\.[\w-]+)*)
       | (?P<word>[A-Za-z_]\w*)
       | (?P<num>\d+(?:\.\d+)?)
-      | (?P<op>&&|\|\||!=|<=|>=|[{}().,;*=<>:/^|])
+      | (?P<op>&&|\|\||!=|<=|>=|[{}().,;*=<>:/^|+])
     """,
     re.X,
 )
@@ -186,6 +195,8 @@ class ParsedQuery:
     binds: List[Tuple[str, tuple]] = field(default_factory=list)
     #: each chain is >= 2 branches, each branch a BGP pattern list
     union_chains: List[List[List[Triple]]] = field(default_factory=list)
+    #: ``p+`` closure patterns (inverse pre-swapped): (s, pred IRI, o)
+    closure_patterns: List[Triple] = field(default_factory=list)
     #: (variable names, literal rows) per VALUES block
     values_blocks: List[Tuple[List[str], List[Tuple[str, ...]]]] = \
         field(default_factory=list)
@@ -390,12 +401,12 @@ class _Parser:
         self.expect("{")
         trips: List[Triple] = []
         while self.peek() != "}":
-            expanded, alt = self._triple()
-            if alt is not None:
+            expanded, alt, closure = self._triple()
+            if alt is not None or closure is not None:
                 raise SparqlSyntaxError(
-                    "alternation paths (p1|p2) are only supported in "
-                    "the required group, not inside OPTIONAL/MINUS/"
-                    "NOT EXISTS/UNION/CONSTRUCT blocks")
+                    "alternation (p1|p2) and closure (p+) paths are "
+                    "only supported in the required group, not inside "
+                    "OPTIONAL/MINUS/NOT EXISTS/UNION/CONSTRUCT blocks")
             trips.extend(expanded)
             if self.peek() == ".":
                 self.next()
@@ -449,14 +460,17 @@ class _Parser:
                 self.next()
                 q.values_blocks.append(self._values_block())
             else:
-                expanded, alt = self._triple()
+                expanded, alt, closure = self._triple()
                 q.patterns.extend(expanded)
                 if alt is not None:
                     q.union_chains.append(alt)
+                if closure is not None:
+                    q.closure_patterns.append(closure)
             if self.peek() == ".":
                 self.next()
         self.expect("}")
-        if not q.patterns and not q.union_chains:
+        if (not q.patterns and not q.union_chains
+                and not q.closure_patterns):
             raise SparqlSyntaxError("WHERE group has no required patterns")
 
     def _values_block(self) -> Tuple[List[str], List[Tuple[str, ...]]]:
@@ -504,19 +518,30 @@ class _Parser:
             raise SparqlSyntaxError("UNDEF is outside the subset")
         return self._term()
 
-    def _triple(self) -> Tuple[List[Triple], Optional[List[List[Triple]]]]:
+    def _triple(self) -> Tuple[List[Triple], Optional[List[List[Triple]]],
+                               Optional[Triple]]:
         """One ``term path term`` pattern, property paths rewritten at
-        parse time: returns ``(triples, alt)`` where ``triples`` is the
-        (possibly sequence-expanded / inverse-swapped) pattern list and
-        ``alt`` is a UNION chain when the path is an alternation (else
-        None; exactly one of the two carries the pattern)."""
+        parse time: returns ``(triples, alt, closure)`` where
+        ``triples`` is the (possibly sequence-expanded /
+        inverse-swapped) pattern list, ``alt`` is a UNION chain when
+        the path is an alternation, and ``closure`` is a ``(s, p, o)``
+        closure pattern when the path is ``p+`` (inverse pre-swapped;
+        exactly one of the three carries the pattern)."""
         s = self._term()
         kind, elts = self._path()
         o = self._term()
+        if kind == "plus":
+            inv, p = elts[0]
+            cs, co = (o, s) if inv else (s, o)
+            if not (cs.startswith("?") or co.startswith("?")):
+                raise SparqlSyntaxError(
+                    "closure patterns (p+) need at least one variable "
+                    f"endpoint: {cs!r} {p}+ {co!r}")
+            return [], None, (cs, p, co)
         if kind == "alt":
             branches = [[(o, p, s) if inv else (s, p, o)]
                         for inv, p in elts]
-            return [], branches
+            return [], branches, None
         cur, out = s, []
         for n, (inv, p) in enumerate(elts):
             last = n == len(elts) - 1
@@ -527,15 +552,28 @@ class _Parser:
                 self._fresh += 1
             out.append((nxt, p, cur) if inv else (cur, p, nxt))
             cur = nxt
-        return out, None
+        return out, None, None
 
     def _path(self) -> Tuple[str, List[Tuple[bool, str]]]:
         """Predicate-position path: ``("seq", [(inverse, iri), ...])``
-        (length 1 == a plain predicate) or ``("alt", ...)``.  A bare
-        ``?var`` predicate stays a variable (no path operators around
-        it); ``+``/``*``/``?`` modifiers are rejected — closure is the
-        iterative :func:`path_closure` operator, not a static rewrite."""
+        (length 1 == a plain predicate), ``("alt", ...)``, or
+        ``("plus", [(inverse, iri)])`` for single-predicate closure.
+        A bare ``?var`` predicate stays a variable (no path operators
+        around it); ``*``/``?`` modifiers and ``+`` on composite paths
+        are rejected loudly."""
         first = self._path_elt()
+        if self.peek() == "+":
+            self.next()
+            if self.peek() in ("/", "|", "+", "*"):
+                raise SparqlSyntaxError(
+                    "p+ closure composes with no other path operator "
+                    "in the subset")
+            self._no_path_var([first])
+            return "plus", [first]
+        if self.peek() == "*":
+            raise SparqlSyntaxError(
+                "p* (zero-or-more) is outside the subset — p+ is "
+                "supported; add the zero-hop row with a UNION if needed")
         if self.peek() == "/":
             elts = [first]
             while self.peek() == "/":
@@ -545,6 +583,10 @@ class _Parser:
                 raise SparqlSyntaxError(
                     "mixing / and | in one path is outside the subset "
                     "— parenthesize as separate patterns")
+            if self.peek() == "+":
+                raise SparqlSyntaxError(
+                    "p+ closure applies to a single predicate only, "
+                    "not a sequence path")
             self._no_path_var(elts)
             return "seq", elts
         if self.peek() == "|":
@@ -552,6 +594,10 @@ class _Parser:
             while self.peek() == "|":
                 self.next()
                 elts.append(self._path_elt())
+            if self.peek() == "+":
+                raise SparqlSyntaxError(
+                    "p+ closure applies to a single predicate only, "
+                    "not an alternation path")
             self._no_path_var(elts)
             return "alt", elts
         if first[0]:
@@ -816,14 +862,17 @@ def _agg_col(it: SelectItem) -> Column:
 
 
 def _bindings(triples: DataFrame, q: ParsedQuery,
-              stats: Optional[dict]) -> DataFrame:
+              stats: Optional[dict],
+              closure_hops: int = 8) -> DataFrame:
     """The shared WHERE evaluation: bgp_query over ALL bound variables,
-    UNION chains and VALUES relations joined in, then MINUS anti-joins,
-    BIND columns, and FILTER expressions (they may reference variables
-    the SELECT list drops, so they apply before projection)."""
+    ``p+`` closure frames, UNION chains and VALUES relations joined in,
+    then MINUS anti-joins, BIND columns, and FILTER expressions (they
+    may reference variables the SELECT list drops, so they apply
+    before projection)."""
     from claimskg_generator_spark.operators.bgp import bgp_query
 
-    if not q.union_chains and not q.values_blocks:
+    if (not q.union_chains and not q.values_blocks
+            and not q.closure_patterns):
         # plain-BGP fast path: identical plan to the programmatic call
         df = bgp_query(
             triples, q.patterns,
@@ -841,6 +890,24 @@ def _bindings(triples: DataFrame, q: ParsedQuery,
         if q.patterns:
             frames.append((bgp_query(triples, q.patterns, stats=stats),
                            False))
+        for (cs, cp, co) in q.closure_patterns:
+            closed = path_closure(edges_from_triples(triples, cp),
+                                  max_hops=closure_hops)
+            if cs.startswith("?") and co.startswith("?"):
+                if cs == co:   # ?a p+ ?a — nodes on a cycle
+                    cdf = (closed.where(F.col("src") == F.col("dst"))
+                           .select(F.col("src").alias(cs[1:]))
+                           .distinct())
+                else:          # distinct (src, dst) pairs, hops dropped
+                    cdf = closed.select(F.col("src").alias(cs[1:]),
+                                        F.col("dst").alias(co[1:]))
+            elif cs.startswith("?"):   # literal object endpoint
+                cdf = (closed.where(F.col("dst") == co)
+                       .select(F.col("src").alias(cs[1:])).distinct())
+            else:                      # literal subject endpoint
+                cdf = (closed.where(F.col("src") == cs)
+                       .select(F.col("dst").alias(co[1:])).distinct())
+            frames.append((cdf, False))
         for chain in q.union_chains:
             branches = [bgp_query(triples, br, stats=stats)
                         for br in chain]
@@ -865,9 +932,9 @@ def _bindings(triples: DataFrame, q: ParsedQuery,
             keys = sorted(set(f.columns) & bound)
             if not keys:
                 raise SparqlSyntaxError(
-                    "a UNION/VALUES block shares no variable with the "
-                    "preceding patterns — this would be a cartesian "
-                    "product; split the query instead")
+                    "a UNION/VALUES/closure block shares no variable "
+                    "with the preceding patterns — this would be a "
+                    "cartesian product; split the query instead")
             df = df.join(F.broadcast(f) if is_values else f, keys)
             bound |= set(f.columns)
         for group in q.optional_groups:
@@ -917,7 +984,8 @@ def _bindings(triples: DataFrame, q: ParsedQuery,
 
 
 def sparql_select(triples: DataFrame, query: str,
-                  stats: Optional[dict] = None) -> DataFrame:
+                  stats: Optional[dict] = None,
+                  closure_hops: int = 8) -> DataFrame:
     """Run a SPARQL SELECT subset query against a ``(subj, pred, obj)``
     triple table.  Column names are the selected variable names (alias
     names for aggregates).  ``stats`` is the
@@ -927,7 +995,7 @@ def sparql_select(triples: DataFrame, query: str,
     q = query if isinstance(query, ParsedQuery) else parse_sparql(query)
     if q.form != "select":
         raise ValueError("not a SELECT query; use sparql_construct")
-    df = _bindings(triples, q, stats)
+    df = _bindings(triples, q, stats, closure_hops)
     bound = set(df.columns)
 
     has_agg = q.select is not None and any(it.agg for it in q.select)
@@ -986,7 +1054,8 @@ def sparql_select(triples: DataFrame, query: str,
 
 
 def sparql_construct(triples: DataFrame, query: str,
-                     stats: Optional[dict] = None) -> DataFrame:
+                     stats: Optional[dict] = None,
+                     closure_hops: int = 8) -> DataFrame:
     """Run a SPARQL CONSTRUCT subset query: evaluate the WHERE bindings
     once, project each template pattern as one narrow select over that
     frame, union, and set-dedup (an RDF graph is a set of triples).
@@ -994,7 +1063,7 @@ def sparql_construct(triples: DataFrame, query: str,
     q = query if isinstance(query, ParsedQuery) else parse_sparql(query)
     if q.form != "construct":
         raise ValueError("not a CONSTRUCT query; use sparql_select")
-    df = _bindings(triples, q, stats)
+    df = _bindings(triples, q, stats, closure_hops)
     bound = set(df.columns)
 
     def term_col(term: str, pos: str) -> Column:
@@ -1015,7 +1084,8 @@ def sparql_construct(triples: DataFrame, query: str,
 
 
 def sparql_ask(triples: DataFrame, query: str,
-               stats: Optional[dict] = None) -> DataFrame:
+               stats: Optional[dict] = None,
+               closure_hops: int = 8) -> DataFrame:
     """Run a SPARQL ASK subset query: does the WHERE group match at
     all?  Returns a ONE-ROW frame ``(ask boolean)`` — kept lazy (no
     driver collect) so it composes like every other query face.  The
@@ -1025,12 +1095,13 @@ def sparql_ask(triples: DataFrame, query: str,
     q = query if isinstance(query, ParsedQuery) else parse_sparql(query)
     if q.form != "ask":
         raise ValueError(f"not an ASK query (form={q.form!r})")
-    probe = _bindings(triples, q, stats).limit(1)
+    probe = _bindings(triples, q, stats, closure_hops).limit(1)
     return probe.agg((F.count(F.lit(1)) > 0).alias("ask"))
 
 
 def sparql_describe(triples: DataFrame, query: str,
-                    stats: Optional[dict] = None) -> DataFrame:
+                    stats: Optional[dict] = None,
+                    closure_hops: int = 8) -> DataFrame:
     """Run a SPARQL DESCRIBE subset query: the subject-based
     description (every triple whose subject is a described node — the
     bnode-free concise-bounded-description, exact for this engine's
@@ -1049,7 +1120,7 @@ def sparql_describe(triples: DataFrame, query: str,
     iri_targets = [t for t in q.describe_terms if not t.startswith("?")]
     frames: List[DataFrame] = []
     if var_targets:
-        df = _bindings(triples, q, stats)
+        df = _bindings(triples, q, stats, closure_hops)
         bound = set(df.columns)
         missing = [v for v in var_targets if v not in bound]
         if missing:

@@ -1,0 +1,140 @@
+"""operators/kg_stats — VoID statistics and characteristic sets."""
+
+import pytest
+
+from claimskg_generator_spark.operators.kg_stats import (
+    RDF_TYPE,
+    VOID,
+    characteristic_sets,
+    void_rdf,
+    void_stats,
+)
+
+
+@pytest.fixture(scope="module")
+def g(spark):
+    rows = [
+        ("a", RDF_TYPE, "C1"),
+        ("a", "p", "x"),
+        ("a", "p", "y"),
+        ("b", RDF_TYPE, "C1"),
+        ("b", "q", "x"),
+        ("c", "p", "x"),
+        ("x", RDF_TYPE, "C2"),
+    ]
+    return spark.createDataFrame(
+        rows, "subj string, pred string, obj string")
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_void_dataset_counts(g):
+    got = {(r["metric"]): r["value"]
+           for r in void_stats(g).where("scope = 'dataset'").collect()}
+    assert got == {
+        "triples": 7,
+        "distinct_subjects": 4,   # a b c x
+        "distinct_objects": 4,    # C1 C2 x y
+        "properties": 3,          # rdf:type p q
+        "classes": 2,             # C1 C2
+        "entities": 3,            # typed subjects a b x
+    }
+
+
+def test_void_property_and_class_partitions(g):
+    st = void_stats(g)
+    p = {(r["metric"]): r["value"]
+         for r in st.where("scope = 'property' AND key = 'p'").collect()}
+    assert p == {"triples": 3, "distinct_subjects": 2,
+                 "distinct_objects": 2}
+    c = {(r["key"]): r["value"]
+         for r in st.where("scope = 'class'").collect()}
+    assert c == {"C1": 2, "C2": 1}
+
+
+def test_void_approx_same_shape_close_values(g):
+    exact = {(r["scope"], r["key"], r["metric"]): r["value"]
+             for r in void_stats(g).collect()}
+    approx = {(r["scope"], r["key"], r["metric"]): r["value"]
+              for r in void_stats(g, approx=True).collect()}
+    assert set(exact) == set(approx)
+    # HLL on single-digit cardinalities is exact; the contract here is
+    # "same rows, plausible values", not bit-parity
+    for k, v in exact.items():
+        assert abs(approx[k] - v) <= max(1, v // 10), (k, v, approx[k])
+
+
+def test_void_rdf_round_trips_the_stats(g):
+    """The RDF face is a projection of void_stats: parsing the counts
+    back out of the triples must reproduce the stats frame exactly."""
+    trips = void_rdf(g, "urn:ds").collect()
+    by_subj = {}
+    for t in trips:
+        by_subj.setdefault(t["subj"], []).append(t)
+
+    # dataset node: typed + 6 metric literals
+    ds = {t["pred"]: t["obj"] for t in by_subj["urn:ds"]
+          if not t["pred"].endswith("Partition")}
+    assert ds[RDF_TYPE] == VOID + "Dataset"
+    assert ds[VOID + "triples"] == "7"
+    assert ds[VOID + "entities"] == "3"
+
+    # partition links resolve to nodes carrying key + metrics
+    stats = {(r["scope"], r["key"], r["metric"]): r["value"]
+             for r in void_stats(g).collect()}
+    prop_nodes = [t["obj"] for t in by_subj["urn:ds"]
+                  if t["pred"] == VOID + "propertyPartition"]
+    assert len(prop_nodes) == 3
+    for node in prop_nodes:
+        facts = {t["pred"]: t["obj"] for t in by_subj[node]}
+        key = facts[VOID + "property"]
+        assert int(facts[VOID + "triples"]) == \
+            stats[("property", key, "triples")]
+        assert int(facts[VOID + "distinctSubjects"]) == \
+            stats[("property", key, "distinct_subjects")]
+    class_nodes = [t["obj"] for t in by_subj["urn:ds"]
+                   if t["pred"] == VOID + "classPartition"]
+    assert len(class_nodes) == 2
+    for node in class_nodes:
+        facts = {t["pred"]: t["obj"] for t in by_subj[node]}
+        assert int(facts[VOID + "entities"]) == \
+            stats[("class", facts[VOID + "class"], "entities")]
+
+
+def test_charsets_partition_subjects_exactly(g):
+    got = _rows(characteristic_sets(g))
+    assert got == [
+        (RDF_TYPE, 1, 1),                 # x: typed only
+        (f"{RDF_TYPE},p", 1, 3),          # a: type + two p rows
+        (f"{RDF_TYPE},q", 1, 2),          # b
+        ("p", 1, 1),                      # c
+    ]
+    # entities sum == distinct subjects, triples sum == all triples
+    assert sum(e for _, e, _ in got) == 4
+    assert sum(t for _, _, t in got) == 7
+
+
+def test_charsets_overflow_cap(g, spark):
+    hub = spark.createDataFrame(
+        [("h", f"p{i}", "o") for i in range(5)] + [("s", "p0", "o")],
+        "subj string, pred string, obj string")
+    got = _rows(characteristic_sets(hub, max_set_preds=3))
+    assert ("*", 1, 5) in got          # the hub folds into overflow
+    assert ("p0", 1, 1) in got
+    with pytest.raises(ValueError):
+        characteristic_sets(hub, max_set_preds=0)
+
+
+def test_charsets_superset_bound_property(g):
+    """The estimator invariant the summary exists for: subjects
+    matching a star of predicates {P} == sum of entities over
+    characteristic sets that are supersets of {P}."""
+    cs = {r["predset"]: r["entities"]
+          for r in characteristic_sets(g).collect()}
+    want = {"p"}
+    matching = sum(n for ps, n in cs.items()
+                   if want <= set(ps.split(",")))
+    subjects_with_p = g.where("pred = 'p'").select("subj").distinct()
+    assert matching == subjects_with_p.count()

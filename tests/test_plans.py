@@ -630,3 +630,63 @@ def test_smush_rewrite_joins_broadcast(spark):
     assert len(re.findall(r"BroadcastHashJoin", plan)) >= 2
     # neither rewrite join may degrade to a sort-merge over the data
     assert "SortMergeJoin" not in plan
+
+
+def test_charsets_two_exchanges_object_hash_agg(spark):
+    """characteristic_sets must be exactly two shuffles — the
+    groupBy(subj) set-collection (ObjectHashAggregate with a partial
+    phase, so the predicate SET travels, not the subject's rows) and
+    the KB-sized fingerprint regroup."""
+    from claimskg_generator_spark.operators.kg_stats import (
+        characteristic_sets,
+    )
+
+    df = spark.sql(
+        "SELECT * FROM (VALUES ('a','p','x'), ('a','q','y'), "
+        "('b','p','x')) AS t(subj, pred, obj)")
+    plan = _plan(characteristic_sets(df))
+    # formatted explain renders each node in the tree AND the detail
+    # section — two occurrences per physical Exchange
+    assert len(re.findall(r"\+- Exchange", plan)) == 2
+    assert "ObjectHashAggregate" in plan
+    assert "CartesianProduct" not in plan and "Python" not in plan
+
+
+def test_void_stats_no_joins_no_python(spark):
+    """void_stats is pure aggregation — three scan branches (dataset
+    row, property partition, class sliver), zero joins, zero UDFs."""
+    from claimskg_generator_spark.operators.kg_stats import void_stats
+
+    df = spark.sql(
+        "SELECT * FROM (VALUES ('a','p','x')) AS t(subj, pred, obj)")
+    plan = _plan(void_stats(df))
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan and "Python" not in plan
+
+
+def test_sparql_plus_path_predicate_filter_pushed(spark, tmp_path):
+    """The p+ pattern's edge sliver must push its predicate literal to
+    the parquet scan — the closure iterates over ONE predicate's
+    edges, never the whole triple table."""
+    from claimskg_generator_spark.operators.sparql import sparql_select
+
+    df = spark.createDataFrame(
+        [("a", "p", "b", "uri"), ("a", "label", "A", "")],
+        "subj string, pred string, obj string, okind string")
+    from claimskg_generator_spark.operators.sparql import (
+        edges_from_triples,
+    )
+
+    path = str(tmp_path / "trips")
+    df.write.parquet(path)
+    trips = spark.read.parquet(path).select("subj", "pred", "obj")
+    plan = _plan(sparql_select(
+        trips, 'SELECT ?s ?l WHERE { ?s <p>+ ?t . ?t <label> ?l }',
+        closure_hops=2))
+    # the composed query: no cartesian, and the label pattern's literal
+    # reaches its parquet scan (the closure's own edge scan is inside
+    # the persisted InMemoryRelation, so it is pinned separately below)
+    assert "CartesianProduct" not in plan
+    assert "EqualTo(pred,label)" in plan
+    edge_plan = _plan(edges_from_triples(trips, "p"))
+    assert "PushedFilters" in edge_plan and "EqualTo(pred,p)" in edge_plan

@@ -234,3 +234,77 @@ def test_ifp_validates_args(spark):
         ifp_sameas(df, [])
     with pytest.raises(ValueError, match="max_group"):
         ifp_sameas(df, ["p"], max_group=1)
+
+
+# --------------------------------------------------------------------------
+# transitive_entail (OWL 2 RL prp-trp, depth-bounded)
+# --------------------------------------------------------------------------
+
+def _python_trans_closure(edges, max_hops):
+    """Ground truth: all pairs connected by 1..max_hops directed edges."""
+    reach = set(edges)
+    frontier = set(edges)
+    for _ in range(max_hops - 1):
+        frontier = {(s, d2) for s, d in frontier for d1, d2 in edges
+                    if d1 == d}
+        frontier -= reach
+        if not frontier:
+            break
+        reach |= frontier
+    return reach
+
+
+def test_transitive_entail_chain_and_cycle(spark):
+    from claimskg_generator_spark.operators.rdfs import transitive_entail
+
+    rows = [("a", "p", "b"), ("b", "p", "c"), ("c", "p", "d"),
+            ("x", "p", "y"), ("y", "p", "x"),     # 2-cycle
+            ("a", "q", "b")]                      # q is NOT transitive
+    df = spark.createDataFrame(rows, SCHEMA3)
+    got = {tuple(r) for r in
+           transitive_entail(df, ["p"], max_hops=4).collect()}
+    edges = {(s, o) for s, p, o in rows if p == "p"}
+    want = ({(s, "p", o) for s, o in _python_trans_closure(edges, 4)}
+            | set(rows))
+    assert got == want
+    # the cycle entails self-reach — real prp-trp semantics
+    assert ("x", "p", "x") in got and ("y", "p", "y") in got
+    # the non-declared predicate stays un-closed
+    assert ("a", "q", "c") not in got
+
+
+def test_transitive_entail_depth_bound(spark):
+    from claimskg_generator_spark.operators.rdfs import transitive_entail
+
+    rows = [(f"n{i}", "p", f"n{i + 1}") for i in range(5)]
+    df = spark.createDataFrame(rows, SCHEMA3)
+    got2 = {tuple(r) for r in
+            transitive_entail(df, ["p"], max_hops=2).collect()}
+    assert ("n0", "p", "n2") in got2
+    assert ("n0", "p", "n3") not in got2   # 3 hops — beyond the bound
+
+
+def test_transitive_entail_multiple_preds_and_okind(spark):
+    from claimskg_generator_spark.operators.rdfs import transitive_entail
+
+    rows = [("a", "p", "b", "uri"), ("b", "p", "c", "uri"),
+            ("a", "q", "b", "uri"), ("b", "q", "d", "uri"),
+            ("a", "lbl", "A", "")]
+    df = spark.createDataFrame(rows, SCHEMA4)
+    got = {tuple(r) for r in
+           transitive_entail(df, ["p", "q"], max_hops=3,
+                             okind_col="okind").collect()}
+    assert ("a", "p", "c", "uri") in got
+    assert ("a", "q", "d", "uri") in got
+    assert ("a", "lbl", "A", "") in got    # literals pass through
+    assert len(got) == len(rows) + 2       # exactly the two new edges
+
+
+def test_transitive_entail_validates_args(spark):
+    from claimskg_generator_spark.operators.rdfs import transitive_entail
+
+    df = spark.createDataFrame([("a", "p", "b")], SCHEMA3)
+    with pytest.raises(ValueError, match="trans_preds"):
+        transitive_entail(df, [], max_hops=3)
+    with pytest.raises(ValueError, match="max_hops"):
+        transitive_entail(df, ["p"], max_hops=0)

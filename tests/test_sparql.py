@@ -596,3 +596,100 @@ def test_new_forms_dispatch_guards(g):
         sparql_ask(g, "SELECT ?f WHERE { ?f <lang> ?l }")
     with pytest.raises(ValueError, match="not a DESCRIBE"):
         sparql_describe(g, "ASK { ?f <lang> ?l }")
+
+
+# --------------------------------------------------------------------------
+# in-pattern p+ closure
+# --------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def chain_g(spark):
+    rows = [("a", "p", "b", "uri"), ("b", "p", "c", "uri"),
+            ("c", "p", "d", "uri"), ("x", "p", "x", "uri"),
+            ("a", "label", "A", ""), ("b", "label", "B", ""),
+            ("c", "label", "C", ""), ("d", "label", "D", "")]
+    return spark.createDataFrame(
+        rows, "subj string, pred string, obj string, okind string")
+
+
+def test_plus_path_both_vars(chain_g):
+    got = sorted(tuple(r) for r in sparql_select(
+        chain_g, "SELECT ?s ?t WHERE { ?s <p>+ ?t }").collect())
+    assert got == [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"),
+                   ("b", "d"), ("c", "d"), ("x", "x")]
+
+
+def test_plus_path_joins_other_patterns(chain_g):
+    got = sorted(tuple(r) for r in sparql_select(
+        chain_g,
+        'SELECT ?s ?l WHERE { ?s <p>+ "d" . ?s <label> ?l }').collect())
+    assert got == [("a", "A"), ("b", "B"), ("c", "C")]
+
+
+def test_plus_path_literal_subject_and_inverse(chain_g):
+    fwd = sorted(r["t"] for r in sparql_select(
+        chain_g, 'SELECT ?t WHERE { "a" <p>+ ?t }').collect())
+    assert fwd == ["b", "c", "d"]
+    # ^p+ from a literal object == forward closure from it as subject
+    inv = sorted(r["s"] for r in sparql_select(
+        chain_g, 'SELECT ?s WHERE { ?s ^<p>+ "a" }').collect())
+    assert inv == fwd
+
+
+def test_plus_path_same_var_cycle_nodes(chain_g):
+    got = [r["n"] for r in sparql_select(
+        chain_g, "SELECT ?n WHERE { ?n <p>+ ?n }").collect()]
+    assert got == ["x"]
+
+
+def test_plus_path_closure_hops_bound(chain_g):
+    got = sorted(r["t"] for r in sparql_select(
+        chain_g, 'SELECT ?t WHERE { "a" <p>+ ?t }',
+        closure_hops=2).collect())
+    assert got == ["b", "c"]
+
+
+def test_plus_path_in_ask_and_construct(chain_g):
+    from claimskg_generator_spark.operators.sparql import sparql_ask
+
+    assert sparql_ask(
+        chain_g,
+        'ASK { ?s <p>+ "d" . ?s <label> ?l }').collect()[0]["ask"]
+    built = sparql_construct(
+        chain_g,
+        "CONSTRUCT { ?s <reach> ?t } WHERE { ?s <p>+ ?t }")
+    assert built.count() == 7
+
+
+def test_plus_path_rejections(chain_g):
+    for bad in [
+        "SELECT ?s WHERE { ?s <p>* ?t }",
+        "SELECT ?s WHERE { ?s <p>/<q>+ ?t }",
+        "SELECT ?s WHERE { ?s <p>+/<q> ?t }",
+        "SELECT ?s WHERE { ?s (<p>|<q>)+ ?t }",
+        'SELECT ?s WHERE { "a" <p>+ "d" }',
+        "SELECT ?s WHERE { ?s ?v+ ?t }",
+        "SELECT ?l WHERE { OPTIONAL { ?s <p>+ ?t } . ?s <label> ?l }",
+        "CONSTRUCT { ?s <p>+ ?t } WHERE { ?s <label> ?t }",
+    ]:
+        with pytest.raises(SparqlSyntaxError):
+            parse_sparql(bad)
+
+
+def test_plus_path_cartesian_guard(chain_g):
+    with pytest.raises(SparqlSyntaxError, match="cartesian"):
+        sparql_select(
+            chain_g,
+            'SELECT ?s ?l WHERE { ?s <p>+ ?t . ?u <label> ?l }'
+        ).collect()
+
+
+def test_plus_path_prefixed_name(chain_g, spark):
+    rows = [("a", "http://example.org/code#dep", "b", "uri"),
+            ("b", "http://example.org/code#dep", "c", "uri")]
+    df = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, okind string")
+    got = sorted(tuple(r) for r in sparql_select(
+        df, """PREFIX code: <http://example.org/code#>
+               SELECT ?s ?t WHERE { ?s code:dep+ ?t }""").collect())
+    assert got == [("a", "b"), ("a", "c"), ("b", "c")]
