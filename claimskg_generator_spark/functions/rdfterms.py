@@ -81,11 +81,13 @@ def _escape_nt(text: str) -> str:
 
 
 def to_ntriples_line(subj: str, pred: str, obj: str, okind: str) -> str:
-    """Canonical N-Triples rendering of one triple row."""
-    s = f"<{subj}>"
+    """Canonical N-Triples rendering of one triple row.  Blank-node
+    labels (``_:…``) are legal subject/object terms and stay
+    unbracketed — matching plans/pipeline.write_ntriples."""
+    s = subj if subj.startswith("_:") else f"<{subj}>"
     p = f"<{pred}>"
     if okind == OKIND_URI:
-        o = f"<{obj}>"
+        o = obj if obj.startswith("_:") else f"<{obj}>"
     elif okind == OKIND_PLAIN:
         o = f'"{_escape_nt(obj)}"'
     elif okind.startswith("@"):

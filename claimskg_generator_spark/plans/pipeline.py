@@ -703,12 +703,20 @@ def write_ntriples(triples: DataFrame, path: str) -> None:
     frame — module-level so non-claims graphs (the code KG) serialize
     without constructing a pipeline; ClaimsKGPipeline.write_ntriples
     delegates here (byte output pinned by tests/test_golden_ntriples)."""
+    # blank-node labels are legal N-Triples terms in subject/object
+    # position and must NOT be angle-bracketed (sources/turtle.py can
+    # ingest them; operators/skolem.skolemize is the bridge to sinks
+    # that cannot express them).  The claims/code KGs mint URIs only,
+    # so this branch leaves their byte goldens untouched.
+    subj_t = F.when(F.col("subj").startswith("_:"), F.col("subj")) \
+        .otherwise(F.concat(F.lit("<"), F.col("subj"), F.lit(">")))
+    uri_obj = F.when(F.col("obj").startswith("_:"), F.col("obj")) \
+        .otherwise(F.concat(F.lit("<"), F.col("obj"), F.lit(">")))
     nt = triples.select(
         F.concat(
-            F.lit("<"), F.col("subj"), F.lit("> <"), F.col("pred"),
+            subj_t, F.lit(" <"), F.col("pred"),
             F.lit("> "),
-            F.when(F.col("okind") == "uri",
-                   F.concat(F.lit("<"), F.col("obj"), F.lit(">")))
+            F.when(F.col("okind") == "uri", uri_obj)
             .when(F.col("okind") == "",
                   F.concat(F.lit('"'), _nt_escape(F.col("obj")),
                            F.lit('"')))
