@@ -89,6 +89,9 @@ P_LINKS_TO = CODE + "linksTo"
 # operators/rdfs.transitive_entail and the SPARQL in-pattern `p+`
 # close over
 P_DEPENDS_REPO = CODE + "dependsOnRepo"
+# declared owl:inverseOf schema:codeRepository — the repo->file
+# direction operators/rdfs.owl_property_entail derives (prp-inv1)
+P_HAS_FILE = CODE + "hasSourceFile"
 
 # --- vocabulary schema (consumed by operators/rdfs.rdfs_entail) ---
 # Two-level class and property hierarchies so subClassOf/subPropertyOf

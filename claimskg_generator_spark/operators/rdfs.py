@@ -241,6 +241,59 @@ def transitive_entail(triples: DataFrame, trans_preds: Sequence[str],
     return out.distinct()
 
 
+def owl_property_entail(triples: DataFrame,
+                        symmetric: Sequence[str] = (),
+                        inverses: Sequence[Tuple[str, str]] = (),
+                        okind_col: Optional[str] = None) -> DataFrame:
+    """OWL 2 RL property-characteristic entailment — rules ``prp-symp``
+    (``p`` declared symmetric: (s p o) entails (o p s)) and
+    ``prp-inv1``/``prp-inv2`` (``q = inverseOf(p)``: (s p o) entails
+    (o q s) and vice versa).  Together with :func:`transitive_entail`
+    (prp-trp) and :func:`ifp_sameas` (prp-ifp) this completes the
+    engine's OWL 2 RL property-rule family.
+
+    ``symmetric`` lists predicates declared ``owl:SymmetricProperty``
+    (owl:sameAs is the canonical member); ``inverses`` lists
+    ``(p, q)`` pairs declared ``owl:inverseOf`` — BOTH directions fire,
+    per the OWL semantics.
+
+    Shape: each rule is one filtered-sliver projection with subject and
+    object swapped — ZERO joins, zero iteration (these rules cannot
+    cascade through themselves: applying a swap twice returns the
+    original row, which the final set-dedup absorbs; the one exchange
+    is that dedup).  When ``okind_col`` is given, only URI-kind rows
+    swap — a literal can never become a subject — and entailed rows
+    carry ``okind='uri'``.
+    """
+    sym = list(symmetric)
+    inv = list(inverses)
+    if not sym and not inv:
+        raise ValueError("need at least one symmetric pred or inverse "
+                         "pair")
+    k = [F.col(okind_col).alias("okind")] if okind_col else []
+    k_uri = [F.lit("uri").alias("okind")] if okind_col else []
+    cols = ["subj", "pred", "obj"] + (["okind"] if okind_col else [])
+    data = triples.select("subj", "pred", "obj", *k)
+    swappable = (F.col("okind") == "uri") if okind_col else F.lit(True)
+
+    def swap(from_pred: str, to_pred: str) -> DataFrame:
+        return (data.where((F.col("pred") == from_pred) & swappable)
+                .select(F.col("obj").alias("subj"),
+                        F.lit(to_pred).alias("pred"),
+                        F.col("subj").alias("obj"), *k_uri))
+
+    parts = [data]
+    for p in sym:
+        parts.append(swap(p, p))
+    for p, q in inv:
+        parts.append(swap(p, q))
+        parts.append(swap(q, p))
+    out = parts[0].select(*cols)
+    for part in parts[1:]:
+        out = out.unionAll(part.select(*cols))
+    return out.distinct()
+
+
 def ifp_sameas(triples: DataFrame, ifp_preds: Sequence[str],
                max_group: int = 1000) -> DataFrame:
     """OWL inverse-functional-property entailment (OWL 2 RL rule

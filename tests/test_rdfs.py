@@ -308,3 +308,56 @@ def test_transitive_entail_validates_args(spark):
         transitive_entail(df, [], max_hops=3)
     with pytest.raises(ValueError, match="max_hops"):
         transitive_entail(df, ["p"], max_hops=0)
+
+
+# --------------------------------------------------------------------------
+# owl_property_entail (OWL 2 RL prp-symp, prp-inv1/inv2)
+# --------------------------------------------------------------------------
+
+def test_owl_symmetric_swaps_uri_rows_only(spark):
+    from claimskg_generator_spark.operators.rdfs import owl_property_entail
+
+    rows = [("a", "same", "b", "uri"),
+            ("a", "same", "oops-literal", ""),   # must NOT swap
+            ("a", "other", "c", "uri")]
+    df = spark.createDataFrame(rows, SCHEMA4)
+    got = {tuple(r) for r in owl_property_entail(
+        df, symmetric=["same"], okind_col="okind").collect()}
+    assert got == set(map(tuple, rows)) | {("b", "same", "a", "uri")}
+
+
+def test_owl_inverse_fires_both_directions(spark):
+    from claimskg_generator_spark.operators.rdfs import owl_property_entail
+
+    rows = [("f", "inRepo", "r", "uri"),     # prp-inv1 input
+            ("r2", "hasFile", "f2", "uri")]  # prp-inv2 input
+    df = spark.createDataFrame(rows, SCHEMA4)
+    got = {tuple(r) for r in owl_property_entail(
+        df, inverses=[("inRepo", "hasFile")], okind_col="okind")
+        .collect()}
+    assert got == set(map(tuple, rows)) | {
+        ("r", "hasFile", "f", "uri"),
+        ("f2", "inRepo", "r2", "uri")}
+
+
+def test_owl_property_entail_idempotent_no_okind(spark):
+    from claimskg_generator_spark.operators.rdfs import owl_property_entail
+
+    df = spark.createDataFrame([("a", "same", "b")], SCHEMA3)
+    once = owl_property_entail(df, symmetric=["same"])
+    twice = owl_property_entail(once, symmetric=["same"])
+    assert sorted(map(tuple, once.collect())) == \
+        sorted(map(tuple, twice.collect())) == \
+        [("a", "same", "b"), ("b", "same", "a")]
+    with pytest.raises(ValueError, match="at least one"):
+        owl_property_entail(df)
+
+
+def test_owl_property_entail_no_join_plan(spark):
+    from claimskg_generator_spark.operators.rdfs import owl_property_entail
+
+    df = spark.createDataFrame([("a", "same", "b", "uri")], SCHEMA4)
+    plan = owl_property_entail(
+        df, symmetric=["same"], inverses=[("p", "q")],
+        okind_col="okind")._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "Python" not in plan
