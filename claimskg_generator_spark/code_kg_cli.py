@@ -120,6 +120,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         "+ violation count go to the summary JSON")
     p.add_argument("--validate-output",
                    help="parquet dir for the full SHACL violations report")
+    p.add_argument("--void-output",
+                   help="parquet dir for the W3C VoID statistical "
+                        "description of the published graph (long "
+                        "format: scope/key/metric/value); dataset-level "
+                        "counts also land in the summary JSON")
     p.add_argument("--quality-gate", action="store_true",
                    help="drop files failing the StarCoder-style gates")
     p.add_argument("--exact-dedup", action="store_true",
@@ -162,14 +167,16 @@ def main(argv=None) -> int:
         print("error: need --table-dir, --output, --ntriples-output "
               "and/or a query", file=sys.stderr)
         return 2
-    if not building and not query_text and not args.validate:
+    if not building and not query_text and not args.validate \
+            and not args.void_output:
         print("error: need --input/--synth-from-documents, a --sparql "
-              "query, and/or --validate", file=sys.stderr)
+              "query, --validate, and/or --void-output",
+              file=sys.stderr)
         return 2
-    if not building and (query_text or args.validate) \
-            and not args.query_table:
-        print("error: a query/--validate without a build needs "
-              "--query-table", file=sys.stderr)
+    if not building and (query_text or args.validate
+                         or args.void_output) and not args.query_table:
+        print("error: a query/--validate/--void-output without a build "
+              "needs --query-table", file=sys.stderr)
         return 2
 
     spark = SparkSession.getActiveSession()
@@ -188,6 +195,8 @@ def main(argv=None) -> int:
             summary["counts"]["files"] = files.count()
         if args.validate:
             _run_validate(spark, args, triples, summary)
+        if args.void_output:
+            _run_void(spark, args, triples, summary)
         if query_text:
             _run_query(spark, args, query_text, triples, summary)
         print(json.dumps(summary))
@@ -226,6 +235,23 @@ def _run_validate(spark, args, triples, summary) -> None:
     summary["validation"] = {"conforms": n == 0, "n_violations": n}
     if args.validate_output:
         summary["validation"]["output"] = args.validate_output
+
+
+def _run_void(spark, args, triples, summary) -> None:
+    """W3C VoID publication sidecar: operators/kg_stats.void_stats over
+    the (possibly entailed / time-traveled) graph, written next to the
+    graph outputs; the dataset-level counts join the summary JSON so a
+    publish run reports its own size."""
+    from claimskg_generator_spark.operators.kg_stats import void_stats
+
+    stats = void_stats(_resolve_graph(spark, args, triples))
+    stats.write.mode("overwrite").parquet(args.void_output)
+    stats = spark.read.parquet(args.void_output)
+    summary["void"] = {
+        "output": args.void_output,
+        "dataset": {r["metric"]: r["value"]
+                    for r in stats.where("scope = 'dataset'").collect()},
+    }
 
 
 def _run_query(spark, args, query_text, triples, summary) -> None:

@@ -237,3 +237,35 @@ def test_entail_resume_stage(spark, docs_path, tmp_path, capsys):
     assert any(st["stage"] == "entail" and st["action"] == "resume"
                for st in s2["stages"])
     assert s1["counts"]["triples"] == s2["counts"]["triples"]
+
+
+def test_void_output_sidecar(spark, docs_path, tmp_path, capsys):
+    """--void-output writes the VoID long-format stats for the built
+    graph and surfaces the dataset-level counts in the summary; the
+    sidecar must agree with void_stats over the same triples."""
+    out = str(tmp_path / "triples_v")
+    void = str(tmp_path / "void")
+    s = _run(capsys, "--synth-from-documents", docs_path,
+             "--output", out, "--void-output", void)
+    assert s["void"]["output"] == void
+    assert s["void"]["dataset"]["triples"] == s["counts"]["triples"]
+    stats = spark.read.parquet(void)
+    assert set(stats.columns) == {"scope", "key", "metric", "value"}
+
+    from claimskg_generator_spark.operators.kg_stats import void_stats
+
+    direct = void_stats(spark.read.parquet(out))
+    assert sorted(map(tuple, stats.collect())) == \
+        sorted(map(tuple, direct.collect()))
+
+
+def test_void_output_against_snapshot_table(spark, docs_path, tmp_path,
+                                            capsys):
+    table = str(tmp_path / "kg_v")
+    _run(capsys, "--synth-from-documents", docs_path,
+         "--table-dir", table)
+    void = str(tmp_path / "void_t")
+    s = _run(capsys, "--query-table", table, "--void-output", void)
+    assert s["void"]["dataset"]["triples"] > 0
+    # void-only without a build and without --query-table is an error
+    assert main(["--void-output", void]) == 2
