@@ -167,6 +167,108 @@ def _void_pred_col() -> Column:
     return expr
 
 
+def void_sketch(triples: DataFrame, p: int = 12) -> DataFrame:
+    """Mergeable VoID sketch — the monoid state from which
+    :func:`void_estimate` reproduces the whole VoID description, so the
+    published sidecar can be maintained INCREMENTALLY: sketch each new
+    data increment, merge registers, re-estimate — never rescan the
+    graph (the q82/q91 continuous-aggregate pattern applied to VoID;
+    exact re-aggregation of distinct counts is impossible without the
+    full history, which is exactly what HLL registers replace).
+
+    State: ``(scope, key, metric, reg_idx, max_rho, cnt)`` — one row
+    per touched HLL register per partition dimension (``cnt`` NULL),
+    plus plain count rows at ``reg_idx = -1`` (``max_rho`` NULL).  The
+    merge is a per-column monoid: ``max`` over registers, ``sum`` over
+    counts (:func:`void_sketch_merge`).
+
+    Scale shape: ONE pass — every row emits its register/count
+    contributions IN-ROW (array + explode, ~9 narrow rows), then one
+    combinable groupBy; compare the three aggregation branches of the
+    exact :func:`void_stats`.  State size is bounded by
+    (partitions × 2^p), not by the data.
+    """
+    from claimskg_generator_spark.operators.sketches import (
+        hll_register_cols,
+    )
+
+    def reg(scope, key, metric, value_col):
+        idx, rho = hll_register_cols(value_col, p)
+        return F.struct(
+            F.lit(scope).alias("scope"), key.alias("key"),
+            F.lit(metric).alias("metric"),
+            idx.cast("long").alias("reg_idx"),
+            rho.cast("int").alias("max_rho"),
+            F.lit(None).cast("long").alias("cnt"))
+
+    def count_row(scope, key):
+        return F.struct(
+            F.lit(scope).alias("scope"), key.alias("key"),
+            F.lit("triples").alias("metric"),
+            F.lit(-1).cast("long").alias("reg_idx"),
+            F.lit(None).cast("int").alias("max_rho"),
+            F.lit(1).cast("long").alias("cnt"))
+
+    e = F.lit("")
+    subj, pred, obj = F.col("subj"), F.col("pred"), F.col("obj")
+    base = F.array(
+        count_row("dataset", e),
+        count_row("property", pred),
+        reg("dataset", e, "distinct_subjects", subj),
+        reg("dataset", e, "distinct_objects", obj),
+        reg("dataset", e, "properties", pred),
+        reg("property", pred, "distinct_subjects", subj),
+        reg("property", pred, "distinct_objects", obj),
+    )
+    typed = F.array(
+        reg("dataset", e, "classes", obj),
+        reg("dataset", e, "entities", subj),
+        reg("class", obj, "entities", subj),
+    )
+    contrib = F.when(pred == RDF_TYPE,
+                     F.concat(base, typed)).otherwise(base)
+    return (
+        triples.select(F.explode(contrib).alias("c"))
+        .select("c.*")
+        .groupBy("scope", "key", "metric", "reg_idx")
+        .agg(F.max("max_rho").alias("max_rho"),
+             F.sum("cnt").alias("cnt"))
+    )
+
+
+def void_sketch_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge :func:`void_sketch` frames from disjoint data increments:
+    register-wise max, count-wise sum — associative, commutative,
+    idempotent on registers, so arrival order and regrouping never
+    change the estimate."""
+    merged = sketches[0]
+    for s in sketches[1:]:
+        merged = merged.unionByName(s)
+    return merged.groupBy("scope", "key", "metric", "reg_idx").agg(
+        F.max("max_rho").alias("max_rho"),
+        F.sum("cnt").alias("cnt"))
+
+
+def void_estimate(sketch: DataFrame, p: int = 12) -> DataFrame:
+    """The VoID description from a (merged) sketch — same output shape
+    as the exact :func:`void_stats` ``(scope, key, metric, value)``:
+    exact ``triples`` counts from the count rows, HLL estimates
+    (operators/sketches.hll_estimate — exact decimal harmonic sum, so
+    the estimate is bit-replayable cross-engine) rounded to integers
+    for every distinct metric."""
+    from claimskg_generator_spark.operators.sketches import hll_estimate
+
+    counts = (sketch.where(F.col("reg_idx") == -1)
+              .select("scope", "key", "metric",
+                      F.col("cnt").cast("bigint").alias("value")))
+    regs = (sketch.where(F.col("reg_idx") >= 0)
+            .select("scope", "key", "metric", "reg_idx", "max_rho"))
+    est = hll_estimate(regs, p=p).select(
+        "scope", "key", "metric",
+        F.round(F.col("est_distinct"), 0).cast("bigint").alias("value"))
+    return counts.unionAll(est)
+
+
 def characteristic_sets(triples: DataFrame,
                         max_set_preds: Optional[int] = None) -> DataFrame:
     """Characteristic sets (Neumann & Moerkotte, ICDE 2011): partition

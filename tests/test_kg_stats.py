@@ -138,3 +138,61 @@ def test_charsets_superset_bound_property(g):
                    if want <= set(ps.split(",")))
     subjects_with_p = g.where("pred = 'p'").select("subj").distinct()
     assert matching == subjects_with_p.count()
+
+
+# --------------------------------------------------------------------------
+# mergeable VoID sketch
+# --------------------------------------------------------------------------
+
+def test_void_sketch_monoid_identity(g, spark):
+    """merge(sketch(a), sketch(b)) == sketch(a ∪ b) EXACTLY — the
+    property that makes the sidecar maintainable under ingest."""
+    from claimskg_generator_spark.operators.kg_stats import (
+        void_sketch,
+        void_sketch_merge,
+    )
+
+    h1 = g.filter("crc32(concat(subj, pred, obj)) % 2 = 0")
+    h2 = g.filter("crc32(concat(subj, pred, obj)) % 2 = 1")
+    direct = sorted(map(tuple, void_sketch(g).collect()))
+    merged = sorted(map(tuple, void_sketch_merge(
+        void_sketch(h1), void_sketch(h2)).collect()))
+    assert direct == merged
+    # three-way split and permuted merge order agree too
+    parts = [g.filter(f"crc32(concat(subj, pred, obj)) % 3 = {i}")
+             for i in range(3)]
+    s = [void_sketch(x) for x in parts]
+    assert sorted(map(tuple, void_sketch_merge(
+        s[2], s[0], s[1]).collect())) == direct
+
+
+def test_void_estimate_matches_exact_on_small_graph(g):
+    """At toy cardinality HLL's linear-counting branch is exact, so
+    the estimate must EQUAL void_stats — same shape, same values."""
+    from claimskg_generator_spark.operators.kg_stats import (
+        void_estimate,
+        void_sketch,
+        void_stats,
+    )
+
+    est = sorted(map(tuple, void_estimate(void_sketch(g)).collect()))
+    exact = sorted(map(tuple, void_stats(g).collect()))
+    assert est == exact
+
+
+def test_void_sketch_one_exchange_and_bounded_state(g):
+    from claimskg_generator_spark.operators.kg_stats import void_sketch
+
+    sk = void_sketch(g, p=4)
+    plan = sk._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "Python" not in plan
+    # count rows at reg_idx = -1, register rows within [0, 2^p)
+    rows = sk.collect()
+    assert all(r["reg_idx"] == -1 or 0 <= r["reg_idx"] < 16
+               for r in rows)
+    counts = [r for r in rows if r["reg_idx"] == -1]
+    assert all(r["max_rho"] is None and r["cnt"] is not None
+               for r in counts)
+    assert {(r["scope"], r["key"]) for r in counts} == \
+        {("dataset", "")} | {("property", p) for p in
+                             {t["pred"] for t in g.collect()}}

@@ -707,3 +707,70 @@ def test_code_kg_stream_converges_and_epoch_idempotent(spark):
     m2(code_files(spark.createDataFrame(docs[:30], sch)),
        batch_id=seen_id)
     assert key(m2.graph()) == want_set
+
+
+def test_void_stream_converges_and_epoch_idempotent(spark):
+    """Streaming VoID maintenance: after draining triple chunks in any
+    order, the merged sketch and the estimated description equal the
+    one-shot batch void_sketch/void_estimate; a replayed epoch is a
+    no-op (additive triple counts ride the epoch contract); compaction
+    preserves the view and the replay guard across a fresh
+    maintainer."""
+    import os
+    import random
+
+    from claimskg_generator_spark.operators.kg_stats import (
+        RDF_TYPE,
+        void_estimate,
+        void_sketch,
+    )
+    from claimskg_generator_spark.streaming.void_stream import (
+        VoidSketchMaintainer,
+        stream_void_sketch,
+    )
+
+    base = tempfile.mkdtemp(prefix="claimskg_voidstream_")
+    in_dir, tbl, ck = f"{base}/in", f"{base}/tbl", f"{base}/ck"
+    os.makedirs(in_dir)
+
+    rng = random.Random(9)
+    rows = [(f"s{rng.randrange(120)}", f"p{rng.randrange(5)}",
+             f"o{rng.randrange(40)}") for _ in range(600)] + \
+           [(f"s{i}", RDF_TYPE, f"C{i % 3}") for i in range(60)]
+    sch = "subj string, pred string, obj string"
+    P = 10
+
+    m = VoidSketchMaintainer(spark, tbl, p=P)
+    chunks = [rows[:220], rows[220:440], rows[440:]]
+    rng.shuffle(chunks)
+    for chunk in chunks:
+        spark.createDataFrame(chunk, sch).coalesce(1).write.mode(
+            "append").parquet(in_dir)
+        q, _ = stream_void_sketch(spark, in_dir, tbl, ck, p=P,
+                                  maintainer=m)
+        q.awaitTermination(120)
+
+    whole = spark.createDataFrame(rows, sch)
+    key = lambda df: {  # noqa: E731
+        (r["scope"], r["key"], r["metric"], r["reg_idx"]):
+        (r["max_rho"], r["cnt"]) for r in df.collect()}
+    want_sketch = key(void_sketch(whole, p=P))
+    assert key(m.sketch()) == want_sketch
+
+    desc = lambda df: {  # noqa: E731
+        (r["scope"], r["key"], r["metric"]): r["value"]
+        for r in df.collect()}
+    want_desc = desc(void_estimate(void_sketch(whole, p=P), p=P))
+    assert desc(m.description()) == want_desc
+
+    # replayed epoch: skipped before any write
+    seen_id = next(iter(m._seen))
+    m(spark.createDataFrame(rows[:220], sch), batch_id=seen_id)
+    assert key(m.sketch()) == want_sketch
+
+    # compaction folds partials; view + guard survive a fresh maintainer
+    m.compact()
+    assert key(m.sketch()) == want_sketch
+    m2 = VoidSketchMaintainer(spark, tbl, p=P)
+    m2(spark.createDataFrame(rows[:220], sch), batch_id=seen_id)
+    assert key(m2.sketch()) == want_sketch
