@@ -105,6 +105,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         "reference's per-side feature columns); requires "
                         "--reconcile > 0")
     p.add_argument("--stats-output", default=None)
+    p.add_argument("--void-output", default=None,
+                   help="parquet dir for the W3C VoID statistical "
+                        "description of the emitted graph (long format "
+                        "scope/key/metric/value) — the standardized "
+                        "publication sidecar next to --stats-output's "
+                        "reference-shaped counters")
     p.add_argument("--lineage-output", default=None)
     p.add_argument("--output-partitions", type=int, default=None)
     p.add_argument("--pred-buckets", type=int, default=None,
@@ -340,6 +346,12 @@ def main(argv=None) -> int:
         statistics_table(
             pipe.claims(input_df), cfg.model_uri, pipe.matchers, cfg.threshold
         ).write.mode("overwrite").json(args.stats_output)
+
+    if args.void_output:
+        from claimskg_generator_spark.operators.kg_stats import void_stats
+
+        void_stats(triples.select("subj", "pred", "obj")).write.mode(
+            "overwrite").parquet(args.void_output)
 
     return 0
 

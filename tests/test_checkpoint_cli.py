@@ -358,3 +358,25 @@ def test_cli_content_probe_flag_invalidates_checkpoint(spark):
                  "--checkpoint-content-probe"]) == 0
     manifest = json.load(open(os.path.join(ck, "manifest.json")))
     assert all(s["action"] == "resume" for s in manifest)
+
+
+def test_cli_void_output_sidecar(spark):
+    """--void-output writes the VoID description of the emitted claims
+    graph; the dataset triples count must equal the graph size and the
+    sidecar must agree with void_stats over the written triples."""
+    from claimskg_generator_spark.cli import main
+    from claimskg_generator_spark.operators.kg_stats import void_stats
+
+    base = tempfile.mkdtemp(prefix="claimskg_cli_void_")
+    out, void = f"{base}/triples", f"{base}/void"
+    rc = main(["--synth", "80", "--output", out, "--format", "parquet",
+               "--void-output", void])
+    assert rc == 0
+    triples = spark.read.parquet(out)
+    stats = spark.read.parquet(void)
+    ds = {r["metric"]: r["value"]
+          for r in stats.where("scope = 'dataset'").collect()}
+    assert ds["triples"] == triples.count()
+    direct = void_stats(triples.select("subj", "pred", "obj"))
+    assert sorted(map(tuple, stats.collect())) == \
+        sorted(map(tuple, direct.collect()))
