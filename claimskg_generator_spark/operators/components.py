@@ -665,3 +665,96 @@ def bfs_layers(edges: DataFrame, sources: DataFrame,
             f"bfs_layers did not drain the frontier in {max_rounds} "
             "rounds; raise max_rounds or pin n_rounds")
     return out
+
+
+def random_walks(edges: DataFrame, walk_length: int, num_walks: int,
+                 seed: str = "walks", src: str = "src",
+                 dst: str = "dst",
+                 checkpoint_every: int = 8) -> DataFrame:
+    """DeepWalk-style random-walk corpus generation (Perozzi et al.,
+    KDD 2014) with DETERMINISTIC md5 picks — the graph-to-sequence
+    operator that turns a KG into training sentences for skip-gram /
+    node-embedding models, the graph analog of the engine's document
+    corpus-prep family.
+
+    From every node, ``num_walks`` walks of up to ``walk_length``
+    nodes; at each step the next hop is neighbor number
+    ``md5(seed:start:walk_idx:step) mod out_degree`` over the
+    neighbor list ranked by destination id — so the "randomness" is a
+    pure function of (seed, walk identity, step): retry-stable,
+    engine-replayable (the md5-hex-to-int discipline of the q81/q127
+    oracles), and each walk is independently addressable.  A walk
+    that reaches a sink node simply ends (shorter sentence), the
+    DeepWalk convention.
+
+    Output: ``(start, walk_idx, walk, n_nodes)`` — ``walk`` the
+    space-joined node sentence.
+
+    Scale shape: one ranked-neighbor dim (row_number per source over
+    the DISTINCT edge set + out-degrees, persisted once) and
+    ``walk_length - 1`` equi-joins keyed on the current node — never
+    all-pairs, no driver actions; the walk frame's lineage truncates
+    every ``checkpoint_every`` steps like every iterative operator
+    here.  State per walk is O(1) columns plus the growing sentence
+    string.
+    """
+    if walk_length < 1:
+        raise ValueError(f"walk_length must be >= 1, got {walk_length}")
+    if num_walks < 1:
+        raise ValueError(f"num_walks must be >= 1, got {num_walks}")
+    e = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+         .distinct())
+    from pyspark.sql import Window
+
+    ranked = (e.withColumn(
+        "rk", F.row_number().over(
+            Window.partitionBy("u").orderBy("v")))
+        .withColumn("deg", F.count(F.lit(1)).over(
+            Window.partitionBy("u")))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+
+    nodes = (e.select(F.col("u").alias("start"))
+             .unionAll(e.select(F.col("v").alias("start")))
+             .distinct())
+    walks = nodes.select(
+        "start",
+        F.explode(F.sequence(F.lit(0),
+                             F.lit(num_walks - 1))).alias("walk_idx"),
+    ).select(
+        "start", "walk_idx",
+        F.col("start").alias("cur"),
+        F.col("start").alias("walk"),
+        F.lit(1).cast("int").alias("n_nodes"),
+        F.lit(False).alias("done"),
+    )
+    cached = [ranked]
+    for step in range(1, walk_length):
+        # 60-bit positive md5 slice — nonnegative, so % == pmod and
+        # the DuckDB twin's % agrees
+        h = F.conv(F.substring(F.md5(F.concat_ws(
+            ":", F.lit(seed), F.col("start"),
+            F.col("walk_idx").cast("string"),
+            F.lit(str(step)))), 1, 15), 16, 10).cast("long")
+        pick = (h % F.col("deg") + 1).cast("int")
+        stepped = (
+            walks.join(
+                ranked,
+                (walks["cur"] == ranked["u"]) & ~walks["done"],
+                "left")
+            .where(F.col("u").isNull() | (F.col("rk") == pick))
+            .select(
+                "start", "walk_idx",
+                F.coalesce(F.col("v"), F.col("cur")).alias("cur"),
+                F.when(F.col("v").isNotNull(),
+                       F.concat_ws(" ", "walk", "v"))
+                .otherwise(F.col("walk")).alias("walk"),
+                (F.col("n_nodes")
+                 + F.col("v").isNotNull().cast("int")).alias("n_nodes"),
+                (F.col("done") | F.col("v").isNull()).alias("done"),
+            ))
+        walks = stepped
+        if step % checkpoint_every == 0:
+            walks = walks.localCheckpoint(eager=False)
+    # ranked stays pinned for the job (the bfs_layers/pagerank
+    # convention); the session frees it
+    return walks.select("start", "walk_idx", "walk", "n_nodes")

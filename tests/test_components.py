@@ -543,3 +543,73 @@ def test_smush_without_okind_column_rewrites_all_matching_objs(spark):
         "subj string, pred string, obj string")
     got = {(r.subj, r.pred, r.obj) for r in smush_sameas(df).collect()}
     assert got == {("x", "knows", "a"), ("b", OWL_SAME_AS, "a")}
+
+
+# --------------------------------------------------------------------------
+# random_walks (deterministic DeepWalk corpus)
+# --------------------------------------------------------------------------
+
+def _python_walks(edges, walk_length, num_walks, seed):
+    import hashlib
+
+    adj = {}
+    for s, d in sorted(set(edges)):
+        adj.setdefault(s, []).append(d)
+    out = {}
+    for n in sorted({x for e in edges for x in e}):
+        for w in range(num_walks):
+            cur, walk = n, [n]
+            for step in range(1, walk_length):
+                nb = adj.get(cur)
+                if not nb:
+                    break
+                h = int(hashlib.md5(
+                    f"{seed}:{n}:{w}:{step}".encode()).hexdigest()[:15],
+                    16)
+                cur = nb[h % len(nb)]
+                walk.append(cur)
+            out[(n, w)] = (" ".join(walk), len(walk))
+    return out
+
+
+def test_random_walks_match_python_twin(spark):
+    from claimskg_generator_spark.operators.components import random_walks
+
+    edges = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("c", "d"),
+             ("d", "e")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {(r["start"], r["walk_idx"]): (r["walk"], r["n_nodes"])
+           for r in random_walks(df, 6, 3, seed="t").collect()}
+    assert got == _python_walks(edges, 6, 3, "t")
+
+
+def test_random_walks_sink_ends_early_and_deterministic(spark):
+    from claimskg_generator_spark.operators.components import random_walks
+
+    df = spark.createDataFrame([("a", "b")], "src string, dst string")
+    rows = sorted(map(tuple,
+                      random_walks(df, 5, 1, seed="x").collect()))
+    # a walks to the sink b and stops; b never moves
+    assert rows == [("a", 0, "a b", 2), ("b", 0, "b", 1)]
+    # same seed => identical corpus on re-run (retry stability)
+    again = sorted(map(tuple,
+                       random_walks(df, 5, 1, seed="x").collect()))
+    assert again == rows
+    # different seed changes picks on a branching graph
+    df2 = spark.createDataFrame(
+        [("a", f"n{i}") for i in range(10)], "src string, dst string")
+    w1 = random_walks(df2, 2, 1, seed="s1").collect()
+    w2 = random_walks(df2, 2, 1, seed="s2").collect()
+    a1 = next(r["walk"] for r in w1 if r["start"] == "a")
+    a2 = next(r["walk"] for r in w2 if r["start"] == "a")
+    assert a1 != a2
+
+
+def test_random_walks_validates_args(spark):
+    from claimskg_generator_spark.operators.components import random_walks
+
+    df = spark.createDataFrame([("a", "b")], "src string, dst string")
+    with pytest.raises(ValueError, match="walk_length"):
+        random_walks(df, 0, 1)
+    with pytest.raises(ValueError, match="num_walks"):
+        random_walks(df, 2, 0)
