@@ -727,7 +727,6 @@ def random_walks(edges: DataFrame, walk_length: int, num_walks: int,
         F.lit(1).cast("int").alias("n_nodes"),
         F.lit(False).alias("done"),
     )
-    cached = [ranked]
     for step in range(1, walk_length):
         # 60-bit positive md5 slice — nonnegative, so % == pmod and
         # the DuckDB twin's % agrees
