@@ -32,8 +32,10 @@ Grammar (keywords case-insensitive; ``#`` comments allowed)::
     query     := prefix* ( select | construct | ask | describe )
     prefix    := PREFIX name ':' <iri>
     select    := SELECT DISTINCT? ( '*' | item+ ) WHERE group solution*
-    item      := ?var | '(' AGG '(' (DISTINCT? ?var | '*') ')' AS ?var ')'
+    item      := ?var | '(' AGG '(' (DISTINCT? ?var | '*')
+                 (';' SEPARATOR '=' "sep")? ')' AS ?var ')'
     AGG       := COUNT | SUM | MIN | MAX | AVG
+               | GROUP_CONCAT | SAMPLE
     construct := CONSTRUCT '{' triples '}' WHERE group
     ask       := ASK group
     describe  := DESCRIBE dterm+ ( WHERE group )?
@@ -63,7 +65,12 @@ Grammar (keywords case-insensitive; ``#`` comments allowed)::
 Semantics notes (all chosen to match the ANSI-SQL twin the driver
 oracle runs): terms are compared as strings (the triple table is
 string-typed); ``SUM``/``AVG`` cast the variable to double; ``a``
-expands to rdf:type; bag semantics unless DISTINCT.  UNION branches
+expands to rdf:type; bag semantics unless DISTINCT.  ``GROUP_CONCAT``
+in this subset ALWAYS sorts its (bag or DISTINCT) values before
+joining — plain SPARQL GROUP_CONCAT is order-nondeterministic, which
+cannot be value-oracled; ``SAMPLE`` is pinned to the MINIMUM value (a
+legal sample, deterministic).  Both choices match the SQL twin
+(ordered string_agg / min).  UNION branches
 must bind IDENTICAL variable sets (the common SPARQL shape) — that
 sidesteps the unbound-variable join-compatibility corner entirely, so
 a chain compiles to a plain bag union joined with the rest of the
@@ -177,6 +184,7 @@ class SelectItem:
     arg: Optional[str] = None          # ?var or "*" (COUNT only)
     agg_distinct: bool = False
     alias: Optional[str] = None        # required for aggregates
+    sep: str = " "                     # GROUP_CONCAT separator
 
 
 @dataclass
@@ -209,7 +217,7 @@ class ParsedQuery:
     offset: Optional[int] = None
 
 
-_AGGS = {"COUNT", "SUM", "MIN", "MAX", "AVG"}
+_AGGS = {"COUNT", "SUM", "MIN", "MAX", "AVG", "GROUP_CONCAT", "SAMPLE"}
 _FNS = {"CONTAINS", "STRSTARTS", "REGEX"}
 _BIND_FNS = {"STRLEN", "UCASE", "LCASE", "STR"}
 _UNSUPPORTED = {"INSERT", "DELETE", "SERVICE", "GRAPH", "LOAD", "CLEAR"}
@@ -334,6 +342,18 @@ class _Parser:
             it.arg = t[1:]
         else:
             raise SparqlSyntaxError(f"aggregate arg must be ?var or *: {t!r}")
+        if self.peek() == ";":
+            if fn != "GROUP_CONCAT":
+                raise SparqlSyntaxError(
+                    f"only GROUP_CONCAT takes a SEPARATOR, not {fn}")
+            self.next()
+            self.kw("SEPARATOR")
+            self.expect("=")
+            s = self.next()
+            if not (s.startswith('"') and s.endswith('"')):
+                raise SparqlSyntaxError(
+                    f"SEPARATOR must be a string literal: {s!r}")
+            it.sep = _unescape(s[1:-1])
         self.expect(")")
         self.kw("AS")
         alias = self.next()
@@ -853,6 +873,18 @@ def _agg_col(it: SelectItem) -> Column:
         src = F.col(it.arg)
         if it.agg in ("SUM", "AVG"):
             src = src.cast("double")   # string-typed obj column; SQL twin
+        if it.agg == "GROUP_CONCAT":
+            vals = (F.collect_set(src) if it.agg_distinct
+                    else F.collect_list(src))
+            # ALWAYS sorted (see module docstring): deterministic and
+            # replayable by the twin's ordered string_agg
+            return F.array_join(F.sort_array(vals),
+                                it.sep).alias(it.alias)
+        if it.agg == "SAMPLE":
+            if it.agg_distinct:
+                raise SparqlSyntaxError(
+                    "SAMPLE(DISTINCT ...) is redundant — drop DISTINCT")
+            return F.min(src).alias(it.alias)   # the pinned sample
         if it.agg_distinct:
             raise SparqlSyntaxError(
                 f"{it.agg}(DISTINCT ...) is outside the subset")

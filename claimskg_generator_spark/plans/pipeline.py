@@ -21,7 +21,7 @@ import time
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Sequence, Tuple
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from claimskg_generator_spark.constants.namespaces import DEFAULT_MODEL_URI
@@ -730,3 +730,49 @@ def write_ntriples(triples: DataFrame, path: str) -> None:
         ).alias("value")
     ).orderBy("value")
     nt.write.mode("overwrite").text(path)
+
+
+def write_nquads(triples: DataFrame, path: str,
+                 graph_col: str = "graph") -> None:
+    """Canonical sorted N-Quads sink — the named-graph form of
+    :func:`write_ntriples` (W3C N-Quads 1.1): every row carries a
+    fourth term naming the graph it belongs to, the interop format for
+    publishing a KG WITH its provenance partition (per-source,
+    per-stage, per-snapshot graphs — e.g.
+    ``with_graph(triples, F.lit(source_uri))``).  Rows whose graph
+    column is NULL or empty serialize as plain triples (the default
+    graph, per spec).  Same term rendering as write_ntriples — blank
+    labels legal and unbracketed, the shared escaper for literals."""
+    subj_t = F.when(F.col("subj").startswith("_:"), F.col("subj")) \
+        .otherwise(F.concat(F.lit("<"), F.col("subj"), F.lit(">")))
+    uri_obj = F.when(F.col("obj").startswith("_:"), F.col("obj")) \
+        .otherwise(F.concat(F.lit("<"), F.col("obj"), F.lit(">")))
+    obj_t = (
+        F.when(F.col("okind") == "uri", uri_obj)
+        .when(F.col("okind") == "",
+              F.concat(F.lit('"'), _nt_escape(F.col("obj")), F.lit('"')))
+        .when(F.col("okind").startswith("@"),
+              F.concat(F.lit('"'), _nt_escape(F.col("obj")),
+                       F.lit('"'), F.col("okind")))
+        .otherwise(F.concat(F.lit('"'), _nt_escape(F.col("obj")),
+                            F.lit('"^^<'), F.col("okind"), F.lit(">")))
+    )
+    g = F.col(graph_col)
+    graph_t = F.when(
+        g.isNull() | (g == ""), F.lit("")
+    ).otherwise(F.concat(
+        F.lit(" "),
+        F.when(g.startswith("_:"), g)
+        .otherwise(F.concat(F.lit("<"), g, F.lit(">")))))
+    nq = triples.select(
+        F.concat(subj_t, F.lit(" <"), F.col("pred"), F.lit("> "),
+                 obj_t, graph_t, F.lit(" .")).alias("value")
+    ).orderBy("value")
+    nq.write.mode("overwrite").text(path)
+
+
+def with_graph(triples: DataFrame, graph) -> DataFrame:
+    """Attach a named-graph column for :func:`write_nquads` — pass a
+    Column (e.g. a per-source provenance URI) or a literal string."""
+    col = graph if isinstance(graph, Column) else F.lit(graph)
+    return triples.withColumn("graph", col)

@@ -114,3 +114,42 @@ def test_turtle_to_skolem_to_ntriples_roundtrip(spark, tmp_path):
     write_ntriples(sk.select("subj", "pred", "obj", "okind"), out)
     for r in spark.read.text(out).collect():
         assert "<_:" not in r["value"], r["value"]
+
+
+def test_nquads_sink_named_and_default_graphs(spark, tmp_path):
+    """write_nquads: graph term appended for named-graph rows, plain
+    triple lines for NULL/empty graph (the W3C default-graph form);
+    blank labels legal in subject/object/graph position; parses back
+    to the same quad set."""
+    from claimskg_generator_spark.plans.pipeline import (
+        with_graph,
+        write_nquads,
+    )
+
+    df = spark.createDataFrame(
+        [("urn:s", "urn:p", "x", "", "urn:g1"),
+         ("_:b1", "urn:p", "urn:o", "uri", "_:gb"),
+         ("urn:s", "urn:q", "tab\there", "", None),
+         ("urn:s", "urn:r", "2024-01-01", "http://www.w3.org/2001/"
+          "XMLSchema#date", "")],
+        "subj string, pred string, obj string, okind string, "
+        "graph string")
+    out = str(tmp_path / "nq")
+    write_nquads(df, out)
+    lines = {r["value"] for r in spark.read.text(out).collect()}
+    assert lines == {
+        '<urn:s> <urn:p> "x" <urn:g1> .',
+        "_:b1 <urn:p> <urn:o> _:gb .",
+        '<urn:s> <urn:q> "tab\\there" .',
+        '<urn:s> <urn:r> "2024-01-01"'
+        "^^<http://www.w3.org/2001/XMLSchema#date> .",
+    }
+
+    # with_graph attaches a literal or Column graph
+    from pyspark.sql import functions as F
+
+    g = with_graph(df.drop("graph"), "urn:run1")
+    assert g.select("graph").distinct().collect()[0][0] == "urn:run1"
+    g2 = with_graph(df.drop("graph"),
+                    F.concat(F.lit("urn:src:"), F.col("pred")))
+    assert g2.where("graph = 'urn:src:urn:p'").count() == 2

@@ -693,3 +693,34 @@ def test_plus_path_prefixed_name(chain_g, spark):
         df, """PREFIX code: <http://example.org/code#>
                SELECT ?s ?t WHERE { ?s code:dep+ ?t }""").collect())
     assert got == [("a", "b"), ("a", "c"), ("b", "c")]
+
+
+def test_group_concat_and_sample_aggregates(spark):
+    rows = [("f1", "repo", "r1"), ("f2", "repo", "r1"),
+            ("f3", "repo", "r2"), ("f1", "lang", "py"),
+            ("f2", "lang", "go"), ("f3", "lang", "py"),
+            ("f2", "lang", "py")]
+    df = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    q = ('SELECT ?r (GROUP_CONCAT(DISTINCT ?l ; SEPARATOR=",") AS '
+         '?langs) (SAMPLE(?f) AS ?anyf) (COUNT(*) AS ?n) WHERE '
+         '{ ?f <repo> ?r . ?f <lang> ?l } GROUP BY ?r ORDER BY ?r')
+    got = [tuple(r) for r in sparql_select(df, q).collect()]
+    # DISTINCT roster sorted; SAMPLE pinned to the minimum binding
+    assert got == [("r1", "go,py", "f1", 3), ("r2", "py", "f3", 1)]
+    # bag form keeps duplicates, still sorted; default separator is " "
+    q2 = ("SELECT ?r (GROUP_CONCAT(?l) AS ?langs) WHERE "
+          "{ ?f <repo> ?r . ?f <lang> ?l } GROUP BY ?r ORDER BY ?r")
+    got2 = [tuple(r) for r in sparql_select(df, q2).collect()]
+    assert got2 == [("r1", "go py py"), ("r2", "py")]
+
+
+def test_group_concat_sample_rejections(spark):
+    df = spark.createDataFrame([("a", "p", "b")],
+                               "subj string, pred string, obj string")
+    with pytest.raises(SparqlSyntaxError, match="SEPARATOR"):
+        parse_sparql('SELECT (SUM(?f ; SEPARATOR=",") AS ?x) WHERE '
+                     "{ ?f <p> ?r } GROUP BY ?r")
+    with pytest.raises(SparqlSyntaxError, match="SAMPLE"):
+        # compile-time rejection: still loud, still pre-execution
+        sparql_select(df, "SELECT ?r (SAMPLE(DISTINCT ?f) AS ?x) WHERE "
+                          "{ ?f <p> ?r } GROUP BY ?r")
