@@ -30,14 +30,39 @@ against subj/pred/obj.  A variable bound in two positions of ONE
 pattern (e.g. ``(?x, p, ?x)``) compiles to an intra-row equality
 filter.  Duplicate rows follow SQL bag semantics (SPARQL's default);
 ``distinct=True`` applies the set projection.
+
+**Named graphs (quads)**: when the input frame carries a ``graph``
+column (the :func:`~claimskg_generator_spark.plans.pipeline.with_graph`
+/ N-Quads data model — NULL graph == the default graph), a pattern may
+be a 4-tuple ``(s, p, o, g)`` whose graph term is a ``?var`` (binds
+the graph name, NULL-graph rows excluded — SPARQL ``GRAPH ?g`` ranges
+over NAMED graphs only), a literal (filters one named graph's sliver
+on the scan), or ``None``.  Plain 3-tuples (and ``g=None``) match the
+DEFAULT graph only — the SPARQL dataset rule — so adding a graph
+column to a table never silently changes what existing triple queries
+see beyond scoping them to the default graph.  On a plain triple table
+a 4-term pattern is rejected loudly.
+
+**Star cardinality (characteristic sets)**: ``charsets`` feeds the
+Neumann & Moerkotte (ICDE 2011) estimator into the join order.  The
+patterns sharing one subject term form a STAR; the number of subjects
+matching the star is at most the sum of ``entities`` over the stored
+characteristic sets that are SUPERSETS of the star's bound predicates
+(the ``'*'`` hub-overflow set counts toward every star).  Correlated
+predicates are exactly what the per-predicate independence model in
+``stats`` gets wrong — a star of 3 predicates that only co-occur on 50
+subjects estimates 50 here, not ``n1·n2·n3/card²`` — so with
+``charsets`` the greedy order starts from the RAREST star instead of
+the individually-rarest pattern.  Within and across equal-cost stars
+the ``stats`` (or fewest-variables) order still applies.
 """
 
-from typing import List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_POS = ("subj", "pred", "obj")
+_POS = ("subj", "pred", "obj", "graph")
 
 
 def _is_var(term: str) -> bool:
@@ -66,8 +91,9 @@ def _estimate(pat, stats: dict) -> float:
     (resp. -object) cardinality for each bound subject/object literal
     (independence assumption — the textbook selectivity model).  An
     unbound predicate sums the whole table; an unknown predicate
-    estimates 0 rows (it matches nothing)."""
-    s, p, o = pat
+    estimates 0 rows (it matches nothing).  A quad pattern's graph
+    term is ignored here (the per-predicate stats are graph-blind)."""
+    s, p, o = pat[0], pat[1], pat[2]
     if _is_var(p):
         n = float(sum(r[0] for r in stats.values())) or 1.0
         subj_card = max(r[1] for r in stats.values()) if stats else 1
@@ -84,14 +110,78 @@ def _estimate(pat, stats: dict) -> float:
     return est
 
 
+def _star_estimate(preds: frozenset, sets: List[Tuple[frozenset, float]],
+                   overflow: float) -> float:
+    """ICDE'11 star-cardinality upper bound: subjects whose
+    characteristic set contains every bound predicate of the star =
+    the sum of ``entities`` over stored SUPERSETS, plus the whole
+    ``'*'`` hub-overflow bucket (its members' true sets are unknown —
+    the conservative direction for an upper bound)."""
+    return sum(e for s, e in sets if preds <= s) + overflow
+
+
+def _parse_charsets(charsets: Dict) -> Tuple[List[Tuple[frozenset, float]],
+                                             float]:
+    """Normalize a ``characteristic_sets`` collect —
+    ``{predset_fingerprint: entities | (entities, triples) | Row-ish}``
+    with fingerprints as comma-joined strings (or frozensets) — into
+    ``([(frozenset, entities), ...], overflow_entities)``."""
+    sets: List[Tuple[frozenset, float]] = []
+    overflow = 0.0
+    for k, v in charsets.items():
+        ent = float(v[0] if isinstance(v, (tuple, list)) else v)
+        if k == "*":
+            overflow += ent
+        else:
+            fs = k if isinstance(k, frozenset) else frozenset(k.split(","))
+            sets.append((fs, ent))
+    return sets, overflow
+
+
+def _order_patterns(patterns: Sequence, stats: Optional[dict],
+                    charsets: Optional[Dict]) -> List:
+    """Deterministic greedy seed order (cheapest first; the
+    shared-variable connectivity walk in :func:`bgp_query` consumes it
+    left to right).  Without ``charsets`` this reproduces the historic
+    keys exactly — estimated cardinality when ``stats`` is given, else
+    fewest distinct variables — with the original pattern order
+    breaking ties (Python's stable sort did the same).  With
+    ``charsets``, patterns whose subject term anchors a star with >= 1
+    bound predicate sort by the star's characteristic-set estimate
+    first, so the rarest STAR seeds the join chain and its sibling
+    patterns cluster right behind it."""
+    def base(pat) -> float:
+        if stats is not None:
+            return _estimate(pat, stats)
+        return float(len({t for t in pat if _is_var(t)}))
+
+    if charsets is None:
+        return [p for _, _, p in
+                sorted((base(p), i, p) for i, p in enumerate(patterns))]
+    sets, overflow = _parse_charsets(charsets)
+    star_preds: Dict[str, set] = {}
+    for pat in patterns:
+        if not _is_var(pat[1]):
+            star_preds.setdefault(pat[0], set()).add(pat[1])
+    total = sum(e for _, e in sets) + overflow
+    keyed = []
+    for i, pat in enumerate(patterns):
+        preds = star_preds.get(pat[0])
+        star = (_star_estimate(frozenset(preds), sets, overflow)
+                if preds else total)
+        keyed.append((star, base(pat), i, pat))
+    return [p for _, _, _, p in sorted(keyed)]
+
+
 def bgp_query(
     triples: DataFrame,
-    patterns: Sequence[Tuple[str, str, str]],
+    patterns: Sequence[Tuple[str, ...]],
     select: Optional[Sequence[str]] = None,
     distinct: bool = False,
     stats: Optional[dict] = None,
-    optional: Optional[Sequence[Sequence[Tuple[str, str, str]]]] = None,
-    not_exists: Optional[Sequence[Sequence[Tuple[str, str, str]]]] = None,
+    optional: Optional[Sequence[Sequence[Tuple[str, ...]]]] = None,
+    not_exists: Optional[Sequence[Sequence[Tuple[str, ...]]]] = None,
+    charsets: Optional[Dict] = None,
 ) -> DataFrame:
     """Evaluate a conjunctive triple-pattern query against ``triples``.
 
@@ -111,13 +201,29 @@ def bgp_query(
     exclusive variables).  ``not_exists``: pattern groups anti-joined
     (SPARQL FILTER NOT EXISTS).  Each group is itself a BGP; a group
     sharing no variable with the required patterns is rejected.
+
+    ``charsets``: optional ``{predset_fingerprint: (entities, triples)}``
+    — typically ``{r['predset']: (r['entities'], r['triples']) for r in
+    characteristic_sets(t).collect()}`` — switching the greedy order to
+    star-level characteristic-set estimates (module docstring); like
+    ``stats`` it is computed once per graph version and reused.
+
+    Patterns may be quads ``(s, p, o, g)`` when ``triples`` carries a
+    ``graph`` column (module docstring: named-graph semantics).
     """
     if not patterns:
         raise ValueError("need at least one pattern")
+    has_graph = "graph" in triples.columns
     for t in patterns:
-        if len(t) != 3:
-            raise ValueError(f"pattern must be a (s, p, o) triple: {t!r}")
-        if not any(_is_var(x) for x in t):
+        if len(t) not in (3, 4):
+            raise ValueError(
+                f"pattern must be a (s, p, o) triple or (s, p, o, g) "
+                f"quad: {t!r}")
+        if len(t) == 4 and t[3] is not None and not has_graph:
+            raise ValueError(
+                f"quad pattern {t!r} needs a 'graph' column on the "
+                "input frame (see plans.pipeline.with_graph)")
+        if not any(_is_var(x) for x in t if x is not None):
             raise ValueError(
                 f"pattern {t!r} has no variables; ASK-style existence "
                 "checks are a filter, not a BGP column")
@@ -125,7 +231,16 @@ def bgp_query(
     def compile_pattern(pat) -> Tuple[DataFrame, set]:
         df = triples
         cols, seen = [], {}
-        for pos, term in zip(_POS, pat):
+        terms = list(pat) + [None] * (4 - len(pat))
+        for pos, term in zip(_POS, terms):
+            if pos == "graph":
+                if not has_graph:
+                    continue
+                if term is None:        # default graph: NULL graph rows
+                    df = df.filter(F.col(pos).isNull())
+                    continue
+                if _is_var(term):       # GRAPH ?g ranges over NAMED graphs
+                    df = df.filter(F.col(pos).isNotNull())
             if _is_var(term):
                 v = term[1:]
                 if v in seen:  # same var twice in one pattern
@@ -137,18 +252,12 @@ def bgp_query(
                 df = df.filter(F.col(pos) == term)
         return df.select(*cols), set(seen)
 
-    # greedy order: cheapest first — estimated cardinality when stats
-    # are supplied, else fewest variables (most literals); then any
-    # pattern sharing a variable with what's bound, cheapest-first
-    if stats is not None:
-        cost = {id(p): _estimate(p, stats) for p in patterns}
-        keyf = lambda fv: cost[fv[2]]  # noqa: E731
-    else:
-        keyf = lambda fv: len(fv[1])  # noqa: E731
-    remaining = sorted(
-        ((*compile_pattern(p), id(p)) for p in patterns),
-        key=keyf,
-    )
+    # greedy order: cheapest first — star-level characteristic-set
+    # estimates when charsets are supplied, else estimated cardinality
+    # (stats) / fewest variables; then any pattern sharing a variable
+    # with what's bound, cheapest-first
+    remaining = [(*compile_pattern(p), id(p))
+                 for p in _order_patterns(patterns, stats, charsets)]
     out, bound = remaining.pop(0)[:2]
     while remaining:
         i = next(
@@ -167,7 +276,7 @@ def bgp_query(
     # the shared variables — unmatched rows keep NULLs in the group's
     # exclusive variables (SPARQL OPTIONAL semantics)
     for group in optional or ():
-        gdf = bgp_query(triples, group, stats=stats)
+        gdf = bgp_query(triples, group, stats=stats, charsets=charsets)
         gvars = set(gdf.columns)
         keys = sorted(gvars & bound)
         if not keys:
@@ -179,7 +288,7 @@ def bgp_query(
     # NOT EXISTS groups: anti-join on the shared variables — rows with
     # ANY matching group binding are dropped; binds nothing new
     for group in not_exists or ():
-        gdf = bgp_query(triples, group, stats=stats)
+        gdf = bgp_query(triples, group, stats=stats, charsets=charsets)
         keys = sorted(set(gdf.columns) & bound)
         if not keys:
             raise ValueError(

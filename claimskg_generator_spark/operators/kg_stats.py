@@ -28,6 +28,7 @@ subject's predicate set, not its triples, travels) and one KB-sized
 regroup on the set fingerprint.
 """
 
+from functools import reduce
 from typing import Optional
 
 from pyspark.sql import Column, DataFrame
@@ -292,10 +293,32 @@ def characteristic_sets(triples: DataFrame,
     Scale: one groupBy(subj) whose combinable state is the predicate
     SET (bounded by the vocabulary, not the subject's triple count),
     then a KB-sized regroup on the fingerprint.
+
+    Incremental maintenance under graph change (the charsets feeding
+    ``bgp_query`` join ordering should stay fresh without rescanning
+    10^12 triples): the summary itself is NOT a monoid — removing one
+    triple can move a subject between fingerprints — but the
+    PER-SUBJECT (subj, pred, n) count frame underneath it is plain
+    additive state.  :func:`charset_state` builds it,
+    :func:`charset_apply` folds a triple delta in (adds +1 per row,
+    deletes -1 — the cdc/diff_snapshots output shape), and
+    :func:`charsets_from_state` re-derives this summary from the
+    state's live rows.  The driver row (q132) pins the identity
+    ``charsets_from_state(charset_apply(charset_state(A), adds, dels))
+    == characteristic_sets((A + adds) - dels)`` against a direct
+    oracle replay.
     """
     per_subj = triples.groupBy("subj").agg(
         F.sort_array(F.collect_set("pred")).alias("preds"),
-        F.count(F.lit(1)).alias("n"))
+        F.count(F.lit(1)).cast("bigint").alias("n"))
+    return _charsets_regroup(per_subj, max_set_preds)
+
+
+def _charsets_regroup(per_subj: DataFrame,
+                      max_set_preds: Optional[int]) -> DataFrame:
+    """Shared tail of :func:`characteristic_sets` /
+    :func:`charsets_from_state`: fingerprint the per-subject
+    ``(preds sorted-array, n)`` frame and regroup on it."""
     fp = F.array_join(F.col("preds"), ",")
     if max_set_preds is not None:
         if max_set_preds < 1:
@@ -309,3 +332,61 @@ def characteristic_sets(triples: DataFrame,
         .agg(F.count(F.lit(1)).alias("entities"),
              F.sum("n").cast("bigint").alias("triples"))
     )
+
+
+def charset_state(triples: DataFrame) -> DataFrame:
+    """The additive per-subject state under characteristic sets:
+    ``(subj, pred, n)`` — n the triple count of the pair (bag count,
+    so the state replays exactly what :func:`characteristic_sets`
+    would count over the same frame).  One map-side-combinable
+    groupBy; rows are bounded by |subjects| x |their predicates|, the
+    same order as the graph's distinct (subj, pred) pairs."""
+    return triples.groupBy("subj", "pred").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"))
+
+
+def charset_state_merge(*states: DataFrame) -> DataFrame:
+    """Fold ``(subj, pred, n)`` state frames by summing ``n`` — the
+    monoid merge (deletes travel as negative n).  Zero-count pairs
+    compact away; a NEGATIVE survivor means a delete that never
+    existed and is kept (not clamped) so
+    :func:`charsets_from_state`'s ``n > 0`` gate surfaces it as a
+    missing subject rather than silently absorbing the error."""
+    if not states:
+        raise ValueError("need at least one state frame")
+    merged = reduce(DataFrame.unionAll,
+                    [s.select("subj", "pred", "n") for s in states])
+    return (merged.groupBy("subj", "pred")
+            .agg(F.sum("n").cast("bigint").alias("n"))
+            .where(F.col("n") != 0))
+
+
+def charset_apply(state: DataFrame,
+                  adds: Optional[DataFrame] = None,
+                  dels: Optional[DataFrame] = None) -> DataFrame:
+    """Apply a triple delta to charset state: ``adds`` / ``dels`` are
+    triple frames (e.g. the two sides of ``diff_snapshots``); each
+    side folds in as +/-1 per row through ONE merge shuffle."""
+    parts = [state]
+    if adds is not None:
+        parts.append(charset_state(adds))
+    if dels is not None:
+        parts.append(charset_state(dels)
+                     .withColumn("n", (-F.col("n")).cast("bigint")))
+    if len(parts) == 1:
+        return state
+    return charset_state_merge(*parts)
+
+
+def charsets_from_state(state: DataFrame,
+                        max_set_preds: Optional[int] = None) -> DataFrame:
+    """Re-derive the :func:`characteristic_sets` summary from
+    ``(subj, pred, n)`` state — identical output frame.  Only live
+    pairs (n > 0) contribute; the groupBy(subj) here carries one row
+    per (subj, pred) pair instead of one per triple, so a refresh
+    after applying a delta is CHEAPER than the original build."""
+    live = state.where(F.col("n") > 0)
+    per_subj = live.groupBy("subj").agg(
+        F.sort_array(F.collect_set("pred")).alias("preds"),
+        F.sum("n").cast("bigint").alias("n"))
+    return _charsets_regroup(per_subj, max_set_preds)

@@ -107,9 +107,29 @@ the aggregated frame (its variables are output columns: group keys or
 aggregate aliases).  ``ASK`` returns a one-row ``(ask boolean)``
 frame; ``DESCRIBE`` returns the subject-based description (all triples
 whose subject is a described node) as a set-deduped
-``(subj, pred, obj)`` graph.  Unsupported SPARQL (subqueries,
-``GRAPH``/``SERVICE``, updates, ``p*``/``p?`` in patterns) is rejected
-loudly at parse time — never silently mis-planned.
+``(subj, pred, obj)`` graph.
+
+``GRAPH`` blocks query the named graphs of a QUADS frame (a ``graph``
+column — the :func:`~claimskg_generator_spark.plans.pipeline.with_graph`
+/ N-Quads data model; NULL graph == default graph): every pattern
+inside ``GRAPH g { … }`` becomes a quad carrying ``g``, so a ``?g``
+term binds the graph name per row (ranging over NAMED graphs only, the
+SPARQL dataset rule) and all patterns of one block match within the
+SAME graph for a given binding, while an IRI term filters that graph's
+sliver on the scan.  Patterns OUTSIDE any GRAPH block — including
+``p+`` closures and the DESCRIBE description scan — match the default
+graph only.  GRAPH blocks live in the required group and contain plain
+patterns (no nested OPTIONAL/UNION/closure); on a plain triple table a
+GRAPH pattern is rejected at plan time (no ``graph`` column).
+
+All four faces also take the ``charsets`` dict
+(:func:`~claimskg_generator_spark.operators.kg_stats.characteristic_sets`
+collect) alongside ``stats`` — the star-cardinality join ordering of
+:func:`~claimskg_generator_spark.operators.bgp.bgp_query`.
+
+Unsupported SPARQL (subqueries, ``SERVICE``, updates, ``p*``/``p?`` in
+patterns) is rejected loudly at parse time — never silently
+mis-planned.
 """
 
 import re
@@ -220,7 +240,7 @@ class ParsedQuery:
 _AGGS = {"COUNT", "SUM", "MIN", "MAX", "AVG", "GROUP_CONCAT", "SAMPLE"}
 _FNS = {"CONTAINS", "STRSTARTS", "REGEX"}
 _BIND_FNS = {"STRLEN", "UCASE", "LCASE", "STR"}
-_UNSUPPORTED = {"INSERT", "DELETE", "SERVICE", "GRAPH", "LOAD", "CLEAR"}
+_UNSUPPORTED = {"INSERT", "DELETE", "SERVICE", "LOAD", "CLEAR"}
 
 
 class _Parser:
@@ -479,6 +499,22 @@ class _Parser:
             elif self.at_kw("VALUES"):
                 self.next()
                 q.values_blocks.append(self._values_block())
+            elif self.at_kw("GRAPH"):
+                # GRAPH <iri>/?var { triples } — the block's patterns
+                # become quads carrying the graph term (bgp_query
+                # scopes them to that named graph / binds the name);
+                # plain patterns keep matching the DEFAULT graph.
+                self.next()
+                t = self.peek()
+                if (t is None or t.startswith('"') or t == "a"
+                        or re.fullmatch(r"\d+(?:\.\d+)?", t)):
+                    raise SparqlSyntaxError(
+                        f"GRAPH names an IRI or ?var, got {t!r}")
+                g = self._term()
+                block = self._triple_block()
+                if not block:
+                    raise SparqlSyntaxError("empty GRAPH block")
+                q.patterns.extend((s, p, o, g) for (s, p, o) in block)
             else:
                 expanded, alt, closure = self._triple()
                 q.patterns.extend(expanded)
@@ -893,9 +929,19 @@ def _agg_col(it: SelectItem) -> Column:
     return c.alias(it.alias)
 
 
+def _default_graph(triples: DataFrame) -> DataFrame:
+    """The dataset's DEFAULT graph: on a quads frame (``graph``
+    column), the NULL-graph rows; a plain triple table is itself the
+    default graph."""
+    if "graph" in triples.columns:
+        return triples.where(F.col("graph").isNull())
+    return triples
+
+
 def _bindings(triples: DataFrame, q: ParsedQuery,
               stats: Optional[dict],
-              closure_hops: int = 8) -> DataFrame:
+              closure_hops: int = 8,
+              charsets: Optional[dict] = None) -> DataFrame:
     """The shared WHERE evaluation: bgp_query over ALL bound variables,
     ``p+`` closure frames, UNION chains and VALUES relations joined in,
     then MINUS anti-joins, BIND columns, and FILTER expressions (they
@@ -910,7 +956,7 @@ def _bindings(triples: DataFrame, q: ParsedQuery,
             triples, q.patterns,
             optional=q.optional_groups or None,
             not_exists=q.not_exists_groups or None,
-            stats=stats,
+            stats=stats, charsets=charsets,
         )
     else:
         # required patterns, then each UNION chain (branches must bind
@@ -920,11 +966,12 @@ def _bindings(triples: DataFrame, q: ParsedQuery,
         # bgp_query's own group handling
         frames: List[Tuple[DataFrame, bool]] = []
         if q.patterns:
-            frames.append((bgp_query(triples, q.patterns, stats=stats),
-                           False))
+            frames.append((bgp_query(triples, q.patterns, stats=stats,
+                                     charsets=charsets), False))
         for (cs, cp, co) in q.closure_patterns:
-            closed = path_closure(edges_from_triples(triples, cp),
-                                  max_hops=closure_hops)
+            closed = path_closure(
+                edges_from_triples(_default_graph(triples), cp),
+                max_hops=closure_hops)
             if cs.startswith("?") and co.startswith("?"):
                 if cs == co:   # ?a p+ ?a — nodes on a cycle
                     cdf = (closed.where(F.col("src") == F.col("dst"))
@@ -941,8 +988,8 @@ def _bindings(triples: DataFrame, q: ParsedQuery,
                        .select(F.col("dst").alias(co[1:])).distinct())
             frames.append((cdf, False))
         for chain in q.union_chains:
-            branches = [bgp_query(triples, br, stats=stats)
-                        for br in chain]
+            branches = [bgp_query(triples, br, stats=stats,
+                                  charsets=charsets) for br in chain]
             cols = set(branches[0].columns)
             for b in branches[1:]:
                 if set(b.columns) != cols:
@@ -970,7 +1017,8 @@ def _bindings(triples: DataFrame, q: ParsedQuery,
             df = df.join(F.broadcast(f) if is_values else f, keys)
             bound |= set(f.columns)
         for group in q.optional_groups:
-            gdf = bgp_query(triples, group, stats=stats)
+            gdf = bgp_query(triples, group, stats=stats,
+                        charsets=charsets)
             keys = sorted(set(gdf.columns) & bound)
             if not keys:
                 raise SparqlSyntaxError(
@@ -979,7 +1027,8 @@ def _bindings(triples: DataFrame, q: ParsedQuery,
             df = df.join(gdf, keys, "left")
             bound |= set(gdf.columns)
         for group in q.not_exists_groups:
-            gdf = bgp_query(triples, group, stats=stats)
+            gdf = bgp_query(triples, group, stats=stats,
+                        charsets=charsets)
             keys = sorted(set(gdf.columns) & bound)
             if not keys:
                 raise SparqlSyntaxError(
@@ -988,7 +1037,8 @@ def _bindings(triples: DataFrame, q: ParsedQuery,
             df = df.join(gdf.select(*keys), keys, "left_anti")
     bound = set(df.columns)
     for group in q.minus_groups:
-        gdf = bgp_query(triples, group, stats=stats)
+        gdf = bgp_query(triples, group, stats=stats,
+                        charsets=charsets)
         keys = sorted(set(gdf.columns) & bound)
         if not keys:
             # SPARQL disjoint-domain rule: MINUS with no shared
@@ -1017,7 +1067,8 @@ def _bindings(triples: DataFrame, q: ParsedQuery,
 
 def sparql_select(triples: DataFrame, query: str,
                   stats: Optional[dict] = None,
-                  closure_hops: int = 8) -> DataFrame:
+                  closure_hops: int = 8,
+                  charsets: Optional[dict] = None) -> DataFrame:
     """Run a SPARQL SELECT subset query against a ``(subj, pred, obj)``
     triple table.  Column names are the selected variable names (alias
     names for aggregates).  ``stats`` is the
@@ -1027,7 +1078,7 @@ def sparql_select(triples: DataFrame, query: str,
     q = query if isinstance(query, ParsedQuery) else parse_sparql(query)
     if q.form != "select":
         raise ValueError("not a SELECT query; use sparql_construct")
-    df = _bindings(triples, q, stats, closure_hops)
+    df = _bindings(triples, q, stats, closure_hops, charsets)
     bound = set(df.columns)
 
     has_agg = q.select is not None and any(it.agg for it in q.select)
@@ -1087,7 +1138,8 @@ def sparql_select(triples: DataFrame, query: str,
 
 def sparql_construct(triples: DataFrame, query: str,
                      stats: Optional[dict] = None,
-                     closure_hops: int = 8) -> DataFrame:
+                     closure_hops: int = 8,
+                     charsets: Optional[dict] = None) -> DataFrame:
     """Run a SPARQL CONSTRUCT subset query: evaluate the WHERE bindings
     once, project each template pattern as one narrow select over that
     frame, union, and set-dedup (an RDF graph is a set of triples).
@@ -1095,7 +1147,7 @@ def sparql_construct(triples: DataFrame, query: str,
     q = query if isinstance(query, ParsedQuery) else parse_sparql(query)
     if q.form != "construct":
         raise ValueError("not a CONSTRUCT query; use sparql_select")
-    df = _bindings(triples, q, stats, closure_hops)
+    df = _bindings(triples, q, stats, closure_hops, charsets)
     bound = set(df.columns)
 
     def term_col(term: str, pos: str) -> Column:
@@ -1117,7 +1169,8 @@ def sparql_construct(triples: DataFrame, query: str,
 
 def sparql_ask(triples: DataFrame, query: str,
                stats: Optional[dict] = None,
-               closure_hops: int = 8) -> DataFrame:
+               closure_hops: int = 8,
+               charsets: Optional[dict] = None) -> DataFrame:
     """Run a SPARQL ASK subset query: does the WHERE group match at
     all?  Returns a ONE-ROW frame ``(ask boolean)`` — kept lazy (no
     driver collect) so it composes like every other query face.  The
@@ -1127,13 +1180,14 @@ def sparql_ask(triples: DataFrame, query: str,
     q = query if isinstance(query, ParsedQuery) else parse_sparql(query)
     if q.form != "ask":
         raise ValueError(f"not an ASK query (form={q.form!r})")
-    probe = _bindings(triples, q, stats, closure_hops).limit(1)
+    probe = _bindings(triples, q, stats, closure_hops, charsets).limit(1)
     return probe.agg((F.count(F.lit(1)) > 0).alias("ask"))
 
 
 def sparql_describe(triples: DataFrame, query: str,
                     stats: Optional[dict] = None,
-                    closure_hops: int = 8) -> DataFrame:
+                    closure_hops: int = 8,
+                    charsets: Optional[dict] = None) -> DataFrame:
     """Run a SPARQL DESCRIBE subset query: the subject-based
     description (every triple whose subject is a described node — the
     bnode-free concise-bounded-description, exact for this engine's
@@ -1152,7 +1206,7 @@ def sparql_describe(triples: DataFrame, query: str,
     iri_targets = [t for t in q.describe_terms if not t.startswith("?")]
     frames: List[DataFrame] = []
     if var_targets:
-        df = _bindings(triples, q, stats, closure_hops)
+        df = _bindings(triples, q, stats, closure_hops, charsets)
         bound = set(df.columns)
         missing = [v for v in var_targets if v not in bound]
         if missing:
@@ -1164,8 +1218,9 @@ def sparql_describe(triples: DataFrame, query: str,
         frames.append(spark.createDataFrame(
             [(t,) for t in iri_targets], "node string"))
     nodes = reduce(DataFrame.unionAll, frames).distinct()
+    dg = _default_graph(triples)
     return (
-        triples.join(nodes, triples["subj"] == nodes["node"], "left_semi")
+        dg.join(nodes, dg["subj"] == nodes["node"], "left_semi")
         .select("subj", "pred", "obj")
         .distinct()
     )

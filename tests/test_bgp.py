@@ -163,3 +163,106 @@ def test_optional_and_not_exists_share_var_guards(g):
     with pytest.raises(ValueError, match="not_exists group"):
         bgp_query(g, [("?f", "imports", "?m")],
                   not_exists=[[("?a", "label", "?b")]])
+
+
+# ---------------------------------------------------------------------------
+# quad patterns (named graphs) + charset star ordering
+# ---------------------------------------------------------------------------
+
+QUAD_SCHEMA = "subj string, pred string, obj string, graph string"
+
+
+@pytest.fixture(scope="module")
+def quads(spark):
+    rows = [
+        ("f1", "repo", "r1", "urn:g:a"),
+        ("f2", "repo", "r2", "urn:g:b"),
+        ("f1", "lang", "py", "urn:g:langs"),
+        ("f2", "lang", "go", "urn:g:langs"),
+        ("f1", "type", "File", None),
+        ("f2", "type", "File", None),
+        ("f3", "type", "File", None),
+    ]
+    return spark.createDataFrame(rows, QUAD_SCHEMA)
+
+
+def test_quad_literal_graph_filters_sliver(quads):
+    out = bgp_query(quads, [("?f", "repo", "?r", "urn:g:a")])
+    assert [tuple(r) for r in out.collect()] == [("f1", "r1")]
+
+
+def test_quad_var_graph_binds_named_graphs_only(quads):
+    out = bgp_query(quads, [("?s", "?p", "?o", "?g")])
+    got = {tuple(r) for r in out.collect()}
+    # the three default-graph (NULL) rows are NOT matched by GRAPH ?g
+    assert len(got) == 4
+    assert all(r[3] is not None for r in got)
+
+
+def test_triple_pattern_scopes_to_default_graph(quads):
+    # a plain (s, p, o) pattern on a quads frame sees ONLY NULL-graph
+    # rows: the repo edges live in named graphs and are invisible
+    assert bgp_query(quads, [("?f", "repo", "?r")]).count() == 0
+    assert bgp_query(quads, [("?f", "type", "?t")]).count() == 3
+
+
+def test_quad_none_graph_term_means_default(quads):
+    out = bgp_query(quads, [("?f", "type", "?t", None)])
+    assert out.count() == 3
+
+
+def test_quad_on_plain_triple_table_rejected(quads):
+    with pytest.raises(ValueError, match="graph"):
+        bgp_query(quads.select("subj", "pred", "obj"),
+                  [("?f", "repo", "?r", "urn:g:a")])
+
+
+def test_graph_var_joins_within_one_graph(quads):
+    # two patterns sharing ?g must match within the SAME named graph
+    out = bgp_query(quads, [("?f", "repo", "?r", "?g"),
+                            ("?f2", "repo", "?r2", "?g")])
+    got = {tuple(r) for r in out.collect()}
+    # urn:g:a and urn:g:b each hold one repo edge -> only the
+    # same-row pairings survive the shared-?g join
+    assert got == {("f1", "f1", "urn:g:a", "r1", "r1"),
+                   ("f2", "f2", "urn:g:b", "r2", "r2")}
+
+
+def test_charsets_order_rarest_star_first():
+    from claimskg_generator_spark.operators.bgp import _order_patterns
+
+    pats = [("?m", "label", "?lbl"),        # big star (100 entities)
+            ("?f", "repo", "?r"),           # rare star (5 entities)
+            ("?f", "lang", "?l")]
+    charsets = {"lang,repo": (5, 11), "label": (100, 100), "*": 2}
+    ordered = _order_patterns(pats, None, charsets)
+    # the ?f star (5 + 2 overflow = 7) seeds the chain and its sibling
+    # clusters right behind; the ?m star (102) goes last
+    assert ordered == [("?f", "repo", "?r"), ("?f", "lang", "?l"),
+                       ("?m", "label", "?lbl")]
+    # without charsets the historic fewest-variables tie-break stands:
+    # original order among equal-var patterns
+    assert _order_patterns(pats, None, None) == pats
+
+
+def test_charsets_ordering_preserves_results(g):
+    pats = [("?f", "imports", "?m"), ("?m", "label", "?l"),
+            ("?f", "lang", "python")]
+    plain = {tuple(r) for r in bgp_query(g, pats).collect()}
+    charsets = {"imports,lang": (2, 5), "label": (2, 2)}
+    with_cs = {tuple(r) for r in
+               bgp_query(g, pats, charsets=charsets).collect()}
+    assert plain == with_cs and plain
+
+
+def test_charsets_accepts_row_like_and_frozenset_keys():
+    from claimskg_generator_spark.operators.bgp import (
+        _parse_charsets,
+        _star_estimate,
+    )
+
+    sets, overflow = _parse_charsets(
+        {frozenset({"a", "b"}): 4, "c": (7, 9), "*": 3})
+    assert overflow == 3.0
+    assert _star_estimate(frozenset({"a"}), sets, overflow) == 7.0
+    assert _star_estimate(frozenset({"c"}), sets, overflow) == 10.0

@@ -1,6 +1,7 @@
 """operators/kg_stats — VoID statistics and characteristic sets."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from claimskg_generator_spark.operators.kg_stats import (
     RDF_TYPE,
@@ -196,3 +197,103 @@ def test_void_sketch_one_exchange_and_bounded_state(g):
     assert {(r["scope"], r["key"]) for r in counts} == \
         {("dataset", "")} | {("property", p) for p in
                              {t["pred"] for t in g.collect()}}
+
+
+# ---------------------------------------------------------------------------
+# incremental characteristic-set maintenance
+# ---------------------------------------------------------------------------
+
+def _csets(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_charset_state_apply_matches_direct(spark):
+    from claimskg_generator_spark.operators.kg_stats import (
+        charset_apply,
+        charset_state,
+        charsets_from_state,
+    )
+
+    A = spark.createDataFrame(
+        [("s1", "p1", "x"), ("s1", "p2", "y"), ("s2", "p1", "z"),
+         ("s3", "p1", "a"), ("s3", "p3", "b"), ("s3", "p3", "c")],
+        "subj string, pred string, obj string")
+    adds = spark.createDataFrame(
+        [("s2", "p2", "w"), ("s4", "p1", "v")],
+        "subj string, pred string, obj string")
+    dels = spark.createDataFrame(
+        [("s3", "p3", "b"), ("s3", "p3", "c"), ("s1", "p1", "x")],
+        "subj string, pred string, obj string")
+    B = A.unionAll(adds).exceptAll(dels)
+    inc = charsets_from_state(charset_apply(charset_state(A),
+                                            adds=adds, dels=dels))
+    assert _csets(inc) == _csets(characteristic_sets(B))
+    # the overflow cap applies identically on the state path
+    inc1 = charsets_from_state(
+        charset_apply(charset_state(A), adds=adds, dels=dels),
+        max_set_preds=1)
+    assert _csets(inc1) == _csets(characteristic_sets(B,
+                                                      max_set_preds=1))
+
+
+def test_charset_delete_all_pairs_removes_subject(spark):
+    from claimskg_generator_spark.operators.kg_stats import (
+        charset_apply,
+        charset_state,
+        charsets_from_state,
+    )
+
+    A = spark.createDataFrame(
+        [("s1", "p1", "x"), ("s2", "p1", "y")],
+        "subj string, pred string, obj string")
+    dels = A.where(F.col("subj") == "s1")
+    out = charsets_from_state(charset_apply(charset_state(A),
+                                            dels=dels))
+    assert _csets(out) == [("p1", 1, 1)]
+
+
+def test_charset_negative_survivor_not_clamped(spark):
+    from claimskg_generator_spark.operators.kg_stats import (
+        charset_apply,
+        charset_state,
+        charsets_from_state,
+    )
+
+    A = spark.createDataFrame(
+        [("s1", "p1", "x")], "subj string, pred string, obj string")
+    phantom = spark.createDataFrame(
+        [("s9", "p9", "nope")], "subj string, pred string, obj string")
+    state = charset_apply(charset_state(A), dels=phantom)
+    # the erroneous delete survives as a NEGATIVE register (visible to
+    # an auditor), and the derived summary excludes it
+    neg = [tuple(r) for r in state.where(F.col("n") < 0).collect()]
+    assert neg == [("s9", "p9", -1)]
+    assert _csets(charsets_from_state(state)) == [("p1", 1, 1)]
+
+
+def test_charset_apply_noop_and_merge_empty_guard(spark):
+    from claimskg_generator_spark.operators.kg_stats import (
+        charset_apply,
+        charset_state,
+        charset_state_merge,
+    )
+
+    A = spark.createDataFrame(
+        [("s1", "p1", "x")], "subj string, pred string, obj string")
+    st = charset_state(A)
+    assert charset_apply(st) is st
+    with pytest.raises(ValueError):
+        charset_state_merge()
+
+
+def test_charset_state_shuffles_pairs_not_triples(spark):
+    from claimskg_generator_spark.operators.kg_stats import charset_state
+
+    # a subject with many duplicate (subj, pred) triples folds to ONE
+    # state row per pair — the refresh regroups pairs, not triples
+    A = spark.createDataFrame(
+        [("hub", "p1", f"o{i}") for i in range(50)]
+        + [("hub", "p2", "x")],
+        "subj string, pred string, obj string")
+    rows = sorted(map(tuple, charset_state(A).collect()))
+    assert rows == [("hub", "p1", 50), ("hub", "p2", 1)]

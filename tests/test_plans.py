@@ -690,3 +690,66 @@ def test_sparql_plus_path_predicate_filter_pushed(spark, tmp_path):
     assert "EqualTo(pred,label)" in plan
     edge_plan = _plan(edges_from_triples(trips, "p"))
     assert "PushedFilters" in edge_plan and "EqualTo(pred,p)" in edge_plan
+
+
+def test_sparql_graph_patterns_filtered_slivers(spark, tmp_path):
+    """q130: GRAPH blocks must stay filtered scans + equi-joins — the
+    graph column is one more pushdown dimension, never a post-join
+    filter.  Three patterns -> exactly 2 joins, no cartesian, no
+    Python.  (In q130 itself the quads derive in-memory from
+    code_triples and Catalyst constant-folds the graph CASE into
+    pred-sliver predicates — even better than a graph filter; the
+    pushdown pin below runs on a PARQUET quads table, where all three
+    graph-term forms must reach the scan as PushedFilters.)"""
+    import __spark_entry__ as e
+    from claimskg_generator_spark.operators.sparql import sparql_select
+
+    plan = _plan(e.q130_kg_sparql_graph(spark, SF))
+    assert "CartesianProduct" not in plan and "Python" not in plan
+    assert len(re.findall(
+        r"\(\d+\) (?:BroadcastHash|SortMerge|ShuffledHash)Join",
+        plan)) == 2
+
+    path = str(tmp_path / "quads.parquet")
+    spark.createDataFrame(
+        [("f1", "repo", "r1", "urn:g:a"), ("f1", "lang", "py",
+          "urn:g:langs"), ("f1", "type", "File", None)],
+        "subj string, pred string, obj string, graph string",
+    ).write.parquet(path)
+    q = spark.read.parquet(path)
+    pplan = _plan(sparql_select(q, """
+        SELECT ?f ?r ?l ?g WHERE {
+          GRAPH ?g { ?f <repo> ?r }
+          GRAPH <urn:g:langs> { ?f <lang> ?l }
+          ?f <type> "File" .
+        }"""))
+    assert "IsNotNull(graph)" in pplan, pplan
+    assert "EqualTo(graph,urn:g:langs)" in pplan, pplan
+    assert "IsNull(graph)" in pplan, pplan
+
+
+def test_bgp_charsets_order_changes_only_join_seed(spark):
+    """q131: the charsets argument reorders the greedy chain but the
+    plan stays the same SHAPE — 4 patterns -> 3 equi-joins over
+    filtered slivers, no cartesian, no Python (the estimator runs
+    driver-side on a KB-sized dict)."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.q131_kg_bgp_star_order(spark, SF))
+    assert "CartesianProduct" not in plan and "Python" not in plan
+    assert len(re.findall(
+        r"\(\d+\) (?:BroadcastHash|SortMerge|ShuffledHash)Join",
+        plan)) == 3
+
+
+def test_charset_incremental_joinless_pair_regroup(spark):
+    """q132: incremental charset maintenance is UNION + aggregate all
+    the way down — state build, delta fold, and summary derive carry
+    (subj, pred, n) PAIRS through groupBys; no join anywhere in the
+    refresh path."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.q132_kg_charsets_incremental(spark, SF))
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan and "Python" not in plan
+    assert "ObjectHashAggregate" in plan

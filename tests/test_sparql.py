@@ -91,7 +91,7 @@ def test_parse_group_structure():
 
 
 @pytest.mark.parametrize("bad, msg", [
-    ("SELECT ?x WHERE { GRAPH <g> { ?x <p> ?y } }", "GRAPH"),
+    ("SELECT ?x WHERE { SERVICE <g> { ?x <p> ?y } }", "SERVICE"),
     ("SELECT ?x WHERE { SERVICE <s> { ?x <p> ?y } }", "SERVICE"),
     ("SELECT ?x WHERE { ?x pfx:zzz ?y }", "unknown prefix"),
     ("SELECT WHERE { ?x <p> ?y }", "empty SELECT"),
@@ -724,3 +724,97 @@ def test_group_concat_sample_rejections(spark):
         # compile-time rejection: still loud, still pre-execution
         sparql_select(df, "SELECT ?r (SAMPLE(DISTINCT ?f) AS ?x) WHERE "
                           "{ ?f <p> ?r } GROUP BY ?r")
+
+
+# ---------------------------------------------------------------------------
+# GRAPH named-graph blocks (quads)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def gq(spark):
+    rows = [
+        ("f1", "repo", "r1", "urn:g:a"),
+        ("f2", "repo", "r2", "urn:g:b"),
+        ("f1", "lang", "py", "urn:g:langs"),
+        ("f2", "lang", "go", "urn:g:langs"),
+        ("f1", RDF_TYPE, "File", None),
+        ("f2", RDF_TYPE, "File", None),
+        ("f3", RDF_TYPE, "File", None),
+        ("f1", "next", "f2", None),
+        ("f2", "next", "f3", None),
+    ]
+    return spark.createDataFrame(
+        rows, "subj string, pred string, obj string, graph string")
+
+
+def test_graph_var_and_iri_blocks(gq):
+    out = sparql_select(gq, """
+        SELECT ?f ?r ?l ?g WHERE {
+          GRAPH ?g { ?f <repo> ?r }
+          GRAPH <urn:g:langs> { ?f <lang> ?l }
+          ?f a "File" .
+        } ORDER BY ?f
+    """)
+    assert [tuple(r) for r in out.collect()] == [
+        ("f1", "r1", "py", "urn:g:a"), ("f2", "r2", "go", "urn:g:b")]
+
+
+def test_plain_patterns_match_default_graph_only(gq):
+    assert sparql_select(gq, "SELECT ?f WHERE { ?f <repo> ?r }") \
+        .count() == 0
+    assert sparql_select(gq, "SELECT ?f WHERE { ?f a \"File\" }") \
+        .count() == 3
+
+
+def test_graph_block_multi_pattern_same_graph(gq):
+    # both patterns range over the SAME graph per ?g binding: the repo
+    # edges live in two different graphs, so the cross-file pair dies
+    out = sparql_select(gq, """
+        SELECT ?g WHERE {
+          GRAPH ?g { <f1> <repo> ?r . <f2> <repo> ?r2 }
+        }
+    """)
+    assert out.count() == 0
+
+
+def test_closure_runs_on_default_graph(gq):
+    # p+ closure outside GRAPH walks default-graph edges only
+    out = sparql_select(gq, """
+        SELECT ?b WHERE { <f1> <next>+ ?b } ORDER BY ?b
+    """)
+    assert [r["b"] for r in out.collect()] == ["f2", "f3"]
+
+
+def test_graph_prefixed_name(gq):
+    out = sparql_select(gq, """
+        PREFIX g: <urn:g:>
+        SELECT ?f ?l WHERE { GRAPH g:langs { ?f <lang> ?l } } ORDER BY ?f
+    """)
+    assert [tuple(r) for r in out.collect()] == [("f1", "py"),
+                                                 ("f2", "go")]
+
+
+def test_graph_string_literal_name_rejected():
+    with pytest.raises(SparqlSyntaxError, match="GRAPH"):
+        parse_sparql('SELECT ?f WHERE { GRAPH "x" { ?f <p> ?o } }')
+
+
+def test_graph_empty_block_rejected():
+    with pytest.raises(SparqlSyntaxError, match="empty GRAPH"):
+        parse_sparql("SELECT ?f WHERE { GRAPH ?g { } ?f <p> ?o }")
+
+
+def test_graph_on_plain_triple_table_rejected(gq):
+    with pytest.raises(ValueError, match="graph"):
+        sparql_select(gq.select("subj", "pred", "obj"),
+                      "SELECT ?f WHERE { GRAPH ?g { ?f <repo> ?r } }") \
+            .collect()
+
+
+def test_describe_scopes_to_default_graph(gq):
+    from claimskg_generator_spark.operators.sparql import sparql_describe
+
+    out = sparql_describe(gq, "DESCRIBE <f1>")
+    got = {tuple(r) for r in out.collect()}
+    # named-graph facts about f1 are not in the default-graph CBD
+    assert got == {("f1", RDF_TYPE, "File"), ("f1", "next", "f2")}
