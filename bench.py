@@ -218,6 +218,9 @@ BENCH_QUERIES = [
     # prp-trp: data-sized iterative closure unioned into the graph —
     # the only entailment query whose rule relation is NOT schema-sized
     "q123_kg_transitive_entail",
+    # dataset-clause wave (q130-q133): none timed — q130/q131/q133 join
+    # pred-literal slivers (the q101 policy) and q132's pair-state
+    # aggregation is the same shuffle family as the untimed q122
 ]
 
 # The 13-query round-2 headline set: its subtotal is reported alongside the

@@ -80,6 +80,13 @@ def build_arg_parser() -> argparse.ArgumentParser:
     out.add_argument("--ntriples-output",
                      help="canonical sorted N-Triples serialization of "
                           "the graph (plans/pipeline.write_ntriples)")
+    out.add_argument("--nquads-output",
+                     help="canonical sorted N-Quads serialization with "
+                          "one named graph per predicate family "
+                          "(urn:code:graph:<local-name>) — the "
+                          "publication partition GRAPH queries and "
+                          "FROM/FROM NAMED datasets address "
+                          "(plans/pipeline.write_nquads)")
     out.add_argument("--links-output",
                      help="entity-link table output (parquet)")
     out.add_argument("--canonical-output",
@@ -163,9 +170,10 @@ def main(argv=None) -> int:
             query_text = fh.read()
     building = bool(args.input or args.synth_from_documents)
     if building and not (args.table_dir or args.output
-                         or args.ntriples_output or query_text):
-        print("error: need --table-dir, --output, --ntriples-output "
-              "and/or a query", file=sys.stderr)
+                         or args.ntriples_output or args.nquads_output
+                         or query_text):
+        print("error: need --table-dir, --output, --ntriples-output, "
+              "--nquads-output and/or a query", file=sys.stderr)
         return 2
     if not building and not query_text and not args.validate \
             and not args.void_output:
@@ -383,6 +391,20 @@ def _build_graph(spark, args, summary):
         )
 
         write_ntriples(triples, args.ntriples_output)
+    if args.nquads_output:
+        from claimskg_generator_spark.plans.pipeline import (
+            with_graph,
+            write_nquads,
+        )
+
+        # one named graph per predicate family: the local name after
+        # the last '/' or '#' (pure projection — the same quads model
+        # q130/q133 query back via GRAPH / FROM NAMED)
+        local = F.regexp_extract(F.col("pred"), r"([A-Za-z0-9_]+)$", 1)
+        write_nquads(
+            with_graph(triples,
+                       F.concat(F.lit("urn:code:graph:"), local)),
+            args.nquads_output)
     if args.links_output:
         link_modules(files, min_repos=args.min_repos,
                      threshold=args.link_threshold,

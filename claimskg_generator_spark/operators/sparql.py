@@ -31,14 +31,16 @@ Grammar (keywords case-insensitive; ``#`` comments allowed)::
 
     query     := prefix* ( select | construct | ask | describe )
     prefix    := PREFIX name ':' <iri>
-    select    := SELECT DISTINCT? ( '*' | item+ ) WHERE group solution*
+    dataset   := ( FROM NAMED? ( <iri> | pfx:local ) )*
+    select    := SELECT DISTINCT? ( '*' | item+ ) dataset WHERE group
+                 solution*
     item      := ?var | '(' AGG '(' (DISTINCT? ?var | '*')
                  (';' SEPARATOR '=' "sep")? ')' AS ?var ')'
     AGG       := COUNT | SUM | MIN | MAX | AVG
                | GROUP_CONCAT | SAMPLE
-    construct := CONSTRUCT '{' triples '}' WHERE group
-    ask       := ASK group
-    describe  := DESCRIBE dterm+ ( WHERE group )?
+    construct := CONSTRUCT '{' triples '}' dataset WHERE group
+    ask       := ASK dataset group
+    describe  := DESCRIBE dterm+ dataset ( WHERE group )?
     dterm     := ?var | <iri> | pfx:local
     group     := '{' ( triple '.'? | OPTIONAL group | MINUS group
                      | FILTER NOT EXISTS group | FILTER '(' expr ')'
@@ -121,6 +123,13 @@ sliver on the scan.  Patterns OUTSIDE any GRAPH block — including
 graph only.  GRAPH blocks live in the required group and contain plain
 patterns (no nested OPTIONAL/UNION/closure); on a plain triple table a
 GRAPH pattern is rejected at plan time (no ``graph`` column).
+
+A ``FROM`` / ``FROM NAMED`` dataset clause CONSTRUCTS the queried
+dataset from the quads frame (SPARQL 1.1 §13.2): the default graph
+becomes the set-merge of the FROM graphs, the named graphs are exactly
+the FROM NAMED ones, and the store's own default graph drops (it has
+no IRI to address it by).  A missing side is empty — ``FROM``-only
+datasets match no GRAPH pattern and vice versa.
 
 All four faces also take the ``charsets`` dict
 (:func:`~claimskg_generator_spark.operators.kg_stats.characteristic_sets`
@@ -230,6 +239,10 @@ class ParsedQuery:
         field(default_factory=list)
     #: DESCRIBE targets: "?var" or an expanded IRI string
     describe_terms: List[str] = field(default_factory=list)
+    #: dataset clause: FROM graphs (merged into the default graph) and
+    #: FROM NAMED graphs (the named graphs GRAPH may range over)
+    from_graphs: List[str] = field(default_factory=list)
+    from_named: List[str] = field(default_factory=list)
     group_by: List[str] = field(default_factory=list)
     having: List[tuple] = field(default_factory=list)
     order_by: List[Tuple[str, bool]] = field(default_factory=list)
@@ -338,6 +351,7 @@ class _Parser:
             if not items:
                 raise SparqlSyntaxError("empty SELECT list")
             q.select = items
+        self._dataset_clause(q)
         self.kw("WHERE")
         self._group(q)
         self._solution_modifiers(q)
@@ -389,6 +403,7 @@ class _Parser:
         q.template = self._triple_block()
         if not q.template:
             raise SparqlSyntaxError("empty CONSTRUCT template")
+        self._dataset_clause(q)
         self.kw("WHERE")
         self._group(q)
         self._solution_modifiers(q)
@@ -401,6 +416,7 @@ class _Parser:
     def _ask(self) -> ParsedQuery:
         self.kw("ASK")
         q = ParsedQuery(form="ask")
+        self._dataset_clause(q)
         self._group(q)
         if self.i < len(self.toks):
             raise SparqlSyntaxError(
@@ -413,7 +429,7 @@ class _Parser:
         q = ParsedQuery(form="describe")
         while True:
             t = self.peek()
-            if t is None or t.upper() == "WHERE":
+            if t is None or t.upper() in ("WHERE", "FROM"):
                 break
             if t.startswith("?"):
                 q.describe_terms.append(self.next())
@@ -426,6 +442,7 @@ class _Parser:
         if not q.describe_terms:
             raise SparqlSyntaxError("DESCRIBE needs >= 1 target")
         has_vars = any(t.startswith("?") for t in q.describe_terms)
+        self._dataset_clause(q)
         if self.at_kw("WHERE"):
             self.next()
             self._group(q)
@@ -573,6 +590,23 @@ class _Parser:
         if t is not None and t.upper() == "UNDEF":
             raise SparqlSyntaxError("UNDEF is outside the subset")
         return self._term()
+
+    def _dataset_clause(self, q: ParsedQuery) -> None:
+        """``(FROM (NAMED)? iri)*`` — the SPARQL dataset clause.  The
+        graphs are IRIs (never variables/literals); semantics live in
+        :func:`_apply_dataset`."""
+        while self.at_kw("FROM"):
+            self.next()
+            named = False
+            if self.at_kw("NAMED"):
+                self.next()
+                named = True
+            t = self.peek()
+            if (t is None or t.startswith('"') or t.startswith("?")
+                    or t == "a" or re.fullmatch(r"\d+(?:\.\d+)?", t)):
+                raise SparqlSyntaxError(f"FROM names an IRI, got {t!r}")
+            iri = self._term()
+            (q.from_named if named else q.from_graphs).append(iri)
 
     def _triple(self) -> Tuple[List[Triple], Optional[List[List[Triple]]],
                                Optional[Triple]]:
@@ -929,6 +963,34 @@ def _agg_col(it: SelectItem) -> Column:
     return c.alias(it.alias)
 
 
+def _apply_dataset(triples: DataFrame, q: ParsedQuery) -> DataFrame:
+    """Construct the query dataset from a FROM / FROM NAMED clause
+    (SPARQL 1.1 §13.2): the default graph becomes the RDF MERGE (set
+    union — duplicates across source graphs collapse) of the FROM
+    graphs, and the named graphs are exactly the FROM NAMED ones; the
+    store's own default graph (NULL rows) is not addressable and drops.
+    A missing side is EMPTY: FROM-only datasets match no GRAPH pattern,
+    FROM-NAMED-only datasets match no plain pattern.  Extra columns are
+    projected away (patterns only read subj/pred/obj/graph).  Without a
+    dataset clause the input frame IS the dataset, unchanged."""
+    if not (q.from_graphs or q.from_named):
+        return triples
+    if "graph" not in triples.columns:
+        raise ValueError(
+            "FROM / FROM NAMED need a quads frame (a 'graph' column); "
+            "a plain triple table has no addressable graphs")
+    base = triples.select("subj", "pred", "obj", "graph")
+    parts = []
+    if q.from_graphs:
+        parts.append(
+            base.where(F.col("graph").isin(q.from_graphs))
+            .dropDuplicates(["subj", "pred", "obj"])
+            .withColumn("graph", F.lit(None).cast("string")))
+    if q.from_named:
+        parts.append(base.where(F.col("graph").isin(q.from_named)))
+    return reduce(DataFrame.unionAll, parts)
+
+
 def _default_graph(triples: DataFrame) -> DataFrame:
     """The dataset's DEFAULT graph: on a quads frame (``graph``
     column), the NULL-graph rows; a plain triple table is itself the
@@ -1078,6 +1140,7 @@ def sparql_select(triples: DataFrame, query: str,
     q = query if isinstance(query, ParsedQuery) else parse_sparql(query)
     if q.form != "select":
         raise ValueError("not a SELECT query; use sparql_construct")
+    triples = _apply_dataset(triples, q)
     df = _bindings(triples, q, stats, closure_hops, charsets)
     bound = set(df.columns)
 
@@ -1147,6 +1210,7 @@ def sparql_construct(triples: DataFrame, query: str,
     q = query if isinstance(query, ParsedQuery) else parse_sparql(query)
     if q.form != "construct":
         raise ValueError("not a CONSTRUCT query; use sparql_select")
+    triples = _apply_dataset(triples, q)
     df = _bindings(triples, q, stats, closure_hops, charsets)
     bound = set(df.columns)
 
@@ -1180,6 +1244,7 @@ def sparql_ask(triples: DataFrame, query: str,
     q = query if isinstance(query, ParsedQuery) else parse_sparql(query)
     if q.form != "ask":
         raise ValueError(f"not an ASK query (form={q.form!r})")
+    triples = _apply_dataset(triples, q)
     probe = _bindings(triples, q, stats, closure_hops, charsets).limit(1)
     return probe.agg((F.count(F.lit(1)) > 0).alias("ask"))
 
@@ -1201,6 +1266,7 @@ def sparql_describe(triples: DataFrame, query: str,
     q = query if isinstance(query, ParsedQuery) else parse_sparql(query)
     if q.form != "describe":
         raise ValueError(f"not a DESCRIBE query (form={q.form!r})")
+    triples = _apply_dataset(triples, q)
     spark = triples.sparkSession
     var_targets = [t[1:] for t in q.describe_terms if t.startswith("?")]
     iri_targets = [t for t in q.describe_terms if not t.startswith("?")]

@@ -269,3 +269,33 @@ def test_void_output_against_snapshot_table(spark, docs_path, tmp_path,
     assert s["void"]["dataset"]["triples"] > 0
     # void-only without a build and without --query-table is an error
     assert main(["--void-output", void]) == 2
+
+
+def test_nquads_output(spark, docs_path, tmp_path, capsys):
+    import glob
+    import re
+
+    nq = str(tmp_path / "graph_nq")
+    s = _run(capsys, "--synth-from-documents", docs_path,
+             "--nquads-output", nq)
+    lines = []
+    for p in sorted(glob.glob(nq + "/part-*")):
+        with open(p) as fh:
+            lines += [l.rstrip("\n") for l in fh if l.strip()]
+    assert len(lines) == s["counts"]["triples"]
+    assert lines == sorted(lines)
+    # every statement carries its predicate-family named graph as the
+    # 4th term
+    pat = re.compile(r" <urn:code:graph:([A-Za-z0-9_]+)> \.$")
+    graphs = set()
+    for l in lines:
+        m = pat.search(l)
+        assert m, l
+        graphs.add(m.group(1))
+    # the graph name is the predicate's local name
+    assert {"codeRepository", "programmingLanguage", "type",
+            "sha256"} <= graphs
+    for l in lines:
+        m = re.search(r" <([^>]+)> (?:\"|<|_:)", l)
+        assert pat.search(l).group(1) == re.split(
+            r"[/#]", m.group(1))[-1], l

@@ -753,3 +753,21 @@ def test_charset_incremental_joinless_pair_regroup(spark):
     assert "Join" not in plan
     assert "CartesianProduct" not in plan and "Python" not in plan
     assert "ObjectHashAggregate" in plan
+
+
+def test_sparql_from_dataset_filters_before_joins(spark):
+    """q133: the dataset clause compiles to graph-sliver filters + one
+    set-dedup union BEFORE the pattern joins — 3 patterns over the
+    constructed dataset stay 2 equi-joins, no cartesian, no Python,
+    and the FROM merge is visible as exactly one dedup aggregate over
+    (subj, pred, obj)."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.q133_kg_sparql_from_dataset(spark, SF))
+    assert "CartesianProduct" not in plan and "Python" not in plan
+    assert len(re.findall(
+        r"\(\d+\) (?:BroadcastHash|SortMerge|ShuffledHash)Join",
+        plan)) == 2
+    # the set-merge dedup: one hash aggregate keyed on the triple
+    assert re.search(r"Keys \[3\]: \[subj#\d+, pred#\d+, obj#\d+\]",
+                     plan), plan

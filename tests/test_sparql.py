@@ -818,3 +818,80 @@ def test_describe_scopes_to_default_graph(gq):
     got = {tuple(r) for r in out.collect()}
     # named-graph facts about f1 are not in the default-graph CBD
     assert got == {("f1", RDF_TYPE, "File"), ("f1", "next", "f2")}
+
+
+# ---------------------------------------------------------------------------
+# FROM / FROM NAMED dataset clauses
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def gd(spark):
+    rows = [
+        ("s1", "p", "a", "urn:g:1"),
+        ("s2", "p", "b", "urn:g:2"),
+        ("s1", "p", "a", "urn:g:2"),   # duplicate across FROM graphs
+        ("s3", "p", "c", "urn:g:3"),
+        ("s0", "p", "z", None),        # store default graph
+    ]
+    return spark.createDataFrame(
+        rows, "subj string, pred string, obj string, graph string")
+
+
+def test_from_merges_graphs_as_set(gd):
+    out = sparql_select(gd, """
+        SELECT ?s ?o FROM <urn:g:1> FROM <urn:g:2>
+        WHERE { ?s <p> ?o } ORDER BY ?s
+    """)
+    # RDF merge is a SET union: the cross-graph duplicate collapses,
+    # and the store's own default graph (s0) is not addressable
+    assert [tuple(r) for r in out.collect()] == [("s1", "a"),
+                                                 ("s2", "b")]
+
+
+def test_from_named_restricts_graph_range(gd):
+    out = sparql_select(gd, """
+        SELECT ?g ?s FROM NAMED <urn:g:3>
+        WHERE { GRAPH ?g { ?s <p> ?o } }
+    """)
+    assert [tuple(r) for r in out.collect()] == [("urn:g:3", "s3")]
+
+
+def test_dataset_missing_side_is_empty(gd):
+    assert sparql_select(gd, """
+        SELECT ?s FROM <urn:g:1> WHERE { GRAPH ?g { ?s <p> ?o } }
+    """).count() == 0
+    assert sparql_select(gd, """
+        SELECT ?s FROM NAMED <urn:g:1> WHERE { ?s <p> ?o }
+    """).count() == 0
+
+
+def test_ask_and_describe_take_dataset(gd):
+    from claimskg_generator_spark.operators.sparql import (
+        sparql_ask,
+        sparql_describe,
+    )
+
+    assert sparql_ask(gd, 'ASK FROM <urn:g:3> { ?s <p> "c" }') \
+        .collect()[0]["ask"] is True
+    assert sparql_ask(gd, 'ASK FROM <urn:g:1> { ?s <p> "c" }') \
+        .collect()[0]["ask"] is False
+    # DESCRIBE's description scan runs over the CONSTRUCTED default
+    # graph, not the store default
+    got = {tuple(r) for r in
+           sparql_describe(gd, "DESCRIBE <s3> FROM <urn:g:3>").collect()}
+    assert got == {("s3", "p", "c")}
+
+
+def test_no_dataset_clause_unchanged(gd):
+    # without FROM the store default graph is what plain patterns see
+    out = sparql_select(gd, "SELECT ?s WHERE { ?s <p> ?o }")
+    assert [r["s"] for r in out.collect()] == ["s0"]
+
+
+def test_from_rejects_var_and_plain_table(gd):
+    with pytest.raises(SparqlSyntaxError, match="FROM"):
+        parse_sparql("SELECT ?s FROM ?g WHERE { ?s <p> ?o }")
+    with pytest.raises(ValueError, match="graph"):
+        sparql_select(gd.select("subj", "pred", "obj"),
+                      "SELECT ?s FROM <urn:g:1> WHERE { ?s <p> ?o }") \
+            .collect()
