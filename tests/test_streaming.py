@@ -774,3 +774,77 @@ def test_void_stream_converges_and_epoch_idempotent(spark):
     m2 = VoidSketchMaintainer(spark, tbl, p=P)
     m2(spark.createDataFrame(rows[:220], sch), batch_id=seen_id)
     assert key(m2.sketch()) == want_sketch
+
+
+def test_charset_stream_converges_with_deletes(spark):
+    """Streaming characteristic-set maintenance: after draining
+    insert/delete chunks in any order, the folded state and the
+    derived summary equal the one-shot batch
+    charset_state/characteristic_sets over the SURVIVING triples; a
+    replayed epoch is a no-op; compaction preserves the view and the
+    replay guard across a fresh maintainer."""
+    import os
+    import random
+
+    from claimskg_generator_spark.operators.kg_stats import (
+        characteristic_sets,
+    )
+    from claimskg_generator_spark.streaming.charset_stream import (
+        CharsetStateMaintainer,
+        stream_charset_state,
+    )
+
+    base = tempfile.mkdtemp(prefix="claimskg_charsetstream_")
+    in_dir, tbl, ck = f"{base}/in", f"{base}/tbl", f"{base}/ck"
+    os.makedirs(in_dir)
+
+    rng = random.Random(17)
+    inserts = [(f"s{rng.randrange(60)}", f"p{rng.randrange(6)}",
+                f"o{i}", "I") for i in range(400)]
+    # delete a deterministic slice of what was inserted — including
+    # every triple of some subjects (they must vanish entirely)
+    dels = [(s, p, o, "D") for (s, p, o, _op) in inserts
+            if int(s[1:]) % 7 == 0 or (int(s[1:]) % 5 == 0
+                                       and p in ("p0", "p1"))]
+    sch = "subj string, pred string, obj string, op string"
+
+    m = CharsetStateMaintainer(spark, tbl)
+    chunks = [inserts[:150], inserts[150:], dels]
+    # deletes may drain BEFORE their inserts: additive state is
+    # arrival-order-proof
+    rng.shuffle(chunks)
+    for chunk in chunks:
+        spark.createDataFrame(chunk, sch).coalesce(1).write.mode(
+            "append").parquet(in_dir)
+        q, _ = stream_charset_state(spark, in_dir, tbl, ck,
+                                    maintainer=m)
+        q.awaitTermination(120)
+
+    deleted = {(s, p, o) for (s, p, o, _op) in dels}
+    survivors = [(s, p, o) for (s, p, o, _op) in inserts
+                 if (s, p, o) not in deleted]
+    whole = spark.createDataFrame(survivors,
+                                  "subj string, pred string, obj string")
+
+    state = lambda df: {(r["subj"], r["pred"]): r["n"]  # noqa: E731
+                        for r in df.collect()}
+    from claimskg_generator_spark.operators.kg_stats import charset_state
+    assert state(m.state()) == state(charset_state(whole))
+
+    csets = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
+    want = csets(characteristic_sets(whole))
+    assert csets(m.charsets()) == want
+    assert csets(m.charsets(max_set_preds=2)) == \
+        csets(characteristic_sets(whole, max_set_preds=2))
+
+    # replayed epoch: skipped before any write
+    seen_id = next(iter(m._seen))
+    m(spark.createDataFrame(inserts[:150], sch), batch_id=seen_id)
+    assert csets(m.charsets()) == want
+
+    # compaction folds partials; view + guard survive a fresh maintainer
+    m.compact()
+    assert csets(m.charsets()) == want
+    m2 = CharsetStateMaintainer(spark, tbl)
+    m2(spark.createDataFrame(dels, sch), batch_id=seen_id)
+    assert csets(m2.charsets()) == want
