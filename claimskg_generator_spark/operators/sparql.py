@@ -136,9 +136,17 @@ All four faces also take the ``charsets`` dict
 collect) alongside ``stats`` — the star-cardinality join ordering of
 :func:`~claimskg_generator_spark.operators.bgp.bgp_query`.
 
-Unsupported SPARQL (subqueries, ``SERVICE``, updates, ``p*``/``p?`` in
-patterns) is rejected loudly at parse time — never silently
-mis-planned.
+Sub-SELECTs (SPARQL 1.1 §12) are full SELECT queries inside braces in
+the required group, evaluated bottom-up: the subquery's solution frame
+— its own WHERE bindings, aggregation, DISTINCT and ORDER-BY + LIMIT
+top-k — joins the outer group on shared variables (the cartesian guard
+applies), so the common "aggregate then filter/extend" and
+"top-k then annotate" idioms compose.  A subquery inherits the outer
+dataset (its own FROM is rejected), and ORDER BY without LIMIT inside
+a subquery is rejected (ordering does not survive the join).
+
+Unsupported SPARQL (``SERVICE``, updates, ``p*``/``p?`` in patterns)
+is rejected loudly at parse time — never silently mis-planned.
 """
 
 import re
@@ -243,6 +251,9 @@ class ParsedQuery:
     #: FROM NAMED graphs (the named graphs GRAPH may range over)
     from_graphs: List[str] = field(default_factory=list)
     from_named: List[str] = field(default_factory=list)
+    #: sub-SELECTs (SPARQL 1.1 §12): evaluated bottom-up, joined with
+    #: the group on shared variables
+    subqueries: List["ParsedQuery"] = field(default_factory=list)
     group_by: List[str] = field(default_factory=list)
     having: List[tuple] = field(default_factory=list)
     order_by: List[Tuple[str, bool]] = field(default_factory=list)
@@ -501,6 +512,24 @@ class _Parser:
                     self.expect("(")
                     q.filters.append(self._expr())
                     self.expect(")")
+            elif (self.peek() == "{"
+                    and self.i + 1 < len(self.toks)
+                    and self.toks[self.i + 1].upper() == "SELECT"):
+                # sub-SELECT (SPARQL 1.1 §12): a full SELECT query
+                # evaluated bottom-up and joined on shared variables
+                self.expect("{")
+                sub = self._select()
+                self.expect("}")
+                if sub.from_graphs or sub.from_named:
+                    raise SparqlSyntaxError(
+                        "a subquery takes no FROM clause — it inherits "
+                        "the outer query's dataset")
+                if sub.order_by and sub.limit is None:
+                    raise SparqlSyntaxError(
+                        "ORDER BY in a subquery without LIMIT has no "
+                        "effect (ordering does not survive the join) — "
+                        "add LIMIT or drop the ORDER BY")
+                q.subqueries.append(sub)
             elif self.peek() == "{":
                 blocks = [self._triple_block()]
                 while self.at_kw("UNION"):
@@ -543,7 +572,7 @@ class _Parser:
                 self.next()
         self.expect("}")
         if (not q.patterns and not q.union_chains
-                and not q.closure_patterns):
+                and not q.closure_patterns and not q.subqueries):
             raise SparqlSyntaxError("WHERE group has no required patterns")
 
     def _values_block(self) -> Tuple[List[str], List[Tuple[str, ...]]]:
@@ -1012,7 +1041,7 @@ def _bindings(triples: DataFrame, q: ParsedQuery,
     from claimskg_generator_spark.operators.bgp import bgp_query
 
     if (not q.union_chains and not q.values_blocks
-            and not q.closure_patterns):
+            and not q.closure_patterns and not q.subqueries):
         # plain-BGP fast path: identical plan to the programmatic call
         df = bgp_query(
             triples, q.patterns,
@@ -1030,6 +1059,14 @@ def _bindings(triples: DataFrame, q: ParsedQuery,
         if q.patterns:
             frames.append((bgp_query(triples, q.patterns, stats=stats,
                                      charsets=charsets), False))
+        for sub in q.subqueries:
+            # bottom-up: the sub-SELECT's full solution frame (its own
+            # bindings + aggregation + top-k), joined on shared vars;
+            # it inherits the outer dataset (triples arrives here with
+            # any FROM clause already applied)
+            frames.append((_select_frame(triples, sub, stats,
+                                         closure_hops, charsets),
+                           False))
         for (cs, cp, co) in q.closure_patterns:
             closed = path_closure(
                 edges_from_triples(_default_graph(triples), cp),
@@ -1141,6 +1178,18 @@ def sparql_select(triples: DataFrame, query: str,
     if q.form != "select":
         raise ValueError("not a SELECT query; use sparql_construct")
     triples = _apply_dataset(triples, q)
+    return _select_frame(triples, q, stats, closure_hops, charsets)
+
+
+def _select_frame(triples: DataFrame, q: ParsedQuery,
+                  stats: Optional[dict],
+                  closure_hops: int = 8,
+                  charsets: Optional[dict] = None) -> DataFrame:
+    """SELECT evaluation over an already-constructed dataset — the
+    shared body of :func:`sparql_select` and sub-SELECT frames inside
+    :func:`_bindings` (SPARQL 1.1 §12: a subquery is a full SELECT
+    evaluated bottom-up, projected, then joined on shared variables —
+    so aggregate / ORDER-BY-LIMIT top-k subqueries compose)."""
     df = _bindings(triples, q, stats, closure_hops, charsets)
     bound = set(df.columns)
 

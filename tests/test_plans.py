@@ -771,3 +771,24 @@ def test_sparql_from_dataset_filters_before_joins(spark):
     # the set-merge dedup: one hash aggregate keyed on the triple
     assert re.search(r"Keys \[3\]: \[subj#\d+, pred#\d+, obj#\d+\]",
                      plan), plan
+
+
+def test_sparql_subquery_aggregate_below_join(spark):
+    """q134: the sub-SELECT evaluates bottom-up — its GROUP BY
+    aggregate and GlobalLimit sit BELOW the outer join (top-k first,
+    annotate after), no cartesian, no Python; the limit keeps the
+    outer join's left side 10 rows."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.q134_kg_sparql_subquery(spark, SF))
+    assert "CartesianProduct" not in plan and "Python" not in plan
+    # ORDER BY + LIMIT fuses to a top-k TakeOrderedAndProject (never a
+    # full sort), numbered BELOW the single outer join
+    m_topk = re.search(r"\((\d+)\) TakeOrderedAndProject", plan)
+    m_join = re.search(
+        r"\((\d+)\) (?:BroadcastHash|SortMerge|ShuffledHash)Join", plan)
+    assert m_topk and m_join, plan
+    assert int(m_topk.group(1)) < int(m_join.group(1))
+    assert len(re.findall(
+        r"\(\d+\) (?:BroadcastHash|SortMerge|ShuffledHash)Join",
+        plan)) == 1

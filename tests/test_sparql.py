@@ -895,3 +895,77 @@ def test_from_rejects_var_and_plain_table(gd):
         sparql_select(gd.select("subj", "pred", "obj"),
                       "SELECT ?s FROM <urn:g:1> WHERE { ?s <p> ?o }") \
             .collect()
+
+
+# ---------------------------------------------------------------------------
+# sub-SELECTs (SPARQL 1.1 §12)
+# ---------------------------------------------------------------------------
+
+def test_subquery_aggregate_joins_outer(g):
+    out = sparql_select(g, """
+        SELECT ?m ?l ?n WHERE {
+          { SELECT ?m (COUNT(*) AS ?n) WHERE { ?f <imports> ?m }
+            GROUP BY ?m }
+          ?m <label> ?l .
+        } ORDER BY ?m
+    """)
+    assert [tuple(r) for r in out.collect()] == [
+        ("m1", "numpy", 2), ("m2", "requests", 2)]
+
+
+def test_subquery_topk_with_tiebreak(g):
+    out = sparql_select(g, """
+        SELECT ?m ?l WHERE {
+          { SELECT ?m (COUNT(*) AS ?n) WHERE { ?f <imports> ?m }
+            GROUP BY ?m ORDER BY DESC(?n) ?m LIMIT 1 }
+          ?m <label> ?l .
+        }
+    """)
+    # counts tie (2 each): the ?m ascending tie-break pins m1
+    assert [tuple(r) for r in out.collect()] == [("m1", "numpy")]
+
+
+def test_subquery_only_group_with_filter(g):
+    out = sparql_select(g, """
+        SELECT ?m WHERE {
+          { SELECT ?m (COUNT(*) AS ?n) WHERE { ?f <imports> ?m }
+            GROUP BY ?m }
+          FILTER(?n >= 2)
+        } ORDER BY ?m
+    """)
+    assert [r["m"] for r in out.collect()] == ["m1", "m2"]
+
+
+def test_subquery_distinct_projection_joins(g):
+    # a plain DISTINCT projection subquery behaves as a derived relation
+    out = sparql_select(g, """
+        SELECT ?f WHERE {
+          { SELECT DISTINCT ?f WHERE { ?f <imports> ?m } }
+          ?f <lang> "python" .
+        } ORDER BY ?f
+    """)
+    assert [r["f"] for r in out.collect()] == ["f1", "f3"]
+
+
+def test_subquery_rejections(g):
+    with pytest.raises(SparqlSyntaxError, match="ORDER BY in a subquery"):
+        parse_sparql("""SELECT ?m WHERE {
+          { SELECT ?m WHERE { ?f <imports> ?m } ORDER BY ?m } }""")
+    with pytest.raises(SparqlSyntaxError, match="no FROM clause"):
+        parse_sparql("""SELECT ?m WHERE {
+          { SELECT ?m FROM <urn:g:1> WHERE { ?f <imports> ?m } } }""")
+    with pytest.raises(SparqlSyntaxError, match="cartesian"):
+        sparql_select(g, """SELECT ?m ?s WHERE {
+          { SELECT ?s WHERE { ?s <label> ?x } }
+          ?f <imports> ?m . }""").collect()
+
+
+def test_subquery_inherits_outer_dataset(gd):
+    # the outer FROM constructs the dataset BEFORE the subquery runs
+    out = sparql_select(gd, """
+        SELECT ?s ?n FROM <urn:g:1> FROM <urn:g:2> WHERE {
+          { SELECT ?s (COUNT(*) AS ?n) WHERE { ?s <p> ?o } GROUP BY ?s }
+        } ORDER BY ?s
+    """)
+    # the cross-graph duplicate collapsed in the merge -> s1 counts 1
+    assert [tuple(r) for r in out.collect()] == [("s1", 1), ("s2", 1)]
