@@ -40,8 +40,9 @@ stages):
                sparql.py) against the triples built this run or an
                existing ``--query-table`` snapshot table (``--as-of``
                time travel); predicate_profile stats feed
-               estimated-cost BGP join ordering; result to
-               ``--query-output`` parquet and/or the summary JSON.
+               estimated-cost BGP join ordering (plus characteristic-
+               set star estimates with ``--query-charsets``); result
+               to ``--query-output`` parquet and/or the summary JSON.
                Query-only invocations (no input) read the table alone.
 
 Run on a cluster via spark-submit --py-files (scripts/
@@ -110,6 +111,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
     qry.add_argument("--query-print", type=int, default=20, metavar="N",
                      help="include up to N result rows in the summary "
                           "JSON (0 = none; default 20)")
+    qry.add_argument("--query-charsets", action="store_true",
+                     help="also feed characteristic-set star estimates "
+                          "into the BGP join order (kg_stats."
+                          "characteristic_sets; sharper than the "
+                          "per-predicate stats on correlated-predicate "
+                          "stars)")
     qry.add_argument("--no-query-stats", action="store_true",
                      help="skip the predicate_profile pass that feeds "
                           "estimated-cost BGP join ordering")
@@ -265,7 +272,8 @@ def _run_void(spark, args, triples, summary) -> None:
 def _run_query(spark, args, query_text, triples, summary) -> None:
     """Evaluate a SPARQL subset query against --query-table (optionally
     time-traveled) or the triples built this run; predicate_profile
-    stats feed estimated-cost join ordering unless --no-query-stats."""
+    stats feed estimated-cost join ordering unless --no-query-stats,
+    and --query-charsets adds characteristic-set star estimates."""
     from claimskg_generator_spark.operators.bgp import predicate_profile
     from claimskg_generator_spark.operators.sparql import (
         parse_sparql,
@@ -280,10 +288,19 @@ def _run_query(spark, args, query_text, triples, summary) -> None:
     if not args.no_query_stats:
         stats = {r["pred"]: (r["n_triples"], r["n_subj"], r["n_obj"])
                  for r in predicate_profile(graph).collect()}
+    charsets = None
+    if args.query_charsets:
+        from claimskg_generator_spark.operators.kg_stats import (
+            characteristic_sets,
+        )
+
+        charsets = {r["predset"]: (r["entities"], r["triples"])
+                    for r in characteristic_sets(
+                        graph, max_set_preds=12).collect()}
     q = parse_sparql(query_text)
     run = {"select": sparql_select, "construct": sparql_construct,
            "ask": sparql_ask, "describe": sparql_describe}[q.form]
-    result = run(graph, q, stats=stats)
+    result = run(graph, q, stats=stats, charsets=charsets)
     info = {"form": q.form, "columns": result.columns}
     if args.query_output:
         result.write.mode("overwrite").parquet(args.query_output)

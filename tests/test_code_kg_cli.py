@@ -299,3 +299,19 @@ def test_nquads_output(spark, docs_path, tmp_path, capsys):
         m = re.search(r" <([^>]+)> (?:\"|<|_:)", l)
         assert pat.search(l).group(1) == re.split(
             r"[/#]", m.group(1))[-1], l
+
+
+def test_query_charsets_flag(spark, docs_path, tmp_path, capsys):
+    """--query-charsets feeds star estimates into the join order; the
+    result set must be identical with and without (ordering only)."""
+    q = ("PREFIX s: <http://schema.org/> "
+         "PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#> "
+         "SELECT ?f ?r ?lbl WHERE { ?f s:codeRepository ?r . "
+         "?f s:programmingLanguage \"python\" . ?r rdfs:label ?lbl }")
+    s1 = _run(capsys, "--synth-from-documents", docs_path, "--sparql", q,
+              "--query-print", "1000")
+    s2 = _run(capsys, "--synth-from-documents", docs_path, "--sparql", q,
+              "--query-print", "1000", "--query-charsets")
+    rows = lambda s: sorted(map(tuple,  # noqa: E731
+                                (r.values() for r in s["query"]["rows"])))
+    assert rows(s1) == rows(s2) and s1["query"]["rows"]
