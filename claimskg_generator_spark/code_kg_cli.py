@@ -143,6 +143,15 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="drop files failing the StarCoder-style gates")
     p.add_argument("--exact-dedup", action="store_true",
                    help="exact content dedup, (repo, path)-min survivor")
+    p.add_argument("--with-named-graphs", action="store_true",
+                    help="materialize the predicate-family named-graph "
+                         "column (urn:code:graph:<local-name>) on every "
+                         "triple — the table then answers GRAPH ?g / "
+                         "FROM / FROM NAMED queries; NOTE plain "
+                         "patterns address the DEFAULT graph, which is "
+                         "empty under this partition (SPARQL dataset "
+                         "rule) — query the partition via GRAPH or "
+                         "FROM")
     p.add_argument("--uri-scheme", default="md5", choices=["md5", "uuid5"],
                    help="entity URI minting scheme (md5 URN or UUIDv5)")
     p.add_argument("--min-repos", type=int, default=2,
@@ -372,6 +381,16 @@ def _build_graph(spark, args, summary):
         triples = ck.materialize(
             "entail", entailed,
             token=plan_token(triples, f"{cfg}|entail_onto={onto_fp}"))
+    if args.with_named_graphs:
+        # a pure projection AFTER the (possibly entailed) graph is
+        # final — entailed rows get their family graph too; checkpoint
+        # stages stay graph-free (re-attach is free on resume)
+        from claimskg_generator_spark.operators.code_kg import (
+            pred_graph_col,
+        )
+        from claimskg_generator_spark.plans.pipeline import with_graph
+
+        triples = with_graph(triples, pred_graph_col())
 
     if args.table_dir:
         # commit-once gate: the materialize itself is a stage boundary
@@ -414,14 +433,15 @@ def _build_graph(spark, args, summary):
             write_nquads,
         )
 
-        # one named graph per predicate family: the local name after
-        # the last '/' or '#' (pure projection — the same quads model
-        # q130/q133 query back via GRAPH / FROM NAMED)
-        local = F.regexp_extract(F.col("pred"), r"([A-Za-z0-9_]+)$", 1)
-        write_nquads(
-            with_graph(triples,
-                       F.concat(F.lit("urn:code:graph:"), local)),
-            args.nquads_output)
+        # one named graph per predicate family (pure projection — the
+        # same quads model q130/q133 query back via GRAPH / FROM NAMED)
+        from claimskg_generator_spark.operators.code_kg import (
+            pred_graph_col,
+        )
+
+        nq = (triples if "graph" in triples.columns
+              else with_graph(triples, pred_graph_col()))
+        write_nquads(nq, args.nquads_output)
     if args.links_output:
         link_modules(files, min_repos=args.min_repos,
                      threshold=args.link_threshold,

@@ -367,6 +367,15 @@ def apply_diff(table, diff: DataFrame) -> int:
     return table.overwrite(updated)
 
 
+def pred_graph_col(pred_col: str = "pred"):
+    """Predicate-family named-graph URI for a triple row —
+    ``urn:code:graph:<local-name>`` (the IRI's tail after the last
+    ``/`` or ``#``): the publication partition the N-Quads sink writes
+    and GRAPH / FROM / FROM NAMED queries address.  Pure projection."""
+    local = F.regexp_extract(F.col(pred_col), r"([A-Za-z0-9_]+)$", 1)
+    return F.concat(F.lit("urn:code:graph:"), local)
+
+
 def code_kg_lineage(files: DataFrame, scheme: str = "md5") -> DataFrame:
     """Per-partition lineage rows (north rule: "per-partition lineage
     rows (input split, sha256 of content, triple counts)").  The triple

@@ -315,3 +315,31 @@ def test_query_charsets_flag(spark, docs_path, tmp_path, capsys):
     rows = lambda s: sorted(map(tuple,  # noqa: E731
                                 (r.values() for r in s["query"]["rows"])))
     assert rows(s1) == rows(s2) and s1["query"]["rows"]
+
+
+def test_with_named_graphs_table_answers_graph_queries(
+        spark, docs_path, tmp_path, capsys):
+    """--with-named-graphs materializes the predicate-family graph
+    column; the snapshot table then answers GRAPH / FROM NAMED queries,
+    and plain patterns address the (empty) default graph — the SPARQL
+    dataset rule, stated in the flag help."""
+    tbl = str(tmp_path / "kg_ng")
+    _run(capsys, "--synth-from-documents", docs_path, "--table-dir", tbl,
+         "--with-named-graphs")
+    q = ("PREFIX s: <http://schema.org/> SELECT ?g ?f ?r WHERE "
+         "{ GRAPH ?g { ?f s:codeRepository ?r } }")
+    s = _run(capsys, "--query-table", tbl, "--sparql", q,
+             "--query-print", "5")
+    rows = s["query"]["rows"]
+    assert rows and all(r["g"] == "urn:code:graph:codeRepository"
+                        for r in rows)
+    s2 = _run(capsys, "--query-table", tbl, "--sparql",
+              "PREFIX s: <http://schema.org/> SELECT ?f WHERE "
+              "{ ?f s:codeRepository ?r }")
+    assert s2["query"]["rows"] == []
+    # FROM constructs a default graph from named slivers
+    s3 = _run(capsys, "--query-table", tbl, "--sparql",
+              "PREFIX s: <http://schema.org/> SELECT ?f "
+              "FROM <urn:code:graph:codeRepository> WHERE "
+              "{ ?f s:codeRepository ?r }", "--query-print", "3")
+    assert s3["query"]["rows"]
