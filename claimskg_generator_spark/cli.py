@@ -34,8 +34,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="synthesize N corpus rows instead of reading --input")
     p.add_argument("--output", required=True, help="triple table output path")
     p.add_argument("--format", default="parquet",
-                   choices=["parquet", "ntriples", "turtle", "xml",
-                            "json-ld", "n3", "snapshot"])
+                   choices=["parquet", "ntriples", "nquads", "turtle",
+                            "xml", "json-ld", "n3", "snapshot"])
     p.add_argument("--snapshot-mode", default="append",
                    choices=["append", "overwrite"],
                    help="with --format snapshot: append commits a new "
@@ -320,6 +320,18 @@ def main(argv=None) -> int:
         pipe.write_rdfxml(triples, args.output)
     elif args.format == "json-ld":
         pipe.write_jsonld(triples, args.output)
+    elif args.format == "nquads":
+        from claimskg_generator_spark.plans.pipeline import (
+            pred_family_graph,
+            with_graph,
+            write_nquads,
+        )
+
+        # per-predicate-family publication partition, the claims-side
+        # twin of code_kg_cli --nquads-output
+        write_nquads(with_graph(triples,
+                                pred_family_graph("urn:claimskg:graph:")),
+                     args.output)
     else:
         pipe.write_ntriples(triples, args.output)
 

@@ -369,11 +369,12 @@ def apply_diff(table, diff: DataFrame) -> int:
 
 def pred_graph_col(pred_col: str = "pred"):
     """Predicate-family named-graph URI for a triple row —
-    ``urn:code:graph:<local-name>`` (the IRI's tail after the last
-    ``/`` or ``#``): the publication partition the N-Quads sink writes
-    and GRAPH / FROM / FROM NAMED queries address.  Pure projection."""
-    local = F.regexp_extract(F.col(pred_col), r"([A-Za-z0-9_]+)$", 1)
-    return F.concat(F.lit("urn:code:graph:"), local)
+    ``urn:code:graph:<local-name>``: the publication partition the
+    N-Quads sink writes and GRAPH / FROM / FROM NAMED queries address
+    (plans/pipeline.pred_family_graph with the code-KG prefix)."""
+    from claimskg_generator_spark.plans.pipeline import pred_family_graph
+
+    return pred_family_graph("urn:code:graph:", pred_col)
 
 
 def code_kg_lineage(files: DataFrame, scheme: str = "md5") -> DataFrame:

@@ -776,3 +776,13 @@ def with_graph(triples: DataFrame, graph) -> DataFrame:
     Column (e.g. a per-source provenance URI) or a literal string."""
     col = graph if isinstance(graph, Column) else F.lit(graph)
     return triples.withColumn("graph", col)
+
+
+def pred_family_graph(prefix: str = "urn:graph:",
+                      pred_col: str = "pred") -> Column:
+    """Predicate-family named-graph URI for a triple row —
+    ``<prefix><local-name>`` (the predicate IRI's tail after the last
+    ``/`` or ``#``): the per-family publication partition for
+    :func:`write_nquads` / GRAPH queries.  Pure projection."""
+    local = F.regexp_extract(F.col(pred_col), r"([A-Za-z0-9_]+)$", 1)
+    return F.concat(F.lit(prefix), local)

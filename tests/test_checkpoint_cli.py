@@ -380,3 +380,29 @@ def test_cli_void_output_sidecar(spark):
     direct = void_stats(triples.select("subj", "pred", "obj"))
     assert sorted(map(tuple, stats.collect())) == \
         sorted(map(tuple, direct.collect()))
+
+
+def test_cli_nquads_sink(spark):
+    import re
+
+    from claimskg_generator_spark.cli import main
+
+    out = tempfile.mkdtemp(prefix="claimskg_cli_") + "/nq"
+    rc = main(["--synth", "60", "--output", out, "--format", "nquads"])
+    assert rc == 0
+    lines = [r["value"] for r in spark.read.text(out).collect()]
+    pat = re.compile(r" <urn:claimskg:graph:([A-Za-z0-9_]+)> \.$")
+    graphs = set()
+    for l in lines:
+        m = pat.search(l)
+        assert m, l
+        graphs.add(m.group(1))
+    # family graphs carry the predicate local names; typed / lang
+    # literals render identically to the N-Triples sink
+    assert {"text", "reviewRating", "datePublished", "mentions"} <= graphs
+    assert any('"@en' in l for l in lines)
+    # quad count equals the ntriples serialization of the same corpus
+    nt = tempfile.mkdtemp(prefix="claimskg_cli_") + "/nt"
+    assert main(["--synth", "60", "--output", nt,
+                 "--format", "ntriples"]) == 0
+    assert len(lines) == spark.read.text(nt).count()
