@@ -103,3 +103,67 @@ def test_ntriples_literal_line_is_single_line(obj, okind):
     line = to_ntriples_line("http://s", "http://p", obj, okind)
     assert "\n" not in line and "\r" not in line
     assert line.endswith(" .")
+
+
+# ---------------------------------------------------------------------------
+# SPARQL parser totality (operators/sparql.py)
+# ---------------------------------------------------------------------------
+
+_SPARQL_TOKENS = [
+    "SELECT", "WHERE", "{", "}", "(", ")", "?x", "?y", "<urn:p>",
+    "GRAPH", "FROM", "NAMED", "OPTIONAL", "MINUS", "FILTER", "BIND",
+    "UNION", "VALUES", "AS", "COUNT", "*", ".", ",", ";", "a",
+    '"lit"', "42", "ORDER", "BY", "LIMIT", "GROUP", "HAVING", "ASC",
+    "DESC", "+", "/", "^", "|", "=", "!=", "&&", "||", "pfx:name",
+    "PREFIX", ":", "CONSTRUCT", "ASK", "DESCRIBE", "DISTINCT",
+]
+
+
+@given(st.lists(st.sampled_from(_SPARQL_TOKENS), min_size=1,
+                max_size=25))
+@settings(max_examples=300, deadline=None)
+def test_sparql_parser_total_on_token_soup(toks):
+    """The recursive-descent parser is TOTAL over its own alphabet:
+    any token soup either parses or raises SparqlSyntaxError — never
+    an IndexError / AttributeError / RecursionError escape."""
+    from claimskg_generator_spark.operators.sparql import (
+        SparqlSyntaxError,
+        parse_sparql,
+    )
+
+    try:
+        parse_sparql(" ".join(toks))
+    except SparqlSyntaxError:
+        pass
+
+
+@given(
+    st.integers(1, 4),
+    st.booleans(), st.booleans(), st.booleans(),
+    st.lists(st.sampled_from(["<urn:g:1>", "<urn:g:2>"]), max_size=2),
+)
+@settings(max_examples=60, deadline=None)
+def test_sparql_wellformed_queries_parse(n_pat, use_graph, distinct,
+                                         use_sub, from_iris):
+    """Queries composed from the subset's own building blocks always
+    parse, and the AST reflects what went in (pattern counts, dataset
+    lists, subquery presence)."""
+    from claimskg_generator_spark.operators.sparql import parse_sparql
+
+    pats = " . ".join(f"?s{i} <urn:p{i}> ?o{i}" for i in range(n_pat))
+    body = f"{pats} ."
+    if use_graph:
+        body += " GRAPH ?g { ?s0 <urn:q> ?z } ."
+    if use_sub:
+        body += (" { SELECT ?s0 (COUNT(*) AS ?n) WHERE "
+                 "{ ?s0 <urn:r> ?w } GROUP BY ?s0 } ")
+    q = ("SELECT " + ("DISTINCT " if distinct else "") + "* "
+         + " ".join(f"FROM {iri}" for iri in from_iris)
+         + " WHERE { " + body + " }")
+    ast = parse_sparql(q)
+    n_graph = 1 if use_graph else 0
+    assert len(ast.patterns) == n_pat + n_graph
+    assert sum(1 for p in ast.patterns if len(p) == 4) == n_graph
+    assert len(ast.subqueries) == (1 if use_sub else 0)
+    assert ast.from_graphs == [i[1:-1] for i in from_iris]
+    assert ast.distinct == distinct
