@@ -221,6 +221,10 @@ BENCH_QUERIES = [
     # dataset-clause wave (q130-q133): none timed — q130/q131/q133 join
     # pred-literal slivers (the q101 policy) and q132's pair-state
     # aggregation is the same shuffle family as the untimed q122
+    # (q134/q135 also sliver-sized).  q136: the SPARQL UPDATE face —
+    # the only write-path query, data-wide (the kept subtree scans the
+    # whole graph in both union branches through broadcast anti-joins)
+    "q136_kg_sparql_update",
 ]
 
 # The 13-query round-2 headline set: its subtotal is reported alongside the

@@ -181,6 +181,7 @@ def bgp_query(
     stats: Optional[dict] = None,
     optional: Optional[Sequence[Sequence[Tuple[str, ...]]]] = None,
     not_exists: Optional[Sequence[Sequence[Tuple[str, ...]]]] = None,
+    exists: Optional[Sequence[Sequence[Tuple[str, ...]]]] = None,
     charsets: Optional[Dict] = None,
 ) -> DataFrame:
     """Evaluate a conjunctive triple-pattern query against ``triples``.
@@ -199,8 +200,12 @@ def bgp_query(
     ``optional``: pattern groups LEFT-joined on their shared variables
     (SPARQL OPTIONAL — unmatched rows carry NULLs in the group's
     exclusive variables).  ``not_exists``: pattern groups anti-joined
-    (SPARQL FILTER NOT EXISTS).  Each group is itself a BGP; a group
-    sharing no variable with the required patterns is rejected.
+    (SPARQL FILTER NOT EXISTS).  ``exists``: pattern groups SEMI-joined
+    on their shared variables (SPARQL FILTER EXISTS — rows survive only
+    when the group matches; like NOT EXISTS it binds nothing new, so
+    the group's exclusive variables never reach the output).  Each
+    group is itself a BGP; a group sharing no variable with the
+    required patterns is rejected.
 
     ``charsets``: optional ``{predset_fingerprint: (entities, triples)}``
     — typically ``{r['predset']: (r['entities'], r['triples']) for r in
@@ -285,6 +290,16 @@ def bgp_query(
                 "required patterns — it would be a cartesian product")
         out = out.join(gdf, keys, "left")
         bound |= gvars
+    # EXISTS groups: semi-join on the shared variables — rows survive
+    # only when the group matches; binds nothing new
+    for group in exists or ():
+        gdf = bgp_query(triples, group, stats=stats, charsets=charsets)
+        keys = sorted(set(gdf.columns) & bound)
+        if not keys:
+            raise ValueError(
+                f"exists group {group!r} shares no variable with the "
+                "required patterns — the filter would be constant")
+        out = out.join(gdf.select(*keys), keys, "left_semi")
     # NOT EXISTS groups: anti-join on the shared variables — rows with
     # ANY matching group binding are dropped; binds nothing new
     for group in not_exists or ():

@@ -10,7 +10,7 @@ inherits bgp_query's literal pushdown, cost-ordered join chain and
 cartesian rejection instead of growing a second (worse) planner:
 
 * :func:`parse_sparql` / :func:`sparql_select` — a textual SPARQL
-  SELECT subset (PREFIX, BGP, OPTIONAL, FILTER NOT EXISTS, FILTER
+  SELECT subset (PREFIX, BGP, OPTIONAL, FILTER (NOT) EXISTS, FILTER
   expressions, DISTINCT, GROUP BY + aggregates, ORDER BY, LIMIT/OFFSET)
   parsed by a recursive-descent parser and compiled to
   ``bgp_query`` + post-plan Column expressions.  Parsing is O(query
@@ -43,7 +43,7 @@ Grammar (keywords case-insensitive; ``#`` comments allowed)::
     describe  := DESCRIBE dterm+ dataset ( WHERE group )?
     dterm     := ?var | <iri> | pfx:local
     group     := '{' ( triple '.'? | OPTIONAL group | MINUS group
-                     | FILTER NOT EXISTS group | FILTER '(' expr ')'
+                     | FILTER NOT? EXISTS group | FILTER '(' expr ')'
                      | BIND '(' bexpr AS ?var ')'
                      | block ( UNION block )+
                      | VALUES ( ?var | '(' ?var+ ')' ) '{' row* '}' )* '}'
@@ -234,6 +234,7 @@ class ParsedQuery:
     patterns: List[Triple] = field(default_factory=list)
     optional_groups: List[List[Triple]] = field(default_factory=list)
     not_exists_groups: List[List[Triple]] = field(default_factory=list)
+    exists_groups: List[List[Triple]] = field(default_factory=list)
     minus_groups: List[List[Triple]] = field(default_factory=list)
     filters: List[tuple] = field(default_factory=list)
     #: (target variable, bind-expression AST) in written order
@@ -302,8 +303,12 @@ class _Parser:
     def _check_supported(self) -> None:
         t = self.peek()
         if t is not None and t.upper() in _UNSUPPORTED:
+            hint = (" — SPARQL UPDATE requests go through "
+                    "operators.sparql_update.parse_update/apply_update"
+                    if t.upper() in ("INSERT", "DELETE") else "")
             raise SparqlSyntaxError(
-                f"{t.upper()} is outside the supported SPARQL subset")
+                f"{t.upper()} is outside the supported SPARQL "
+                f"query subset{hint}")
 
     # --- grammar ---
     def parse(self) -> ParsedQuery:
@@ -508,6 +513,9 @@ class _Parser:
                     self.next()
                     self.kw("EXISTS")
                     q.not_exists_groups.append(self._triple_block())
+                elif self.at_kw("EXISTS"):
+                    self.next()
+                    q.exists_groups.append(self._triple_block())
                 else:
                     self.expect("(")
                     q.filters.append(self._expr())
@@ -1047,6 +1055,7 @@ def _bindings(triples: DataFrame, q: ParsedQuery,
             triples, q.patterns,
             optional=q.optional_groups or None,
             not_exists=q.not_exists_groups or None,
+            exists=q.exists_groups or None,
             stats=stats, charsets=charsets,
         )
     else:
@@ -1125,6 +1134,15 @@ def _bindings(triples: DataFrame, q: ParsedQuery,
                     "the required patterns")
             df = df.join(gdf, keys, "left")
             bound |= set(gdf.columns)
+        for group in q.exists_groups:
+            gdf = bgp_query(triples, group, stats=stats,
+                        charsets=charsets)
+            keys = sorted(set(gdf.columns) & bound)
+            if not keys:
+                raise SparqlSyntaxError(
+                    f"exists group {group!r} shares no variable "
+                    "with the required patterns")
+            df = df.join(gdf.select(*keys), keys, "left_semi")
         for group in q.not_exists_groups:
             gdf = bgp_query(triples, group, stats=stats,
                         charsets=charsets)

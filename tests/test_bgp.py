@@ -156,6 +156,19 @@ def test_not_exists_filters_matches(spark, g):
     assert {r["m"] for r in out2.collect()} == {"m2"}
 
 
+def test_exists_keeps_matches_and_binds_nothing(spark, g):
+    # only modules f2 also imports survive; the group's ?l2 never
+    # reaches the output (EXISTS binds nothing new)
+    out = bgp_query(
+        g, [("?x", "imports", "?m"), ("?m", "label", "?l")],
+        exists=[[("f2", "imports", "?m"), ("?m", "label", "?l2")]])
+    assert sorted(out.columns) == ["l", "m", "x"]
+    assert {r["m"] for r in out.collect()} == {"m1"}
+    # semi-join semantics: multiplicity of the left side is preserved
+    assert out.count() == g.filter(
+        (g.pred == "imports") & (g.obj == "m1")).count()
+
+
 def test_optional_and_not_exists_share_var_guards(g):
     with pytest.raises(ValueError, match="optional group"):
         bgp_query(g, [("?f", "imports", "?m")],
@@ -163,6 +176,9 @@ def test_optional_and_not_exists_share_var_guards(g):
     with pytest.raises(ValueError, match="not_exists group"):
         bgp_query(g, [("?f", "imports", "?m")],
                   not_exists=[[("?a", "label", "?b")]])
+    with pytest.raises(ValueError, match="exists group"):
+        bgp_query(g, [("?f", "imports", "?m")],
+                  exists=[[("?a", "label", "?b")]])
 
 
 # ---------------------------------------------------------------------------

@@ -792,3 +792,32 @@ def test_sparql_subquery_aggregate_below_join(spark):
     assert len(re.findall(
         r"\(\d+\) (?:BroadcastHash|SortMerge|ShuffledHash)Join",
         plan)) == 1
+
+
+def test_sparql_exists_semi_and_anti_joins(spark):
+    """q135: FILTER EXISTS compiles to ONE left-semi join and FILTER
+    NOT EXISTS to ONE left-anti join, each probing a predicate sliver
+    — no cartesian, no Python, and the group frames never widen the
+    output (the semi/anti join is the last thing that touches them)."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.q135_kg_sparql_exists(spark, SF))
+    assert "CartesianProduct" not in plan and "Python" not in plan
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
+def test_sparql_update_broadcast_anti_joins_no_g_shuffle(spark):
+    """q136: apply_update's algebra is two anti-joins (kept = G ∖ D,
+    new = I ∖ kept) + one Union; physically the kept subtree feeds
+    BOTH union branches (G scanned twice — Spark doesn't share
+    subtrees), so the plan carries THREE anti-joins, and every one
+    must be a BROADCAST anti (D and I are bindings-derived slivers) —
+    G itself is never repartitioned; no cartesian, no Python."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.q136_kg_sparql_update(spark, SF))
+    assert "CartesianProduct" not in plan and "Python" not in plan
+    antis = re.findall(r"(\w+Join) LeftAnti", plan)
+    assert len(antis) == 3, plan
+    assert set(antis) == {"BroadcastHashJoin"}
+    assert len(re.findall(r"\(\d+\) Union", plan)) == 1

@@ -168,6 +168,50 @@ def test_optional_and_not_exists_through_text(g):
     assert got == {("f1", "File"), ("f3", None)}
 
 
+def test_filter_exists_through_text(g):
+    # files that import anything AND declare a language; ?l stays
+    # inside the EXISTS group (binds nothing new)
+    out = sparql_select(g, """
+        SELECT DISTINCT ?f WHERE {
+          ?f <imports> ?m .
+          FILTER EXISTS { ?f <lang> ?l }
+        }
+    """)
+    assert out.columns == ["f"]
+    assert {r["f"] for r in out.collect()} == {"f1", "f2", "f3"}
+    # a literal narrows the group
+    out2 = sparql_select(g, """
+        SELECT DISTINCT ?f WHERE {
+          ?f <imports> ?m .
+          FILTER EXISTS { ?f <lang> "python" }
+        }
+    """)
+    assert {r["f"] for r in out2.collect()} == {"f1", "f3"}
+
+
+def test_filter_exists_parses_alongside_not_exists():
+    q = parse_sparql("""
+        SELECT ?a WHERE {
+          ?a <p> ?b .
+          FILTER EXISTS { ?a <good> ?z }
+          FILTER NOT EXISTS { ?a <bad> ?z }
+        }
+    """)
+    assert q.exists_groups == [[("?a", "good", "?z")]]
+    assert q.not_exists_groups == [[("?a", "bad", "?z")]]
+
+
+def test_filter_exists_with_union_slow_path(g):
+    # UNION forces the non-fast compile path; EXISTS still semi-joins
+    out = sparql_select(g, """
+        SELECT DISTINCT ?f WHERE {
+          { ?f <lang> "python" } UNION { ?f <lang> "go" }
+          FILTER EXISTS { ?f <imports> "m1" }
+        }
+    """)
+    assert {r["f"] for r in out.collect()} == {"f1", "f2"}
+
+
 def test_distinct_order_limit_offset(g):
     out = sparql_select(g, """
         SELECT DISTINCT ?m WHERE { ?f <imports> ?m }
