@@ -223,8 +223,11 @@ BENCH_QUERIES = [
     # aggregation is the same shuffle family as the untimed q122
     # (q134/q135 also sliver-sized).  q136: the SPARQL UPDATE face —
     # the only write-path query, data-wide (the kept subtree scans the
-    # whole graph in both union branches through broadcast anti-joins)
+    # whole graph in both union branches through broadcast anti-joins).
+    # q137: the p* zero-length term-domain distinct is graph-wide (the
+    # one closure form that shuffles the whole graph, unlike q124's p+)
     "q136_kg_sparql_update",
+    "q137_kg_sparql_star_path",
 ]
 
 # The 13-query round-2 headline set: its subtotal is reported alongside the

@@ -50,7 +50,8 @@ Grammar (keywords case-insensitive; ``#`` comments allowed)::
     block     := '{' ( triple '.'? )* '}'
     row       := literal | '(' literal+ ')'
     triple    := term path term
-    path      := pelt '+' | pelt ( '/' pelt )* | pelt ( '|' pelt )+ | ?var
+    path      := pelt ('+'|'*'|'?') | pelt ( '/' pelt )*
+               | pelt ( '|' pelt )+ | ?var
     pelt      := '^'? ( <iri> | pfx:local | a )
     term      := ?var | <iri> | pfx:local | "string" | number | a
     expr      := conj ( '||' conj )*
@@ -96,6 +97,17 @@ variables; a literal endpoint filters the closure result.  Accepted
 only in the required group and only on a single (possibly inverse)
 predicate — ``p+/q`` and ``(p|q)+`` are outside the subset.  A node on
 a cycle reaches itself (real ``p+`` semantics).
+
+``p*`` and ``p?`` add the zero-length contribution (SPARQL 1.1 §18.4
+ZeroLengthPath): with both endpoints variables, every term of the
+default graph (subjects ∪ objects) reaches itself — the term-domain
+distinct is the one graph-wide shuffle the zero-length forms pay
+(``p+`` stays sliver-only); with a constant endpoint, the constant
+matches itself unconditionally (the spec binds the variable to the
+term without a graph-membership test — engines agree on this corner
+and the value oracle replays it).  ``?a p* ?a`` is therefore every
+graph term, and ``p?`` is the zero-length rows plus the predicate's
+own one-hop sliver (no iteration).
 
 ``BIND`` expressions evaluate AFTER all pattern/MINUS joins and BEFORE
 FILTER expressions regardless of written position (document-order
@@ -172,7 +184,7 @@ _TOKEN = re.compile(
       | (?P<pname>[A-Za-z_][\w-]*:[\w-]+(?:\.[\w-]+)*)
       | (?P<word>[A-Za-z_]\w*)
       | (?P<num>\d+(?:\.\d+)?)
-      | (?P<op>&&|\|\||!=|<=|>=|[{}().,;*=<>:/^|+])
+      | (?P<op>&&|\|\||!=|<=|>=|[{}().,;*=<>:/^|+?])
     """,
     re.X,
 )
@@ -241,8 +253,10 @@ class ParsedQuery:
     binds: List[Tuple[str, tuple]] = field(default_factory=list)
     #: each chain is >= 2 branches, each branch a BGP pattern list
     union_chains: List[List[List[Triple]]] = field(default_factory=list)
-    #: ``p+`` closure patterns (inverse pre-swapped): (s, pred IRI, o)
-    closure_patterns: List[Triple] = field(default_factory=list)
+    #: ``p+``/``p*``/``p?`` closure patterns (inverse pre-swapped):
+    #: (s, pred IRI, o, mode) with mode in "plus" | "star" | "opt"
+    closure_patterns: List[Tuple[str, str, str, str]] = \
+        field(default_factory=list)
     #: (variable names, literal rows) per VALUES block
     values_blocks: List[Tuple[List[str], List[Tuple[str, ...]]]] = \
         field(default_factory=list)
@@ -646,25 +660,26 @@ class _Parser:
             (q.from_named if named else q.from_graphs).append(iri)
 
     def _triple(self) -> Tuple[List[Triple], Optional[List[List[Triple]]],
-                               Optional[Triple]]:
+                               Optional[Tuple[str, str, str, str]]]:
         """One ``term path term`` pattern, property paths rewritten at
         parse time: returns ``(triples, alt, closure)`` where
         ``triples`` is the (possibly sequence-expanded /
         inverse-swapped) pattern list, ``alt`` is a UNION chain when
-        the path is an alternation, and ``closure`` is a ``(s, p, o)``
-        closure pattern when the path is ``p+`` (inverse pre-swapped;
-        exactly one of the three carries the pattern)."""
+        the path is an alternation, and ``closure`` is a
+        ``(s, p, o, mode)`` closure pattern when the path carries a
+        ``+``/``*``/``?`` modifier (inverse pre-swapped; exactly one
+        of the three carries the pattern)."""
         s = self._term()
         kind, elts = self._path()
         o = self._term()
-        if kind == "plus":
+        if kind in ("plus", "star", "opt"):
             inv, p = elts[0]
             cs, co = (o, s) if inv else (s, o)
             if not (cs.startswith("?") or co.startswith("?")):
                 raise SparqlSyntaxError(
-                    "closure patterns (p+) need at least one variable "
-                    f"endpoint: {cs!r} {p}+ {co!r}")
-            return [], None, (cs, p, co)
+                    "path-modifier patterns (p+/p*/p?) need at least "
+                    f"one variable endpoint: {cs!r} {p} {co!r}")
+            return [], None, (cs, p, co, kind)
         if kind == "alt":
             branches = [[(o, p, s) if inv else (s, p, o)]
                         for inv, p in elts]
@@ -681,39 +696,38 @@ class _Parser:
             cur = nxt
         return out, None, None
 
+    _MODS = {"+": "plus", "*": "star", "?": "opt"}
+
     def _path(self) -> Tuple[str, List[Tuple[bool, str]]]:
         """Predicate-position path: ``("seq", [(inverse, iri), ...])``
         (length 1 == a plain predicate), ``("alt", ...)``, or
-        ``("plus", [(inverse, iri)])`` for single-predicate closure.
-        A bare ``?var`` predicate stays a variable (no path operators
-        around it); ``*``/``?`` modifiers and ``+`` on composite paths
-        are rejected loudly."""
+        ``("plus"|"star"|"opt", [(inverse, iri)])`` for
+        single-predicate ``p+`` / ``p*`` / ``p?``.  A bare ``?var``
+        predicate stays a variable (no path operators around it);
+        modifiers on composite paths are rejected loudly."""
         first = self._path_elt()
-        if self.peek() == "+":
-            self.next()
-            if self.peek() in ("/", "|", "+", "*"):
+        if self.peek() in self._MODS:
+            mode = self._MODS[self.next()]
+            if self.peek() in ("/", "|", "+", "*", "?"):
                 raise SparqlSyntaxError(
-                    "p+ closure composes with no other path operator "
-                    "in the subset")
+                    "a path modifier (+/*/?) composes with no other "
+                    "path operator in the subset")
             self._no_path_var([first])
-            return "plus", [first]
-        if self.peek() == "*":
-            raise SparqlSyntaxError(
-                "p* (zero-or-more) is outside the subset — p+ is "
-                "supported; add the zero-hop row with a UNION if needed")
+            return mode, [first]
         if self.peek() == "/":
             elts = [first]
             while self.peek() == "/":
                 self.next()
                 elts.append(self._path_elt())
+                if self.peek() in ("+", "*", "?"):
+                    raise SparqlSyntaxError(
+                        "modifiers on sequence-path elements are "
+                        "outside the subset — bind the modified step "
+                        "through an intermediate variable")
             if self.peek() == "|":
                 raise SparqlSyntaxError(
                     "mixing / and | in one path is outside the subset "
                     "— parenthesize as separate patterns")
-            if self.peek() == "+":
-                raise SparqlSyntaxError(
-                    "p+ closure applies to a single predicate only, "
-                    "not a sequence path")
             self._no_path_var(elts)
             return "seq", elts
         if self.peek() == "|":
@@ -721,10 +735,10 @@ class _Parser:
             while self.peek() == "|":
                 self.next()
                 elts.append(self._path_elt())
-            if self.peek() == "+":
+            if self.peek() in ("+", "*", "?"):
                 raise SparqlSyntaxError(
-                    "p+ closure applies to a single predicate only, "
-                    "not an alternation path")
+                    "a path modifier (+/*/?) applies to a single "
+                    "predicate only, not an alternation path")
             self._no_path_var(elts)
             return "alt", elts
         if first[0]:
@@ -1037,6 +1051,16 @@ def _default_graph(triples: DataFrame) -> DataFrame:
     return triples
 
 
+def _graph_terms(dg: DataFrame) -> DataFrame:
+    """All RDF terms of the (default) graph as one column ``t`` —
+    the domain SPARQL's ZeroLengthPath ranges over (subjects ∪
+    objects).  One distinct over the graph; only the ``p*``/``p?``
+    zero-length forms pay it."""
+    return (dg.select(F.col("subj").alias("t"))
+            .unionAll(dg.select(F.col("obj").alias("t")))
+            .distinct())
+
+
 def _bindings(triples: DataFrame, q: ParsedQuery,
               stats: Optional[dict],
               closure_hops: int = 8,
@@ -1076,24 +1100,56 @@ def _bindings(triples: DataFrame, q: ParsedQuery,
             frames.append((_select_frame(triples, sub, stats,
                                          closure_hops, charsets),
                            False))
-        for (cs, cp, co) in q.closure_patterns:
-            closed = path_closure(
-                edges_from_triples(_default_graph(triples), cp),
-                max_hops=closure_hops)
+        for (cs, cp, co, mode) in q.closure_patterns:
+            dg = _default_graph(triples)
+            if mode == "opt":      # p? — at most one hop: the sliver
+                pairs = (dg.where(F.col("pred") == cp)
+                         .select(F.col("subj").alias("src"),
+                                 F.col("obj").alias("dst")))
+            else:                  # p+ / p* — semi-naive closure
+                pairs = path_closure(
+                    edges_from_triples(dg, cp),
+                    max_hops=closure_hops).select("src", "dst")
+            # zero-length contribution (SPARQL 1.1 §18.4
+            # ZeroLengthPath) for p* / p?: every graph term reaches
+            # itself; a constant endpoint matches itself uncondition-
+            # ally.  The term-domain distinct is the one unavoidable
+            # graph shuffle of the zero-length form — p+ stays
+            # sliver-only.
+            zero = mode in ("star", "opt")
             if cs.startswith("?") and co.startswith("?"):
-                if cs == co:   # ?a p+ ?a — nodes on a cycle
-                    cdf = (closed.where(F.col("src") == F.col("dst"))
-                           .select(F.col("src").alias(cs[1:]))
-                           .distinct())
-                else:          # distinct (src, dst) pairs, hops dropped
-                    cdf = closed.select(F.col("src").alias(cs[1:]),
-                                        F.col("dst").alias(co[1:]))
+                if cs == co:
+                    if zero:       # ?a p*/p? ?a — every term, 0 hops
+                        cdf = _graph_terms(dg).select(
+                            F.col("t").alias(cs[1:]))
+                    else:          # ?a p+ ?a — nodes on a cycle
+                        cdf = (pairs
+                               .where(F.col("src") == F.col("dst"))
+                               .select(F.col("src").alias(cs[1:]))
+                               .distinct())
+                else:
+                    cdf = pairs.select(F.col("src").alias(cs[1:]),
+                                       F.col("dst").alias(co[1:]))
+                    if zero:
+                        t = _graph_terms(dg)
+                        cdf = cdf.unionAll(
+                            t.select(F.col("t").alias(cs[1:]),
+                                     F.col("t").alias(co[1:]))
+                        ).distinct()
             elif cs.startswith("?"):   # literal object endpoint
-                cdf = (closed.where(F.col("dst") == co)
+                cdf = (pairs.where(F.col("dst") == co)
                        .select(F.col("src").alias(cs[1:])).distinct())
+                if zero:
+                    lit = triples.sparkSession.createDataFrame(
+                        [(co,)], f"{cs[1:]} string")
+                    cdf = cdf.unionAll(lit).distinct()
             else:                      # literal subject endpoint
-                cdf = (closed.where(F.col("src") == cs)
+                cdf = (pairs.where(F.col("src") == cs)
                        .select(F.col("dst").alias(co[1:])).distinct())
+                if zero:
+                    lit = triples.sparkSession.createDataFrame(
+                        [(cs,)], f"{co[1:]} string")
+                    cdf = cdf.unionAll(lit).distinct()
             frames.append((cdf, False))
         for chain in q.union_chains:
             branches = [bgp_query(triples, br, stats=stats,

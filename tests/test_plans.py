@@ -821,3 +821,14 @@ def test_sparql_update_broadcast_anti_joins_no_g_shuffle(spark):
     assert len(antis) == 3, plan
     assert set(antis) == {"BroadcastHashJoin"}
     assert len(re.findall(r"\(\d+\) Union", plan)) == 1
+
+
+def test_sparql_star_path_zero_rows_union(spark):
+    """q137: p* = the p+ closure frame UNIONed with the zero-length
+    term-domain rows, set-deduped — one Union feeding a distinct
+    aggregate; no cartesian, no Python."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.q137_kg_sparql_star_path(spark, SF))
+    assert "CartesianProduct" not in plan and "Python" not in plan
+    assert re.search(r"\(\d+\) Union", plan), plan

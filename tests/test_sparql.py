@@ -201,6 +201,61 @@ def test_filter_exists_parses_alongside_not_exists():
     assert q.not_exists_groups == [[("?a", "bad", "?z")]]
 
 
+def test_star_path_zero_or_more(spark):
+    t = spark.createDataFrame(
+        [("a", "dep", "b", ""), ("b", "dep", "c", ""),
+         ("x", "lbl", "X", "")], SCHEMA)
+    out = sparql_select(t, "SELECT ?s ?o WHERE { ?s <dep>* ?o }")
+    got = sorted((r["s"], r["o"]) for r in out.collect())
+    # closure pairs plus one zero-length row per graph TERM (subjects
+    # and objects both; X is an object-only term)
+    assert got == sorted(
+        [("a", "b"), ("a", "c"), ("b", "c")]
+        + [(v, v) for v in ["a", "b", "c", "x", "X"]])
+    # literal endpoint: zero-length matches the constant itself even
+    # when absent from the graph (SPARQL 1.1 §18.4 ZeroLengthPath)
+    out2 = sparql_select(t, "SELECT ?s WHERE { ?s <dep>* <c> }")
+    assert sorted(r["s"] for r in out2.collect()) == ["a", "b", "c"]
+    out3 = sparql_select(t, "SELECT ?s WHERE { ?s <dep>* <zz> }")
+    assert [r["s"] for r in out3.collect()] == ["zz"]
+    # ?a p* ?a — every graph term reaches itself in zero hops
+    out4 = sparql_select(t, "SELECT ?a WHERE { ?a <dep>* ?a }")
+    assert sorted(r["a"] for r in out4.collect()) == \
+        ["X", "a", "b", "c", "x"]
+
+
+def test_opt_path_zero_or_one(spark):
+    t = spark.createDataFrame(
+        [("a", "dep", "b", ""), ("b", "dep", "c", "")], SCHEMA)
+    out = sparql_select(t, "SELECT ?s ?o WHERE { ?s <dep>? ?o }")
+    got = sorted((r["s"], r["o"]) for r in out.collect())
+    # one-hop sliver + zero rows, but NO two-hop (a, c)
+    assert got == sorted(
+        [("a", "b"), ("b", "c")]
+        + [(v, v) for v in ["a", "b", "c"]])
+
+
+def test_path_modifier_rejections():
+    for bad, msg in [
+        ("SELECT ?s WHERE { ?s <p>/<q>* ?o }",
+         "sequence-path elements"),
+        ("SELECT ?s WHERE { ?s <p>|<q>? ?o }", "single predicate"),
+        ("SELECT ?s WHERE { ?s <p>*+ ?o }", "composes with no other"),
+        ("SELECT ?s WHERE { <a> <p>* <b> }", "variable endpoint"),
+        ("SELECT ?s WHERE { ?s ?p* ?o }", "not variables"),
+    ]:
+        with pytest.raises(SparqlSyntaxError, match=msg):
+            parse_sparql(bad)
+
+
+def test_inverse_star_path(spark):
+    t = spark.createDataFrame(
+        [("a", "dep", "b", ""), ("b", "dep", "c", "")], SCHEMA)
+    # ^dep* from c: ancestors of c plus c itself
+    out = sparql_select(t, "SELECT ?s WHERE { <c> ^<dep>* ?s }")
+    assert sorted(r["s"] for r in out.collect()) == ["a", "b", "c"]
+
+
 def test_filter_exists_with_union_slow_path(g):
     # UNION forces the non-fast compile path; EXISTS still semi-joins
     out = sparql_select(g, """
@@ -707,7 +762,7 @@ def test_plus_path_in_ask_and_construct(chain_g):
 
 def test_plus_path_rejections(chain_g):
     for bad in [
-        "SELECT ?s WHERE { ?s <p>* ?t }",
+        # (p* / p? are supported since q137 — see the star/opt tests)
         "SELECT ?s WHERE { ?s <p>/<q>+ ?t }",
         "SELECT ?s WHERE { ?s <p>+/<q> ?t }",
         "SELECT ?s WHERE { ?s (<p>|<q>)+ ?t }",
