@@ -120,6 +120,16 @@ def build_arg_parser() -> argparse.ArgumentParser:
     qry.add_argument("--no-query-stats", action="store_true",
                      help="skip the predicate_profile pass that feeds "
                           "estimated-cost BGP join ordering")
+    upd = p.add_argument_group(
+        "update", "apply one SPARQL 1.1 UPDATE request (operators/"
+                  "sparql_update.py) to --query-table as ONE atomic "
+                  "commit, before any query/validate/void stage runs")
+    ug = upd.add_mutually_exclusive_group()
+    ug.add_argument("--update", metavar="SPARQL",
+                    help="SPARQL UPDATE text (INSERT DATA / DELETE DATA "
+                         "/ DELETE WHERE / DELETE..INSERT..WHERE)")
+    ug.add_argument("--update-file", metavar="FILE",
+                    help="file containing the SPARQL UPDATE request")
     p.add_argument("--checkpoint-dir", default=None,
                    help="stage-boundary checkpoint root (resume on rerun)")
     p.add_argument("--checkpoint-content-probe", action="store_true",
@@ -184,6 +194,19 @@ def main(argv=None) -> int:
     if args.sparql_file:
         with open(args.sparql_file, "r", encoding="utf-8") as fh:
             query_text = fh.read()
+    update_text = args.update
+    if args.update_file:
+        with open(args.update_file, "r", encoding="utf-8") as fh:
+            update_text = fh.read()
+    if update_text and not args.query_table:
+        print("error: --update/--update-file needs --query-table (an "
+              "update is an atomic snapshot-table commit)",
+              file=sys.stderr)
+        return 2
+    if update_text and args.as_of is not None:
+        print("error: --update cannot target a past snapshot (--as-of) "
+              "— time travel is read-only", file=sys.stderr)
+        return 2
     building = bool(args.input or args.synth_from_documents)
     if building and not (args.table_dir or args.output
                          or args.ntriples_output or args.nquads_output
@@ -192,9 +215,9 @@ def main(argv=None) -> int:
               "--nquads-output and/or a query", file=sys.stderr)
         return 2
     if not building and not query_text and not args.validate \
-            and not args.void_output:
+            and not args.void_output and not update_text:
         print("error: need --input/--synth-from-documents, a --sparql "
-              "query, --validate, and/or --void-output",
+              "query, --update, --validate, and/or --void-output",
               file=sys.stderr)
         return 2
     if not building and (query_text or args.validate
@@ -217,6 +240,8 @@ def main(argv=None) -> int:
             files, triples = _build_graph(spark, args, summary)
             summary["counts"]["triples"] = triples.count()
             summary["counts"]["files"] = files.count()
+        if update_text:
+            _run_update(spark, args, update_text, summary)
         if args.validate:
             _run_validate(spark, args, triples, summary)
         if args.void_output:
@@ -228,6 +253,28 @@ def main(argv=None) -> int:
     finally:
         if created:
             spark.stop()
+
+
+def _run_update(spark, args, update_text, summary) -> None:
+    """One SPARQL UPDATE request as one atomic snapshot commit on
+    --query-table; later stages (--sparql/--validate/--void-output)
+    re-read the table and observe the post-update graph."""
+    from claimskg_generator_spark.operators.sparql_update import (
+        apply_update_to_table,
+        parse_update,
+    )
+    from claimskg_generator_spark.sources.snapshot_table import (
+        SnapshotTable,
+    )
+
+    u = parse_update(update_text)
+    table = SnapshotTable(spark, args.query_table, stat_cols=["pred"])
+    sid = apply_update_to_table(table, u)
+    summary["sparql_update"] = {
+        "form": u.form,
+        "snapshot_id": sid,
+        "operation": table.manifest(sid)["operation"],
+    }
 
 
 def _resolve_graph(spark, args, triples):

@@ -50,6 +50,13 @@ compiled onto the same plan machinery:
   commits the full ``(G ∖ D) ∪ I`` as an atomic OVERWRITE.  Either
   way a reader sees the pre-update graph until the manifest pointer
   advances, and time travel keeps the pre-update snapshot addressable.
+  The table may carry the ``okind`` sidecar (the code-KG product
+  layout): deletes match on ``(subj, pred, obj)`` alone, and inserted
+  rows are typed from the update text's own term kinds (``<iri>`` →
+  ``'uri'``, ``"literal"``/number → ``''``) — a variable insert-object
+  is rejected loudly on okind tables (its kind is not tracked through
+  the binding join, and guessing from the value's shape could corrupt
+  the N-Triples rendering).
   (A production copy-on-write rewrite of only the touched files — or
   merge-on-read delete files — is the 100 TB refinement; the snapshot
   table's predicate ``delete`` covers the former for single-column
@@ -63,6 +70,7 @@ ClaimsKG needs between releases.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+import re
 from functools import reduce
 from typing import Dict, List, Optional, Tuple
 
@@ -87,10 +95,15 @@ _UPDATE_UNSUPPORTED = {
 class ParsedUpdate:
     """One parsed update request.  ``form`` is ``insert_data`` /
     ``delete_data`` / ``delete_where`` / ``modify``; DATA forms carry
-    ground triples in the matching template and ``where is None``."""
+    ground triples in the matching template and ``where is None``.
+    ``insert_okinds`` records each insert-template OBJECT's term kind
+    as written (``'uri'`` for ``<iri>``/pname/``a``, ``''`` for
+    string/number literals, ``None`` for a variable) — what an
+    okind-carrying triple table needs to type inserted rows."""
     form: str
     delete_template: List[Triple] = field(default_factory=list)
     insert_template: List[Triple] = field(default_factory=list)
+    insert_okinds: List[Optional[str]] = field(default_factory=list)
     where: Optional[ParsedQuery] = None
     prefixes: Dict[str, str] = field(default_factory=dict)
 
@@ -98,11 +111,14 @@ class ParsedUpdate:
 class _UpdateParser(_Parser):
     """The update grammar on the query module's token machinery."""
 
-    def _plain_block(self) -> List[Triple]:
+    def _plain_block(self) -> Tuple[List[Triple], List[Optional[str]]]:
         # '{' (term term term '.'?)* '}' — plain triples only: no
-        # property paths (a path in a template has no instantiation)
+        # property paths (a path in a template has no instantiation).
+        # Also records each OBJECT's written term kind: 'uri' for
+        # <iri>/pname/a, '' for string/number literals, None for ?var.
         self.expect("{")
         trips: List[Triple] = []
+        okinds: List[Optional[str]] = []
         while self.peek() != "}":
             if self.peek() is not None \
                     and self.peek().upper() in _UPDATE_UNSUPPORTED:
@@ -115,18 +131,26 @@ class _UpdateParser(_Parser):
                     "property paths are not allowed in update "
                     "templates or DATA blocks")
             p = self._term()
-            if self.peek() in ("/", "|", "+", "*"):
+            if self.peek() in ("/", "|", "+", "*", "?"):
                 raise SparqlSyntaxError(
                     "property paths are not allowed in update "
                     "templates or DATA blocks")
+            raw = self.peek()
             o = self._term()
+            if raw.startswith("?"):
+                okinds.append(None)
+            elif (raw.startswith('"')
+                    or re.fullmatch(r"\d+(?:\.\d+)?", raw)):
+                okinds.append("")
+            else:                       # <iri>, pfx:local, a
+                okinds.append("uri")
             trips.append((s, p, o))
             if self.peek() == ".":
                 self.next()
         self.expect("}")
         if not trips:
             raise SparqlSyntaxError("empty triple block in update")
-        return trips
+        return trips, okinds
 
     @staticmethod
     def _require_ground(trips: List[Triple], what: str) -> None:
@@ -160,19 +184,21 @@ class _UpdateParser(_Parser):
             self.next()
             if self.at_kw("DATA"):
                 self.next()
-                trips = self._plain_block()
+                trips, oks = self._plain_block()
                 self._require_ground(trips, "INSERT DATA")
-                u = ParsedUpdate(form="insert_data", insert_template=trips)
+                u = ParsedUpdate(form="insert_data", insert_template=trips,
+                                 insert_okinds=oks)
             else:
-                tmpl = self._plain_block()
+                tmpl, oks = self._plain_block()
                 self.kw("WHERE")
                 u = ParsedUpdate(form="modify", insert_template=tmpl,
+                                 insert_okinds=oks,
                                  where=self._where_group())
         elif self.at_kw("DELETE"):
             self.next()
             if self.at_kw("DATA"):
                 self.next()
-                trips = self._plain_block()
+                trips, _ = self._plain_block()
                 self._require_ground(trips, "DELETE DATA")
                 u = ParsedUpdate(form="delete_data", delete_template=trips)
             elif self.at_kw("WHERE"):
@@ -180,7 +206,7 @@ class _UpdateParser(_Parser):
                 # a fully-ground pattern degenerates to DELETE DATA
                 # (bgp_query rejects variable-free patterns by design)
                 self.next()
-                tmpl = self._plain_block()
+                tmpl, _ = self._plain_block()
                 if not any(t.startswith("?") for tr in tmpl for t in tr):
                     u = ParsedUpdate(form="delete_data",
                                      delete_template=tmpl)
@@ -196,14 +222,15 @@ class _UpdateParser(_Parser):
                         where=ParsedQuery(form="select",
                                           patterns=list(tmpl)))
             else:
-                dt = self._plain_block()
+                dt, _ = self._plain_block()
                 it: List[Triple] = []
+                oks: List[Optional[str]] = []
                 if self.at_kw("INSERT"):
                     self.next()
-                    it = self._plain_block()
+                    it, oks = self._plain_block()
                 self.kw("WHERE")
                 u = ParsedUpdate(form="modify", delete_template=dt,
-                                 insert_template=it,
+                                 insert_template=it, insert_okinds=oks,
                                  where=self._where_group())
         else:
             raise SparqlSyntaxError(
@@ -224,13 +251,22 @@ def parse_update(text: str) -> ParsedUpdate:
     return _UpdateParser(text).parse_update()
 
 
-def _literal_rel(graph: DataFrame, trips: List[Triple]) -> DataFrame:
+def _literal_rel(graph: DataFrame, trips: List[Triple],
+                 okinds: Optional[List[Optional[str]]] = None
+                 ) -> DataFrame:
+    if okinds is None:
+        return graph.sparkSession.createDataFrame(
+            sorted(set(trips)), "subj string, pred string, obj string")
+    rows = sorted({(s, p, o, k)
+                   for (s, p, o), k in zip(trips, okinds)})
     return graph.sparkSession.createDataFrame(
-        sorted(set(trips)), "subj string, pred string, obj string")
+        rows, "subj string, pred string, obj string, okind string")
 
 
 def _instantiate(bindings: DataFrame, template: List[Triple],
-                 what: str) -> DataFrame:
+                 what: str,
+                 okinds: Optional[List[Optional[str]]] = None
+                 ) -> DataFrame:
     """Template × solutions → distinct triple set (the CONSTRUCT
     projection shape: one narrow select per template pattern)."""
     bound = set(bindings.columns)
@@ -245,11 +281,23 @@ def _instantiate(bindings: DataFrame, template: List[Triple],
             return F.col(v).alias(pos)
         return F.lit(term).alias(pos)
 
-    parts = [
-        bindings.select(term_col(s, "subj"), term_col(p, "pred"),
-                        term_col(o, "obj"))
-        for (s, p, o) in template
-    ]
+    parts = []
+    for i, (s, p, o) in enumerate(template):
+        cols = [term_col(s, "subj"), term_col(p, "pred"),
+                term_col(o, "obj")]
+        if okinds is not None:
+            # okind-carrying table: the inserted row's term kind must
+            # be known at parse time — a variable object's kind is not
+            # tracked through the binding join, so reject loudly
+            # rather than guess from the value's shape
+            if okinds[i] is None:
+                raise SparqlSyntaxError(
+                    f"{what} template object {o!r} is a variable — an "
+                    "okind-carrying table needs an explicit <iri> or "
+                    '"literal" object (or project okind off and '
+                    "update the plain triple view)")
+            cols.append(F.lit(okinds[i]).alias("okind"))
+        parts.append(bindings.select(*cols))
     return reduce(DataFrame.unionAll, parts).distinct()
 
 
@@ -258,19 +306,23 @@ _KEYS = ["subj", "pred", "obj"]
 
 def _delta(graph: DataFrame, u: ParsedUpdate,
            stats: Optional[dict] = None,
-           charsets: Optional[dict] = None
+           charsets: Optional[dict] = None,
+           with_okind: bool = False
            ) -> Tuple[Optional[DataFrame], Optional[DataFrame]]:
     """(delete set, insert set) for one parsed update — each a distinct
     triple frame or None.  Pattern forms bind the WHERE group ONCE and
-    instantiate both templates from the same frame."""
+    instantiate both templates from the same frame.  ``with_okind``
+    types the INSERT side from the parse-time term kinds (the delete
+    side matches on (subj, pred, obj) alone and never needs it)."""
+    ioks = u.insert_okinds if with_okind else None
     if u.form == "insert_data":
-        return None, _literal_rel(graph, u.insert_template)
+        return None, _literal_rel(graph, u.insert_template, ioks)
     if u.form == "delete_data":
         return _literal_rel(graph, u.delete_template), None
     b = _bindings(graph, u.where, stats, 8, charsets)
     dels = (_instantiate(b, u.delete_template, "DELETE")
             if u.delete_template else None)
-    ins = (_instantiate(b, u.insert_template, "INSERT")
+    ins = (_instantiate(b, u.insert_template, "INSERT", okinds=ioks)
            if u.insert_template else None)
     return dels, ins
 
@@ -306,16 +358,19 @@ def apply_update_to_table(table, update: str,
     the touched files is the production refinement)."""
     u = update if isinstance(update, ParsedUpdate) else parse_update(update)
     current = table.read()
-    if sorted(current.columns) != sorted(_KEYS):
+    has_okind = sorted(current.columns) == sorted(_KEYS + ["okind"])
+    if not has_okind and sorted(current.columns) != sorted(_KEYS):
         raise ValueError(
-            "apply_update_to_table needs a plain (subj, pred, obj) "
+            "apply_update_to_table needs a (subj, pred, obj[, okind]) "
             f"triple table — got columns {current.columns}")
-    dels, ins = _delta(current, u, stats, charsets)
+    dels, ins = _delta(current, u, stats, charsets,
+                       with_okind=has_okind)
     if dels is None:
-        new_rows = ins.join(current, _KEYS, "left_anti")
+        new_rows = (ins.join(current, _KEYS, "left_anti")
+                    .select(*current.columns))
         return table.append(new_rows,
                             extra={"sparql_update": u.form})
-    kept = current.join(dels, _KEYS, "left_anti")
+    kept = current.join(dels.select(*_KEYS), _KEYS, "left_anti")
     result = kept if ins is None \
-        else kept.unionAll(ins.join(kept, _KEYS, "left_anti"))
-    return table.overwrite(result)
+        else kept.unionByName(ins.join(kept, _KEYS, "left_anti"))
+    return table.overwrite(result.select(*current.columns))

@@ -343,3 +343,50 @@ def test_with_named_graphs_table_answers_graph_queries(
               "FROM <urn:code:graph:codeRepository> WHERE "
               "{ ?f s:codeRepository ?r }", "--query-print", "3")
     assert s3["query"]["rows"]
+
+
+def test_update_face(spark, docs_path, tmp_path, capsys):
+    """--update applies one SPARQL UPDATE as one atomic commit on
+    --query-table; a --sparql in the SAME invocation observes the
+    post-update graph; --as-of still reads the pre-update snapshot."""
+    table = str(tmp_path / "kg_upd")
+    _run(capsys, "--synth-from-documents", docs_path,
+         "--table-dir", table)
+    upd = """
+        PREFIX schema: <http://schema.org/>
+        PREFIX code: <http://example.org/code#>
+        DELETE { ?f schema:version ?c }
+        INSERT { ?f code:wasVersioned "true" }
+        WHERE { ?f schema:version ?c }
+    """
+    qry = """
+        PREFIX code: <http://example.org/code#>
+        SELECT (COUNT(*) AS ?n) WHERE { ?f code:wasVersioned "true" }
+    """
+    s = _run(capsys, "--query-table", table, "--update", upd,
+             "--sparql", qry, "--query-print", "5")
+    assert s["sparql_update"]["form"] == "modify"
+    assert s["sparql_update"]["operation"] == "overwrite"
+    n_tagged = int(s["query"]["rows"][0]["n"])
+    assert n_tagged > 0
+
+    from claimskg_generator_spark.sources.snapshot_table import (
+        SnapshotTable,
+    )
+
+    t = SnapshotTable(spark, table)
+    post = t.read()
+    assert post.filter("pred = 'http://schema.org/version'").count() == 0
+    tagged = post.filter(
+        "pred = 'http://example.org/code#wasVersioned'")
+    assert tagged.count() == n_tagged
+    # inserted rows typed from the update text: "true" is a literal
+    assert {r["okind"] for r in tagged.collect()} == {""}
+    # time travel still reads the pre-update graph
+    pre = t.read(snapshot_id=s["sparql_update"]["snapshot_id"] - 1)
+    assert pre.filter("pred = 'http://schema.org/version'").count() > 0
+
+    # guard rails
+    assert main(["--update", upd]) == 2
+    assert main(["--query-table", table, "--update", upd,
+                 "--as-of", "1"]) == 2

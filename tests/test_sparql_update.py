@@ -201,8 +201,48 @@ def test_table_delete_side_overwrites(spark, tmp_path, g):
     assert rows(t.read(snapshot_id=before)) == rows(g)
 
 
-def test_table_wide_schema_rejected(spark, tmp_path, g):
+def _okind(s, p, o):
+    # the KG convention the fixtures follow: module/file refs are URIs
+    return "uri" if p == "imports" else ""
+
+
+def test_table_okind_sidecar_updates(spark, tmp_path, g):
+    from pyspark.sql import functions as F
+    wide = g.select(
+        "subj", "pred", "obj",
+        F.when(F.col("pred") == "imports", "uri").otherwise("")
+         .alias("okind"))
+    t = _table(spark, tmp_path, wide)
+    # modify: delete matches on (s,p,o) regardless of okind; inserted
+    # rows are typed from the update text (<m9> -> 'uri', "done" -> '')
+    apply_update_to_table(t, """
+        DELETE { ?s <imports> ?o }
+        INSERT { ?s <uses> <m9> . ?s <migrated> "done" }
+        WHERE { ?s <imports> ?o }""")
+    got = {(r["subj"], r["pred"], r["obj"]): r["okind"]
+           for r in t.read().collect()}
+    assert ("f1", "imports", "m1") not in got
+    assert got[("f1", "uses", "m9")] == "uri"
+    assert got[("f1", "migrated", "done")] == ""
+    assert got[("f1", "lang", "python")] == ""  # untouched row kept
+    # insert-only on the okind table takes the append path
+    sid = apply_update_to_table(t, 'INSERT DATA { <n> <p> "v" }')
+    assert t.manifest(sid)["operation"] == "append"
+    assert {r["okind"] for r in
+            t.read().filter("subj = 'n'").collect()} == {""}
+
+
+def test_table_okind_var_insert_object_rejected(spark, tmp_path, g):
     from pyspark.sql import functions as F
     t = _table(spark, tmp_path, g.withColumn("okind", F.lit("")))
-    with pytest.raises(ValueError, match="plain .subj, pred, obj."):
+    with pytest.raises(SparqlSyntaxError, match="okind-carrying"):
+        apply_update_to_table(t, """
+            DELETE { ?s <imports> ?o } INSERT { ?s <uses> ?o }
+            WHERE { ?s <imports> ?o }""")
+
+
+def test_table_unknown_extra_column_rejected(spark, tmp_path, g):
+    from pyspark.sql import functions as F
+    t = _table(spark, tmp_path, g.withColumn("graph", F.lit("x")))
+    with pytest.raises(ValueError, match="triple table"):
         apply_update_to_table(t, "DELETE WHERE { ?s <imports> ?o }")
