@@ -347,6 +347,35 @@ def apply_update(graph: DataFrame, update: str,
     return kept.unionAll(ins.join(kept, _KEYS, "left_anti"))
 
 
+def update_delta(graph: DataFrame, update: str,
+                 stats: Optional[dict] = None,
+                 charsets: Optional[dict] = None
+                 ) -> Tuple[Optional[DataFrame], Optional[DataFrame]]:
+    """The update's EFFECTIVE ``(deletes, inserts)`` against the
+    current graph — the exact triple delta incremental maintenance
+    consumes (``kg_stats.charset_apply``, the VoID/rollup monoid
+    merges, diff-driven refresh).  Raw template deletes of absent
+    triples and raw inserts of already-present triples are filtered
+    out (``D ∩ G`` and ``I ∖ (G ∖ D)``), so replaying this delta on
+    any derived state equals rebuilding that state over
+    :func:`apply_update`'s result — a triple deleted and re-inserted
+    by the same request appears on BOTH sides (net zero, exactly what
+    an additive state needs).  Either side is None when the request
+    has no such template."""
+    u = update if isinstance(update, ParsedUpdate) else parse_update(update)
+    if sorted(graph.columns) != sorted(_KEYS):
+        raise ValueError(
+            "update_delta needs a plain (subj, pred, obj) set graph — "
+            f"got columns {graph.columns}")
+    dels, ins = _delta(graph, u, stats, charsets)
+    eff_d = (None if dels is None
+             else dels.join(graph, _KEYS, "left_semi"))
+    kept = graph if dels is None else graph.join(dels, _KEYS, "left_anti")
+    eff_i = (None if ins is None
+             else ins.join(kept, _KEYS, "left_anti"))
+    return eff_d, eff_i
+
+
 def apply_update_to_table(table, update: str,
                           stats: Optional[dict] = None,
                           charsets: Optional[dict] = None) -> int:

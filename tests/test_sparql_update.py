@@ -201,11 +201,6 @@ def test_table_delete_side_overwrites(spark, tmp_path, g):
     assert rows(t.read(snapshot_id=before)) == rows(g)
 
 
-def _okind(s, p, o):
-    # the KG convention the fixtures follow: module/file refs are URIs
-    return "uri" if p == "imports" else ""
-
-
 def test_table_okind_sidecar_updates(spark, tmp_path, g):
     from pyspark.sql import functions as F
     wide = g.select(
@@ -246,3 +241,58 @@ def test_table_unknown_extra_column_rejected(spark, tmp_path, g):
     t = _table(spark, tmp_path, g.withColumn("graph", F.lit("x")))
     with pytest.raises(ValueError, match="triple table"):
         apply_update_to_table(t, "DELETE WHERE { ?s <imports> ?o }")
+
+
+# --------------------------------------------------------- update_delta
+
+def test_update_delta_filters_noops(spark, g):
+    from claimskg_generator_spark.operators.sparql_update import (
+        update_delta,
+    )
+    # raw D has one absent triple; raw I has one already-present triple
+    d, i = update_delta(g, """
+        DELETE DATA { <f1> <imports> <m1> . <nope> <p> <q> }""")
+    assert i is None
+    assert rows(d) == [("f1", "imports", "m1")]
+    d2, i2 = update_delta(g, """
+        INSERT DATA { <f1> <imports> <m1> . <n> <p> <m> }""")
+    assert d2 is None
+    assert rows(i2) == [("n", "p", "m")]
+
+
+def test_update_delta_reinsert_appears_both_sides(spark, g):
+    from claimskg_generator_spark.operators.sparql_update import (
+        update_delta,
+    )
+    d, i = update_delta(g, """
+        DELETE { ?s <imports> ?o } INSERT { ?s <imports> ?o }
+        WHERE { ?s <imports> ?o }""")
+    # net zero for additive state: both sides carry the same triples
+    assert rows(d) == rows(i)
+    assert len(rows(d)) == 3
+
+
+def test_update_delta_maintains_charset_state(spark, g):
+    """The end-to-end identity q138 driver-pins, on a hand-checkable
+    graph: state + effective delta == direct build over the updated
+    graph."""
+    from claimskg_generator_spark.operators.kg_stats import (
+        characteristic_sets,
+        charset_apply,
+        charset_state,
+        charsets_from_state,
+    )
+    from claimskg_generator_spark.operators.sparql_update import (
+        apply_update,
+        update_delta,
+    )
+
+    upd = """
+        DELETE { ?s <lang> ?l } INSERT { ?s <checked> "1" }
+        WHERE { ?s <lang> ?l }"""
+    d, i = update_delta(g, upd)
+    maintained = charsets_from_state(
+        charset_apply(charset_state(g), adds=i, dels=d))
+    direct = characteristic_sets(apply_update(g, upd))
+    assert sorted(map(tuple, maintained.collect())) == \
+        sorted(map(tuple, direct.collect()))
