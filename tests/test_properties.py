@@ -167,3 +167,73 @@ def test_sparql_wellformed_queries_parse(n_pat, use_graph, distinct,
     assert len(ast.subqueries) == (1 if use_sub else 0)
     assert ast.from_graphs == [i[1:-1] for i in from_iris]
     assert ast.distinct == distinct
+
+
+# ---------------------------------------------------------------------------
+# SPARQL UPDATE parser totality (operators/sparql_update.py)
+# ---------------------------------------------------------------------------
+
+_UPDATE_TOKENS = [
+    "INSERT", "DELETE", "DATA", "WHERE", "{", "}", "?x", "?y",
+    "<urn:p>", "<urn:s>", '"lit"', "42", "a", ".", ";", "PREFIX",
+    ":", "pfx:name", "FILTER", "OPTIONAL", "MINUS", "GRAPH", "WITH",
+    "USING", "LOAD", "CLEAR", "+", "*", "?", "/", "^", "|", "(",
+    ")", "=", "EXISTS", "NOT",
+]
+
+
+@given(st.lists(st.sampled_from(_UPDATE_TOKENS), min_size=1,
+                max_size=25))
+@settings(max_examples=300, deadline=None)
+def test_update_parser_total_on_token_soup(toks):
+    """parse_update is TOTAL over its own alphabet: any token soup
+    either parses or raises SparqlSyntaxError — never an IndexError /
+    KeyError / RecursionError escape."""
+    from claimskg_generator_spark.operators.sparql import (
+        SparqlSyntaxError,
+    )
+    from claimskg_generator_spark.operators.sparql_update import (
+        parse_update,
+    )
+
+    try:
+        parse_update(" ".join(toks))
+    except SparqlSyntaxError:
+        pass
+
+
+@given(
+    st.integers(1, 3), st.integers(0, 3),
+    st.sampled_from(["insert_data", "delete_data", "modify"]),
+)
+@settings(max_examples=60, deadline=None)
+def test_update_wellformed_requests_parse(n_del, n_ins, form):
+    """Requests composed from the subset's building blocks parse and
+    the AST carries the right templates and okinds."""
+    from claimskg_generator_spark.operators.sparql_update import (
+        parse_update,
+    )
+
+    ground = " . ".join(f"<urn:s{i}> <urn:p{i}> <urn:o{i}>"
+                        for i in range(n_del))
+    if form == "insert_data":
+        u = parse_update(f"INSERT DATA {{ {ground} }}")
+        assert u.form == "insert_data"
+        assert len(u.insert_template) == n_del
+        assert u.insert_okinds == ["uri"] * n_del
+    elif form == "delete_data":
+        u = parse_update(f"DELETE DATA {{ {ground} }}")
+        assert u.form == "delete_data"
+        assert len(u.delete_template) == n_del
+    else:
+        dels = " . ".join(f"?s <urn:p{i}> ?o" for i in range(n_del))
+        ins = " . ".join(f'?s <urn:q{i}> "v{i}"' for i in range(n_ins))
+        text = f"DELETE {{ {dels} }}"
+        if n_ins:
+            text += f" INSERT {{ {ins} }}"
+        text += " WHERE { ?s <urn:p0> ?o }"
+        u = parse_update(text)
+        assert u.form == "modify"
+        assert len(u.delete_template) == n_del
+        assert len(u.insert_template) == n_ins
+        assert u.insert_okinds == [""] * n_ins
