@@ -56,7 +56,12 @@ compiled onto the same plan machinery:
   ``'uri'``, ``"literal"``/number → ``''``) — a variable insert-object
   is rejected loudly on okind tables (its kind is not tracked through
   the binding join, and guessing from the value's shape could corrupt
-  the N-Triples rendering).
+  the N-Triples rendering).  Matching is STRING-TYPED on
+  ``(subj, pred, obj)`` throughout — the engine-wide convention every
+  query face shares — so ``<x>`` and ``"x"`` are the SAME triple to
+  deletes and insert-dedup even though RDF would distinguish them;
+  a corpus that genuinely needs both spellings of one object string
+  is outside this model.
   (A production copy-on-write rewrite of only the touched files — or
   merge-on-read delete files — is the 100 TB refinement; the snapshot
   table's predicate ``delete`` covers the former for single-column
