@@ -42,6 +42,15 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         "snapshot on top of the table at --output "
                         "(incremental corpus loads), overwrite starts a "
                         "new file set; prior snapshots stay readable by id")
+    ug = p.add_mutually_exclusive_group()
+    ug.add_argument("--update", metavar="SPARQL",
+                    help="apply one SPARQL 1.1 UPDATE request "
+                         "(operators/sparql_update.py) to the snapshot "
+                         "table at --output as ONE atomic commit — a "
+                         "standalone maintenance mode: no --input/"
+                         "--synth, requires --format snapshot")
+    ug.add_argument("--update-file", metavar="FILE",
+                    help="file containing the SPARQL UPDATE request")
     p.add_argument("--model-uri", default=DEFAULT_MODEL_URI)
     p.add_argument("--threshold", type=float, default=0.3)
     p.add_argument("--recognizer", default="stem",
@@ -166,9 +175,54 @@ def _file_input_fingerprint(spark: SparkSession, args) -> str:
         content_probe=getattr(args, "checkpoint_content_probe", False))
 
 
+def _run_update(args, update_text: str) -> int:
+    """Standalone maintenance mode: one SPARQL UPDATE request as one
+    atomic commit on the claims snapshot table at --output (the
+    code_kg_cli --update twin; okind-aware — see sparql_update)."""
+    from claimskg_generator_spark.operators.sparql_update import (
+        apply_update_to_table,
+        parse_update,
+    )
+    from claimskg_generator_spark.sources.snapshot_table import (
+        SnapshotTable,
+    )
+
+    u = parse_update(update_text)
+    spark = SparkSession.getActiveSession()
+    created = spark is None
+    if created:
+        spark = (SparkSession.builder.appName("claimskg-update")
+                 .config("spark.sql.adaptive.enabled", "true")
+                 .getOrCreate())
+    try:
+        table = SnapshotTable(spark, args.output,
+                              stat_cols=["pred", "subj"])
+        sid = apply_update_to_table(table, u)
+        op = table.manifest(sid)["operation"]
+        print(f"committed snapshot {sid} to {args.output} "
+              f"({u.form}, {op})")
+        return 0
+    finally:
+        if created:
+            spark.stop()
+
+
 def main(argv=None) -> int:
     parser = build_arg_parser()
     args = parser.parse_args(argv)
+    update_text = args.update
+    if args.update_file:
+        with open(args.update_file, "r", encoding="utf-8") as fh:
+            update_text = fh.read()
+    if update_text:
+        if args.input or args.synth is not None or args.streaming:
+            parser.error("--update is a standalone maintenance mode — "
+                         "it takes no --input/--synth/--streaming "
+                         "(build first, then update)")
+        if args.format != "snapshot":
+            parser.error("--update targets the snapshot table at "
+                         "--output; pass --format snapshot")
+        return _run_update(args, update_text)
     if not args.input and args.synth is None:
         print("either --input or --synth is required", file=sys.stderr)
         return 2

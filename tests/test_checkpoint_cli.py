@@ -406,3 +406,37 @@ def test_cli_nquads_sink(spark):
     assert main(["--synth", "60", "--output", nt,
                  "--format", "ntriples"]) == 0
     assert len(lines) == spark.read.text(nt).count()
+
+
+def test_cli_update_maintenance_mode(spark):
+    """--update: one SPARQL UPDATE as one atomic commit on the claims
+    snapshot table at --output (okind-aware), with validation guards."""
+    import pytest
+
+    from claimskg_generator_spark.cli import main
+    from claimskg_generator_spark.sources.snapshot_table import (
+        SnapshotTable,
+    )
+
+    table = tempfile.mkdtemp(prefix="claimskg_upd_") + "/t"
+    assert main(["--synth", "60", "--output", table,
+                 "--format", "snapshot"]) == 0
+    t = SnapshotTable(spark, table)
+    before = t.read()
+    n_before = before.count()
+    pred = before.select("pred").first()["pred"]
+    rc = main(["--output", table, "--format", "snapshot",
+               "--update",
+               f"DELETE WHERE {{ ?s <{pred}> ?o }}"])
+    assert rc == 0
+    after = t.read()
+    assert after.filter(after.pred == pred).count() == 0
+    assert 0 < after.count() < n_before
+    assert after.columns == ["subj", "pred", "obj", "okind"]
+    # guards: update with a build, or without --format snapshot
+    with pytest.raises(SystemExit):
+        main(["--synth", "10", "--output", table,
+              "--format", "snapshot", "--update", "CLEAR ALL"])
+    with pytest.raises(SystemExit):
+        main(["--output", table, "--update",
+              "DELETE WHERE { ?s ?p ?o }"])
