@@ -832,3 +832,53 @@ def test_sparql_star_path_zero_rows_union(spark):
     plan = _plan(e.q137_kg_sparql_star_path(spark, SF))
     assert "CartesianProduct" not in plan and "Python" not in plan
     assert re.search(r"\(\d+\) Union", plan), plan
+
+
+def test_update_request_plan(spark):
+    """q139: the three-operation sequence folds into one lazy plan —
+    every join is a LeftAnti / the binding Inner (never a cartesian,
+    never Python), and the delete/insert-dedup right sides stay
+    hash-joined.  The documented multiplicative subtree re-evaluation
+    is visible as repeated scans; apply_request(persist=True) / the
+    table face collapse it — here we pin only sanity, not join
+    strategy (AQE resizes bindings-derived sides at runtime)."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.q139_kg_update_request(spark, SF))
+    # INSERT DATA's literal relation renders as an RDD whose
+    # description contains 'applySchemaToPythonRDD' — match NODES, not
+    # substrings
+    assert not re.search(r"\(\d+\) CartesianProduct", plan)
+    assert not re.search(r"EvalPython|PythonUDF", plan)
+    kinds = set(re.findall(r"\(\d+\) (\w+Join)", plan))
+    assert kinds <= {"BroadcastHashJoin", "SortMergeJoin",
+                     "ShuffledHashJoin"}, kinds
+    assert len(re.findall(r"Join LeftAnti", plan)) >= 4
+
+
+def test_graph_management_plan(spark):
+    """q140: four management operations compile to ONE join total —
+    the ADD's anti-join dedup against the destination sliver
+    (broadcast) — everything else is filters and relabel projections:
+    at 10^12 quads a management request rewrites only the touched
+    graphs, never shuffling the store."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.q140_kg_graph_management(spark, SF))
+    assert "CartesianProduct" not in plan and "Python" not in plan
+    joins = re.findall(r"\(\d+\) (\w+Join)", plan)
+    assert joins == ["BroadcastHashJoin"], joins
+
+
+def test_graph_scoped_update_plan(spark):
+    """q141: the WITH/GRAPH-scoped update keeps the q136 shape on the
+    quad key — every join is a BROADCAST hash join (the binding inner
+    joins + the anti-joins whose right sides are bindings-derived
+    slivers); the store is never repartitioned on the quad key."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.q141_kg_graph_scoped_update(spark, SF))
+    assert "CartesianProduct" not in plan and "Python" not in plan
+    joins = set(re.findall(r"\(\d+\) (\w+Join)", plan))
+    assert joins == {"BroadcastHashJoin"}, joins
+    assert len(re.findall(r"Join LeftAnti", plan)) >= 3

@@ -73,17 +73,18 @@ def test_parse_rejections():
     for bad, msg in [
         ("INSERT DATA { ?s <p> <o> }", "must be ground"),
         ("DELETE DATA { <a> ?p <o> }", "must be ground"),
-        ("WITH <g> DELETE WHERE { ?s ?p ?o }", "outside the supported"),
+        ("WITH <g> DELETE WHERE { ?s ?p ?o }",
+         "WITH applies to the pattern"),
         ("LOAD <http://x/> INTO GRAPH <g>", "outside the supported"),
-        ("CLEAR ALL", "outside the supported"),
-        ("INSERT DATA { GRAPH <g> { <a> <p> <b> } }",
-         "outside the supported"),
+        ("CLEAR ALL", "graph-management operation"),
+        ("INSERT DATA { GRAPH ?g { <a> <p> <b> } }",
+         "constant graph"),
         ("DELETE { ?s <p>/<q> ?o } WHERE { ?s <p> ?o }",
          "property paths"),
         ("DELETE { ?s ^<p> ?o } WHERE { ?s <p> ?o }",
          "property paths"),
         ("INSERT DATA { <a> <p> <b> } ; INSERT DATA { <c> <p> <d> }",
-         "update sequences"),
+         "update SEQUENCE"),
         ("INSERT DATA { }", "empty triple block"),
         ("DELETE WHERE { <a> <p> <b> . ?s <p> ?o }",
          "mixing ground and variable"),
@@ -237,8 +238,10 @@ def test_table_okind_var_insert_object_rejected(spark, tmp_path, g):
 
 
 def test_table_unknown_extra_column_rejected(spark, tmp_path, g):
+    # 'graph' is a legitimate quads sidecar now — a genuinely unknown
+    # column still rejects
     from pyspark.sql import functions as F
-    t = _table(spark, tmp_path, g.withColumn("graph", F.lit("x")))
+    t = _table(spark, tmp_path, g.withColumn("lineage", F.lit("x")))
     with pytest.raises(ValueError, match="triple table"):
         apply_update_to_table(t, "DELETE WHERE { ?s <imports> ?o }")
 
