@@ -44,11 +44,13 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         "new file set; prior snapshots stay readable by id")
     ug = p.add_mutually_exclusive_group()
     ug.add_argument("--update", metavar="SPARQL",
-                    help="apply one SPARQL 1.1 UPDATE request "
-                         "(operators/sparql_update.py) to the snapshot "
-                         "table at --output as ONE atomic commit — a "
-                         "standalone maintenance mode: no --input/"
-                         "--synth, requires --format snapshot")
+                    help="apply one SPARQL 1.1 UPDATE request — a "
+                         "single operation or a ';'-chained sequence, "
+                         "incl. graph management on quads tables "
+                         "(operators/sparql_update.py) — to the "
+                         "snapshot table at --output as ONE atomic "
+                         "commit; a standalone maintenance mode: no "
+                         "--input/--synth, requires --format snapshot")
     ug.add_argument("--update-file", metavar="FILE",
                     help="file containing the SPARQL UPDATE request")
     p.add_argument("--model-uri", default=DEFAULT_MODEL_URI)
@@ -180,14 +182,17 @@ def _run_update(args, update_text: str) -> int:
     atomic commit on the claims snapshot table at --output (the
     code_kg_cli --update twin; okind-aware — see sparql_update)."""
     from claimskg_generator_spark.operators.sparql_update import (
-        apply_update_to_table,
-        parse_update,
+        ParsedGraphOp,
+        apply_request_to_table,
+        parse_update_request,
     )
     from claimskg_generator_spark.sources.snapshot_table import (
         SnapshotTable,
     )
 
-    u = parse_update(update_text)
+    ops = parse_update_request(update_text)
+    forms = "; ".join(op.kind if isinstance(op, ParsedGraphOp)
+                      else op.form for op in ops)
     spark = SparkSession.getActiveSession()
     created = spark is None
     if created:
@@ -197,10 +202,10 @@ def _run_update(args, update_text: str) -> int:
     try:
         table = SnapshotTable(spark, args.output,
                               stat_cols=["pred", "subj"])
-        sid = apply_update_to_table(table, u)
+        sid = apply_request_to_table(table, ops)
         op = table.manifest(sid)["operation"]
         print(f"committed snapshot {sid} to {args.output} "
-              f"({u.form}, {op})")
+              f"({forms}, {op})")
         return 0
     finally:
         if created:

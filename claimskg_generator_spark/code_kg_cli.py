@@ -127,7 +127,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
     ug = upd.add_mutually_exclusive_group()
     ug.add_argument("--update", metavar="SPARQL",
                     help="SPARQL UPDATE text (INSERT DATA / DELETE DATA "
-                         "/ DELETE WHERE / DELETE..INSERT..WHERE)")
+                         "/ DELETE WHERE / DELETE..INSERT..WHERE, "
+                         "';'-chained sequences, CLEAR/DROP/COPY/MOVE/"
+                         "ADD graph management, and WITH/USING/GRAPH "
+                         "scoping on --with-named-graphs tables — the "
+                         "whole request is ONE commit)")
     ug.add_argument("--update-file", metavar="FILE",
                     help="file containing the SPARQL UPDATE request")
     p.add_argument("--checkpoint-dir", default=None,
@@ -256,22 +260,28 @@ def main(argv=None) -> int:
 
 
 def _run_update(spark, args, update_text, summary) -> None:
-    """One SPARQL UPDATE request as one atomic snapshot commit on
-    --query-table; later stages (--sparql/--validate/--void-output)
-    re-read the table and observe the post-update graph."""
+    """One SPARQL UPDATE request — a single operation OR a
+    ``;``-chained sequence with graph-management operations — as ONE
+    atomic snapshot commit on --query-table (sequence semantics +
+    request atomicity per sparql_update.apply_request_to_table; named
+    graph features need a --with-named-graphs table); later stages
+    (--sparql/--validate/--void-output) re-read the table and observe
+    the post-update graph."""
     from claimskg_generator_spark.operators.sparql_update import (
-        apply_update_to_table,
-        parse_update,
+        ParsedGraphOp,
+        apply_request_to_table,
+        parse_update_request,
     )
     from claimskg_generator_spark.sources.snapshot_table import (
         SnapshotTable,
     )
 
-    u = parse_update(update_text)
+    ops = parse_update_request(update_text)
     table = SnapshotTable(spark, args.query_table, stat_cols=["pred"])
-    sid = apply_update_to_table(table, u)
+    sid = apply_request_to_table(table, ops)
     summary["sparql_update"] = {
-        "form": u.form,
+        "forms": [op.kind if isinstance(op, ParsedGraphOp) else op.form
+                  for op in ops],
         "snapshot_id": sid,
         "operation": table.manifest(sid)["operation"],
     }

@@ -433,6 +433,18 @@ def test_cli_update_maintenance_mode(spark):
     assert after.filter(after.pred == pred).count() == 0
     assert 0 < after.count() < n_before
     assert after.columns == ["subj", "pred", "obj", "okind"]
+    # a ';'-chained request is ONE atomic commit (sequence semantics:
+    # op 2 deletes the tag op 1 just inserted — net new rows only)
+    n_snaps = len(t.snapshots())
+    rc = main(["--output", table, "--format", "snapshot", "--update",
+               'INSERT DATA { <urn:x:s> <urn:x:p> "1" . '
+               '<urn:x:s> <urn:x:tmp> "t" } ; '
+               "DELETE WHERE { ?s <urn:x:tmp> ?o }"])
+    assert rc == 0
+    assert len(t.snapshots()) == n_snaps + 1
+    final = t.read()
+    assert final.filter(final.pred == "urn:x:p").count() == 1
+    assert final.filter(final.pred == "urn:x:tmp").count() == 0
     # guards: update with a build, or without --format snapshot
     with pytest.raises(SystemExit):
         main(["--synth", "10", "--output", table,

@@ -365,7 +365,7 @@ def test_update_face(spark, docs_path, tmp_path, capsys):
     """
     s = _run(capsys, "--query-table", table, "--update", upd,
              "--sparql", qry, "--query-print", "5")
-    assert s["sparql_update"]["form"] == "modify"
+    assert s["sparql_update"]["forms"] == ["modify"]
     assert s["sparql_update"]["operation"] == "overwrite"
     n_tagged = int(s["query"]["rows"][0]["n"])
     assert n_tagged > 0
@@ -390,3 +390,48 @@ def test_update_face(spark, docs_path, tmp_path, capsys):
     assert main(["--update", upd]) == 2
     assert main(["--query-table", table, "--update", upd,
                  "--as-of", "1"]) == 2
+
+
+def test_update_face_request_sequence(spark, docs_path, tmp_path,
+                                      capsys):
+    """--update with a ';'-chained request: sequence semantics (op 2's
+    WHERE matches tags op 1 inserted) in ONE atomic commit; a named
+    graph-management op works on a --with-named-graphs table."""
+    table = str(tmp_path / "kg_seq")
+    _run(capsys, "--synth-from-documents", docs_path,
+         "--table-dir", table)
+    req = """
+        PREFIX schema: <http://schema.org/>
+        PREFIX code: <http://example.org/code#>
+        INSERT { ?f code:wasVersioned "true" }
+        WHERE  { ?f schema:version ?c } ;
+        DELETE { ?f schema:version ?c }
+        WHERE  { ?f code:wasVersioned "true" . ?f schema:version ?c }
+    """
+    s = _run(capsys, "--query-table", table, "--update", req)
+    assert s["sparql_update"]["forms"] == ["modify", "modify"]
+
+    from claimskg_generator_spark.sources.snapshot_table import (
+        SnapshotTable,
+    )
+
+    t = SnapshotTable(spark, table)
+    sids = [m["snapshot_id"] for m in t.snapshots()]
+    assert len(sids) == 2          # build + ONE request commit
+    post = t.read()
+    assert post.filter("pred = 'http://schema.org/version'").count() == 0
+    assert post.filter(
+        "pred = 'http://example.org/code#wasVersioned'").count() > 0
+
+    # named-graph management needs the quads publication partition
+    qtable = str(tmp_path / "kg_seq_quads")
+    _run(capsys, "--synth-from-documents", docs_path,
+         "--table-dir", qtable, "--with-named-graphs")
+    s2 = _run(capsys, "--query-table", qtable, "--update",
+              "MOVE GRAPH <urn:code:graph:version> TO "
+              "GRAPH <urn:code:graph:archive>")
+    assert s2["sparql_update"]["forms"] == ["move"]
+    tq = SnapshotTable(spark, qtable)
+    got = tq.read()
+    assert got.filter("graph = 'urn:code:graph:version'").count() == 0
+    assert got.filter("graph = 'urn:code:graph:archive'").count() > 0
