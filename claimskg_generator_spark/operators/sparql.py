@@ -109,6 +109,14 @@ and the value oracle replays it).  ``?a p* ?a`` is therefore every
 graph term, and ``p?`` is the zero-length rows plus the predicate's
 own one-hop sliver (no iteration).
 
+Negated property sets (§9.1 PathNegatedPropertySet) — ``!p`` /
+``!(p1|p2|...)`` — compile to ONE filtered scan of the default graph
+(``pred NOT IN`` pushes into the scan) joined on the shared variable;
+one solution per matching TRIPLE (the spec's multiset — no distinct
+inserted).  Forward IRI elements only: inverse elements inside the
+set, modifiers on the set, and nested-group placement are rejected
+loudly.
+
 ``BIND`` expressions evaluate AFTER all pattern/MINUS joins and BEFORE
 FILTER expressions regardless of written position (document-order
 scoping inside one group is not in the subset); the bound variable is
@@ -184,7 +192,7 @@ _TOKEN = re.compile(
       | (?P<pname>[A-Za-z_][\w-]*:[\w-]+(?:\.[\w-]+)*)
       | (?P<word>[A-Za-z_]\w*)
       | (?P<num>\d+(?:\.\d+)?)
-      | (?P<op>&&|\|\||!=|<=|>=|[{}().,;*=<>:/^|+?])
+      | (?P<op>&&|\|\||!=|<=|>=|[{}().,;*=<>:/^|+?!])
     """,
     re.X,
 )
@@ -256,6 +264,11 @@ class ParsedQuery:
     #: ``p+``/``p*``/``p?`` closure patterns (inverse pre-swapped):
     #: (s, pred IRI, o, mode) with mode in "plus" | "star" | "opt"
     closure_patterns: List[Tuple[str, str, str, str]] = \
+        field(default_factory=list)
+    #: negated property sets (SPARQL 1.1 §9.1 PathNegatedPropertySet):
+    #: (s, (pred IRI, ...), o) — matches any DEFAULT-graph triple whose
+    #: predicate is NOT in the set, one solution per matching triple
+    nps_patterns: List[Tuple[str, Tuple[str, ...], str]] = \
         field(default_factory=list)
     #: (variable names, literal rows) per VALUES block
     values_blocks: List[Tuple[List[str], List[Tuple[str, ...]]]] = \
@@ -491,9 +504,10 @@ class _Parser:
             expanded, alt, closure = self._triple()
             if alt is not None or closure is not None:
                 raise SparqlSyntaxError(
-                    "alternation (p1|p2) and closure (p+) paths are "
-                    "only supported in the required group, not inside "
-                    "OPTIONAL/MINUS/NOT EXISTS/UNION/CONSTRUCT blocks")
+                    "alternation (p1|p2), closure (p+) and negated "
+                    "property set (!p) paths are only supported in "
+                    "the required group, not inside OPTIONAL/MINUS/"
+                    "NOT EXISTS/UNION/CONSTRUCT blocks")
             trips.extend(expanded)
             if self.peek() == ".":
                 self.next()
@@ -589,12 +603,16 @@ class _Parser:
                 if alt is not None:
                     q.union_chains.append(alt)
                 if closure is not None:
-                    q.closure_patterns.append(closure)
+                    if closure[3] == "nps":
+                        q.nps_patterns.append(closure[:3])
+                    else:
+                        q.closure_patterns.append(closure)
             if self.peek() == ".":
                 self.next()
         self.expect("}")
         if (not q.patterns and not q.union_chains
-                and not q.closure_patterns and not q.subqueries):
+                and not q.closure_patterns and not q.nps_patterns
+                and not q.subqueries):
             raise SparqlSyntaxError("WHERE group has no required patterns")
 
     def _values_block(self) -> Tuple[List[str], List[Tuple[str, ...]]]:
@@ -672,6 +690,12 @@ class _Parser:
         s = self._term()
         kind, elts = self._path()
         o = self._term()
+        if kind == "nps":
+            if not (s.startswith("?") or o.startswith("?")):
+                raise SparqlSyntaxError(
+                    "a negated-property-set pattern needs at least "
+                    f"one variable endpoint: {s!r} !(...) {o!r}")
+            return [], None, (s, tuple(p for _, p in elts), o, "nps")
         if kind in ("plus", "star", "opt"):
             inv, p = elts[0]
             cs, co = (o, s) if inv else (s, o)
@@ -704,7 +728,28 @@ class _Parser:
         ``("plus"|"star"|"opt", [(inverse, iri)])`` for
         single-predicate ``p+`` / ``p*`` / ``p?``.  A bare ``?var``
         predicate stays a variable (no path operators around it);
-        modifiers on composite paths are rejected loudly."""
+        modifiers on composite paths are rejected loudly.
+        ``("nps", ...)`` is a negated property set ``!p`` /
+        ``!(p1|p2|...)`` — forward IRI elements only (inverse elements
+        inside the set are outside the subset)."""
+        if self.peek() == "!":
+            self.next()
+            elts = []
+            if self.peek() == "(":
+                self.next()
+                elts.append(self._nps_elt())
+                while self.peek() == "|":
+                    self.next()
+                    elts.append(self._nps_elt())
+                self.expect(")")
+            else:
+                elts.append(self._nps_elt())
+            if self.peek() in ("+", "*", "?", "/", "|"):
+                raise SparqlSyntaxError(
+                    "a negated property set composes with no other "
+                    "path operator in the subset")
+            self._no_path_var(elts)
+            return "nps", elts
         first = self._path_elt()
         if self.peek() in self._MODS:
             mode = self._MODS[self.next()]
@@ -751,6 +796,14 @@ class _Parser:
             self.next()
             inv = True
         return inv, self._term()
+
+    def _nps_elt(self) -> Tuple[bool, str]:
+        if self.peek() == "^":
+            raise SparqlSyntaxError(
+                "inverse elements inside a negated property set "
+                "(!^p) are outside the subset — negate the forward "
+                "set and bind the inverse through a separate pattern")
+        return False, self._term()
 
     @staticmethod
     def _no_path_var(elts: List[Tuple[bool, str]]) -> None:
@@ -1073,7 +1126,8 @@ def _bindings(triples: DataFrame, q: ParsedQuery,
     from claimskg_generator_spark.operators.bgp import bgp_query
 
     if (not q.union_chains and not q.values_blocks
-            and not q.closure_patterns and not q.subqueries):
+            and not q.closure_patterns and not q.nps_patterns
+            and not q.subqueries):
         # plain-BGP fast path: identical plan to the programmatic call
         df = bgp_query(
             triples, q.patterns,
@@ -1151,6 +1205,26 @@ def _bindings(triples: DataFrame, q: ParsedQuery,
                         [(cs,)], f"{co[1:]} string")
                     cdf = cdf.unionAll(lit).distinct()
             frames.append((cdf, False))
+        for (ns, preds, no) in q.nps_patterns:
+            # negated property set (§9.1): one filtered scan of the
+            # DEFAULT graph — predicate NOT IN the set pushes down;
+            # one solution per matching TRIPLE (bag, no distinct)
+            m = (_default_graph(triples)
+                 .where(~F.col("pred").isin(list(preds))))
+            if ns.startswith("?") and no.startswith("?"):
+                if ns == no:
+                    ndf = (m.where(F.col("subj") == F.col("obj"))
+                           .select(F.col("subj").alias(ns[1:])))
+                else:
+                    ndf = m.select(F.col("subj").alias(ns[1:]),
+                                   F.col("obj").alias(no[1:]))
+            elif ns.startswith("?"):
+                ndf = (m.where(F.col("obj") == no)
+                       .select(F.col("subj").alias(ns[1:])))
+            else:
+                ndf = (m.where(F.col("subj") == ns)
+                       .select(F.col("obj").alias(no[1:])))
+            frames.append((ndf, False))
         for chain in q.union_chains:
             branches = [bgp_query(triples, br, stats=stats,
                                   charsets=charsets) for br in chain]

@@ -25,6 +25,7 @@ compiled onto the same plan machinery:
       management := ('CLEAR'|'DROP') 'SILENT'?
                         ('GRAPH' <iri> | DEFAULT | NAMED | ALL)
                   | 'CREATE' 'SILENT'? 'GRAPH' <iri>
+                  | 'LOAD' 'SILENT'? <doc-iri> ('INTO' 'GRAPH' <iri>)?
                   | ('COPY'|'MOVE'|'ADD') 'SILENT'?
                         gref 'TO' gref          — gref := 'GRAPH'? <iri>
                                                         | DEFAULT
@@ -38,9 +39,10 @@ compiled onto the same plan machinery:
   graph-scoped features — ``WITH``/``USING``/``GRAPH`` and the
   management operations — need a QUADS frame (a ``graph`` column,
   NULL == default graph); on a plain triple table they are rejected at
-  apply time.  ``LOAD`` and ``SERVICE`` stay outside the subset — a
-  request either compiles onto this plan shape or errors (the query
-  module's misplanning-is-impossible contract).
+  apply time (``LOAD`` without ``INTO GRAPH`` works on either).
+  ``SERVICE`` stays outside the subset — a request either compiles
+  onto this plan shape or errors (the query module's
+  misplanning-is-impossible contract).
 
 * update sequences (``;`` — SPARQL 1.1 §3.1): operations apply **in
   order, each binding against the previous operation's result** —
@@ -56,7 +58,14 @@ compiled onto the same plan machinery:
   exists iff non-empty — the common triple-store behavior);
   ``COPY``/``MOVE`` replace the destination graph with the source's
   triples relabeled; ``ADD`` set-unions them in (anti-join dedup on
-  the quad key).  ``src == dst`` is a no-op per spec.
+  the quad key).  ``src == dst`` is a no-op per spec.  ``LOAD``
+  (§3.1.4) parses a Turtle/N-Triples document — a ``file://`` path or
+  a directory of this repo's N-Triples sink ``part-*`` files — on the
+  driver (document-sized protocol payloads; bulk ingestion belongs on
+  the snapshot table's distributed append path) and set-unions it
+  into the target graph with full okind literal fidelity; ``SILENT``
+  turns an unreadable document into a no-op — the one management
+  error this model can actually suppress.
 
 * :func:`apply_update` — pure graph → graph function with SPARQL set
   semantics ``(G ∖ D) ∪ I``:  the WHERE group binds once (the same
@@ -136,10 +145,10 @@ from claimskg_generator_spark.operators.sparql import (
     _Parser,
 )
 
-_UPDATE_UNSUPPORTED = {"LOAD", "SERVICE"}
+_UPDATE_UNSUPPORTED = {"SERVICE"}
 
-#: graph-management operation keywords (SPARQL 1.1 Update §3.2)
-_MGMT_KWS = {"CLEAR", "DROP", "CREATE", "COPY", "MOVE", "ADD"}
+#: graph-management operation keywords (SPARQL 1.1 Update §3.1.4/§3.2)
+_MGMT_KWS = {"LOAD", "CLEAR", "DROP", "CREATE", "COPY", "MOVE", "ADD"}
 
 #: sentinel for "the default graph" in graph refs / templates; a real
 #: named graph always parses as an IRI, so this cannot collide
@@ -348,6 +357,15 @@ class _UpdateParser(_Parser):
             self.kw("GRAPH")
             return ParsedGraphOp(kind="create", silent=silent,
                                  src=self._graph_iri("CREATE"))
+        if kw == "LOAD":
+            src = self._graph_iri("LOAD")
+            dst = "DEFAULT"
+            if self.at_kw("INTO"):
+                self.next()
+                self.kw("GRAPH")
+                dst = self._graph_iri("LOAD INTO")
+            return ParsedGraphOp(kind="load", src=src, dst=dst,
+                                 silent=silent)
         src = self._graph_ref(kw)
         self.kw("TO")
         dst = self._graph_ref(kw)
@@ -798,6 +816,68 @@ def apply_update_to_table(table, update: str,
     return table.overwrite(result.select(*current.columns))
 
 
+def _load_rows(src: str,
+               silent: bool) -> Optional[List[Tuple[str, str, str, str]]]:
+    """Parse the LOAD document — a ``file://`` IRI or plain path, one
+    Turtle/N-Triples file or a directory of ``part-*`` files (this
+    repo's N-Triples sink layout) — into ``(s, p, o, okind)`` rows on
+    the driver (the categories-source posture: a SPARQL-protocol LOAD
+    payload is document-sized; bulk ingestion belongs on the snapshot
+    table's distributed append path).  ``SILENT`` turns an unreadable
+    document into a no-op (None) — the one management error this model
+    can actually suppress."""
+    import os
+
+    from claimskg_generator_spark.sources.turtle import (
+        parse_turtle,
+        parse_turtle_file,
+    )
+
+    path = src[7:] if src.startswith("file://") else src
+    try:
+        if os.path.isdir(path):
+            rows: List[Tuple[str, str, str, str]] = []
+            for name in sorted(os.listdir(path)):
+                if name.startswith("part-"):
+                    with open(os.path.join(path, name),
+                              encoding="utf-8") as fh:
+                        rows.extend(parse_turtle(fh.read()))
+            return rows
+        return parse_turtle_file(path)
+    except OSError:
+        if silent:
+            return None
+        raise
+
+
+def _apply_load(graph: DataFrame, op: ParsedGraphOp) -> DataFrame:
+    """LOAD (§3.1.4): set-union the parsed document into the target
+    graph.  Works on a plain triple frame when the target is the
+    default graph; a named target needs quads.  An okind sidecar is
+    filled from the parsed term kinds ('uri' / '' / '@lang' /
+    datatype IRI — full Turtle literal fidelity)."""
+    rows = _load_rows(op.src, op.silent)
+    if rows is None:
+        return graph
+    quads_mode = "graph" in graph.columns
+    if not quads_mode and op.dst != "DEFAULT":
+        raise ValueError(
+            "LOAD ... INTO GRAPH needs a quads frame (a 'graph' "
+            "column) — a plain triple table has only the default "
+            "graph")
+    has_okind = "okind" in graph.columns
+    gval = None if op.dst == "DEFAULT" else op.dst
+    recs = set()
+    for s, p, o, okv in rows:
+        rec = {"subj": s, "pred": p, "obj": o,
+               "graph": gval, "okind": okv}
+        recs.add(tuple(rec[c] for c in graph.columns))
+    lit = graph.sparkSession.createDataFrame(
+        sorted(recs, key=lambda t: tuple(v or "" for v in t)),
+        ", ".join(f"{c} string" for c in graph.columns))
+    return graph.unionByName(_anti(lit, graph, quads_mode))
+
+
 def apply_graph_op(quads: DataFrame, op) -> DataFrame:
     """One graph-management operation (SPARQL 1.1 Update §3.2) as pure
     quads → quads algebra (module docstring).  Extra columns (okind)
@@ -815,6 +895,8 @@ def apply_graph_op(quads: DataFrame, op) -> DataFrame:
                 "apply_graph_op takes ONE management operation — use "
                 "apply_request for sequences / pattern updates")
         op = ops[0]
+    if op.kind == "load":
+        return _apply_load(quads, op)
     if "graph" not in quads.columns:
         raise ValueError(
             f"{op.kind.upper()} needs a quads frame (a 'graph' "
@@ -910,7 +992,8 @@ def apply_request_to_table(table, request,
     cached: List[DataFrame] = []
     for i, op in enumerate(ops):
         if isinstance(op, ParsedGraphOp):
-            if not quads:
+            if not quads and not (op.kind == "load"
+                                  and op.dst == "DEFAULT"):
                 raise ValueError(
                     f"{op.kind.upper()} needs a quads table (a "
                     "'graph' column; publish with code_kg_cli "
@@ -923,8 +1006,12 @@ def apply_request_to_table(table, request,
             # subtree + WHERE scans); cache it for the one commit job
             cur = cur.persist(StorageLevel.MEMORY_AND_DISK)
             cached.append(cur)
-    insert_only = all(isinstance(op, ParsedUpdate)
-                      and not op.delete_template for op in ops)
+    # monotone operations stay on the append path: pattern inserts,
+    # LOAD and ADD only ever grow the graph (CREATE adds nothing)
+    insert_only = all(
+        (not op.delete_template) if isinstance(op, ParsedUpdate)
+        else op.kind in ("load", "add", "create")
+        for op in ops)
     forms = "; ".join(op.kind if isinstance(op, ParsedGraphOp)
                       else op.form for op in ops)
     try:

@@ -882,3 +882,31 @@ def test_graph_scoped_update_plan(spark):
     joins = set(re.findall(r"\(\d+\) (\w+Join)", plan))
     assert joins == {"BroadcastHashJoin"}, joins
     assert len(re.findall(r"Join LeftAnti", plan)) >= 3
+
+
+def test_negated_pset_plan(spark):
+    """q142: the negated property set is ONE filtered scan (pred
+    NOT IN pushed into the scan filter) joined on the shared variable
+    — never a widening construct; bag semantics add no distinct."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.q142_kg_sparql_negated_pset(spark, SF))
+    assert "CartesianProduct" not in plan and "Python" not in plan
+    joins = set(re.findall(r"\(\d+\) (\w+Join)", plan))
+    assert joins == {"BroadcastHashJoin"}, joins
+    assert "NOT" in plan and not re.search(
+        r"\(\d+\) HashAggregate.*distinct", plan)
+
+
+def test_sparql_load_plan(spark):
+    """q143: LOAD is the driver-parsed literal relation anti-joined
+    (dedup) against the store and unioned in — ONE join, and the
+    store side is never repartitioned."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.q143_kg_sparql_load(spark, SF))
+    assert not re.search(r"\(\d+\) CartesianProduct", plan)
+    assert not re.search(r"EvalPython|PythonUDF", plan)
+    joins = re.findall(r"\(\d+\) (\w+Join)", plan)
+    assert len(joins) == 1, joins
+    assert len(re.findall(r"\(\d+\) Union", plan)) == 1

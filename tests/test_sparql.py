@@ -1068,3 +1068,64 @@ def test_subquery_inherits_outer_dataset(gd):
     """)
     # the cross-graph duplicate collapsed in the merge -> s1 counts 1
     assert [tuple(r) for r in out.collect()] == [("s1", 1), ("s2", 1)]
+
+
+# --------------------------------------- negated property sets (§9.1)
+
+def test_nps_set_and_single(g):
+    out = sparql_select(g, """
+        SELECT ?f ?v WHERE {
+          ?f <lang> "python" .
+          ?f !(<imports>|<lang>|<stars>) ?v }
+    """)
+    assert sorted(map(tuple, out.collect())) == [("f1", "File")]
+    out2 = sparql_select(
+        g, 'SELECT ?v WHERE { <m1> !<imports> ?v }')
+    assert sorted(map(tuple, out2.collect())) == [("numpy",)]
+
+
+def test_nps_bag_semantics_per_triple(spark):
+    # two surviving predicates connecting one (s, o) pair -> TWO
+    # solutions (§9.1 multiset: one per matching triple)
+    rows = [("a", "p1", "b", ""), ("a", "p2", "b", ""),
+            ("a", "no", "b", "")]
+    gg = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, okind string")
+    out = sparql_select(gg, "SELECT ?s ?o WHERE { ?s !<no> ?o }")
+    assert sorted(map(tuple, out.collect())) == [("a", "b"), ("a", "b")]
+
+
+def test_nps_self_loop_and_literal_endpoints(spark):
+    rows = [("x", "loop", "x", ""), ("x", "skip", "x", ""),
+            ("x", "loop", "y", "")]
+    gg = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, okind string")
+    out = sparql_select(gg, "SELECT ?a WHERE { ?a !<skip> ?a }")
+    assert sorted(map(tuple, out.collect())) == [("x",)]
+    out2 = sparql_select(gg, 'SELECT ?s WHERE { ?s !<skip> <y> }')
+    assert sorted(map(tuple, out2.collect())) == [("x",)]
+
+
+def test_nps_default_graph_only(spark):
+    rows = [("a", "p", "b", None), ("a", "q", "c", "urn:g:n")]
+    gq = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, graph string")
+    out = sparql_select(gq, "SELECT ?s ?o WHERE { ?s !<zz> ?o }")
+    assert sorted(map(tuple, out.collect())) == [("a", "b")]
+
+
+def test_nps_rejections(g):
+    for bad, msg in [
+        ("SELECT ?v WHERE { <f1> !^<a> ?v }", "inverse elements"),
+        ("SELECT ?v WHERE { <f1> !(<a>|<b>)+ ?v }",
+         "composes with no other"),
+        ("SELECT ?v WHERE { <f1> !<a>/<b> ?v }",
+         "composes with no other"),
+        ("SELECT ?v WHERE { <f1> !?p ?v }", "must be IRIs"),
+        ("SELECT ?v WHERE { <f1> !<lang> <x> }",
+         "at least one variable"),
+        ('SELECT ?v WHERE { OPTIONAL { ?f !<a> ?v } . '
+         '?f <lang> "go" }', "required group"),
+    ]:
+        with pytest.raises(SparqlSyntaxError, match=msg):
+            sparql_select(g, bad).collect()

@@ -75,7 +75,7 @@ def test_parse_rejections():
         ("DELETE DATA { <a> ?p <o> }", "must be ground"),
         ("WITH <g> DELETE WHERE { ?s ?p ?o }",
          "WITH applies to the pattern"),
-        ("LOAD <http://x/> INTO GRAPH <g>", "outside the supported"),
+        ("LOAD <http://x/> INTO GRAPH <g>", "graph-management operation"),
         ("CLEAR ALL", "graph-management operation"),
         ("INSERT DATA { GRAPH ?g { <a> <p> <b> } }",
          "constant graph"),

@@ -121,7 +121,7 @@ def test_parse_request_rejections():
     for bad, msg in [
         ("", "empty update"),
         (";", "expected INSERT or DELETE"),
-        ("LOAD <http://x/>", "outside the supported"),
+        ("SERVICE <http://x/sparql>", "outside the supported"),
         ("WITH <urn:g> INSERT DATA { <a:b> <a:p> \"1\" }",
          "WITH applies to the pattern"),
         ("WITH <urn:g> DELETE WHERE { ?s ?p ?o }",
@@ -382,3 +382,82 @@ def test_graph_scoped_update_on_plain_table_rejected(spark, tmp_path):
         """)
     with pytest.raises(ValueError, match="quads table"):
         apply_request_to_table(t, "CLEAR ALL")
+
+
+# ------------------------------------------------------------ LOAD (§3.1.4)
+
+def _write_nt(tmp_path, name="doc.nt"):
+    p = tmp_path / name
+    p.write_text(
+        '<urn:a> <urn:p> "hello" .\n'
+        '<urn:a> <urn:q> <urn:b> .\n'
+        '<urn:c> <urn:p> "bonjour"@fr .\n',
+        encoding="utf-8")
+    return str(p)
+
+
+def test_load_default_graph_on_plain_frame(spark, tmp_path):
+    nt = _write_nt(tmp_path)
+    g = spark.createDataFrame(
+        [("urn:a", "urn:p", "hello", "")],
+        "subj string, pred string, obj string, okind string")
+    out = apply_graph_op(g, f"LOAD <file://{nt}>")
+    # dedup against the existing triple; okind fidelity on new rows
+    assert sorted(map(tuple, out.collect())) == [
+        ("urn:a", "urn:p", "hello", ""),
+        ("urn:a", "urn:q", "urn:b", "uri"),
+        ("urn:c", "urn:p", "bonjour", "@fr"),
+    ]
+
+
+def test_load_into_named_graph(spark, tmp_path, q):
+    nt = _write_nt(tmp_path)
+    out = apply_graph_op(q, f"LOAD <{nt}> INTO GRAPH <urn:g:ext>")
+    ext = [(r.subj, r.pred, r.obj) for r in out.collect()
+           if r.graph == "urn:g:ext"]
+    assert sorted(ext) == [("urn:a", "urn:p", "hello"),
+                           ("urn:a", "urn:q", "urn:b"),
+                           ("urn:c", "urn:p", "bonjour")]
+    assert out.count() == q.count() + 3
+
+
+def test_load_silent_missing_is_noop_loud_raises(spark, q):
+    out = apply_graph_op(q, "LOAD SILENT <file:///nope/missing.nt>")
+    assert qrows(out) == qrows(q)
+    with pytest.raises(OSError):
+        apply_graph_op(q, "LOAD <file:///nope/missing.nt>").collect()
+
+
+def test_load_named_target_needs_quads(spark, tmp_path):
+    nt = _write_nt(tmp_path)
+    g = spark.createDataFrame(
+        [("s", "p", "o")], "subj string, pred string, obj string")
+    with pytest.raises(ValueError, match="quads"):
+        apply_graph_op(g, f"LOAD <{nt}> INTO GRAPH <urn:g:x>")
+    # default-graph target works on a plain frame
+    assert apply_graph_op(g, f"LOAD <{nt}>").count() == 4
+
+
+def test_load_request_stays_on_append_path(spark, tmp_path, q):
+    nt = _write_nt(tmp_path)
+    t = _table(spark, tmp_path, q)
+    apply_request_to_table(t, f"""
+        LOAD <{nt}> INTO GRAPH <urn:g:ext> ;
+        INSERT DATA {{ <urn:z> <urn:p> "1" }}
+    """)
+    last = t.snapshots()[-1]
+    assert last["operation"] == "append"
+    assert t.read().count() == q.count() + 4
+
+
+def test_load_directory_of_parts(spark, tmp_path, q):
+    # the N-Triples sink layout: a directory of part-* files
+    d = tmp_path / "sink"
+    d.mkdir()
+    (d / "part-00000.txt").write_text(
+        '<urn:a> <urn:p> "x" .\n', encoding="utf-8")
+    (d / "part-00001.txt").write_text(
+        '<urn:b> <urn:p> "y" .\n', encoding="utf-8")
+    (d / "_SUCCESS").write_text("", encoding="utf-8")
+    out = apply_graph_op(q, f"LOAD <file://{d}> INTO GRAPH <urn:g:s>")
+    assert out.where("graph = 'urn:g:s'").count() == 2
