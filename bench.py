@@ -228,6 +228,16 @@ BENCH_QUERIES = [
     # one closure form that shuffles the whole graph, unlike q124's p+)
     "q136_kg_sparql_update",
     "q137_kg_sparql_star_path",
+    # UPDATE-request wave (q139-q143): q139 is the three-operation
+    # sequence — data-wide TIMES the documented multiplicative subtree
+    # re-evaluation of the unpersisted pure fold (the honest worst
+    # case; the table face persists intermediates).  q141 is the
+    # GRAPH-scoped modify — the q136 shape on the quad key.  q140
+    # (filter/relabel projections + one sliver anti-join), q142 (one
+    # NOT-IN sliver scan) and q143 (driver-parsed literal relation +
+    # one anti-join) follow the q101 sliver policy and stay untimed.
+    "q139_kg_update_request",
+    "q141_kg_graph_scoped_update",
 ]
 
 # The 13-query round-2 headline set: its subtotal is reported alongside the
