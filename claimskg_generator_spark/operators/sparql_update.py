@@ -865,7 +865,13 @@ def _apply_load(graph: DataFrame, op: ParsedGraphOp) -> DataFrame:
             "LOAD ... INTO GRAPH needs a quads frame (a 'graph' "
             "column) — a plain triple table has only the default "
             "graph")
-    has_okind = "okind" in graph.columns
+    unknown = [c for c in graph.columns
+               if c not in ("subj", "pred", "obj", "graph", "okind")]
+    if unknown:
+        raise ValueError(
+            "LOAD cannot synthesize values for sidecar columns "
+            f"{unknown} — project them away or load into a "
+            "(subj, pred, obj[, graph][, okind]) frame")
     gval = None if op.dst == "DEFAULT" else op.dst
     recs = set()
     for s, p, o, okv in rows:

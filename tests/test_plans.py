@@ -864,6 +864,8 @@ def test_graph_management_plan(spark):
     graphs, never shuffling the store."""
     import __spark_entry__ as e
 
+    spark.catalog.clearCache()
+
     plan = _plan(e.q140_kg_graph_management(spark, SF))
     assert "CartesianProduct" not in plan and "Python" not in plan
     joins = re.findall(r"\(\d+\) (\w+Join)", plan)
@@ -874,9 +876,13 @@ def test_graph_scoped_update_plan(spark):
     """q141: the WITH/GRAPH-scoped update keeps the q136 shape on the
     quad key — every join is a BROADCAST hash join (the binding inner
     joins + the anti-joins whose right sides are bindings-derived
-    slivers); the store is never repartitioned on the quad key."""
+    slivers); the store is never repartitioned on the quad key.
+    clearCache first: a cached subtree left by another test can
+    substitute into this plan (Spark's CacheManager matches plan
+    fragments) and flip a broadcast decision via its statistics."""
     import __spark_entry__ as e
 
+    spark.catalog.clearCache()
     plan = _plan(e.q141_kg_graph_scoped_update(spark, SF))
     assert "CartesianProduct" not in plan and "Python" not in plan
     joins = set(re.findall(r"\(\d+\) (\w+Join)", plan))
@@ -889,6 +895,8 @@ def test_negated_pset_plan(spark):
     NOT IN pushed into the scan filter) joined on the shared variable
     — never a widening construct; bag semantics add no distinct."""
     import __spark_entry__ as e
+
+    spark.catalog.clearCache()
 
     plan = _plan(e.q142_kg_sparql_negated_pset(spark, SF))
     assert "CartesianProduct" not in plan and "Python" not in plan
@@ -903,6 +911,8 @@ def test_sparql_load_plan(spark):
     (dedup) against the store and unioned in — ONE join, and the
     store side is never repartitioned."""
     import __spark_entry__ as e
+
+    spark.catalog.clearCache()
 
     plan = _plan(e.q143_kg_sparql_load(spark, SF))
     assert not re.search(r"\(\d+\) CartesianProduct", plan)

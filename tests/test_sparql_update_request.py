@@ -461,3 +461,12 @@ def test_load_directory_of_parts(spark, tmp_path, q):
     (d / "_SUCCESS").write_text("", encoding="utf-8")
     out = apply_graph_op(q, f"LOAD <file://{d}> INTO GRAPH <urn:g:s>")
     assert out.where("graph = 'urn:g:s'").count() == 2
+
+
+def test_load_unknown_sidecar_rejected(spark, tmp_path):
+    nt = _write_nt(tmp_path)
+    g = spark.createDataFrame(
+        [("s", "p", "o", "x")],
+        "subj string, pred string, obj string, lineage string")
+    with pytest.raises(ValueError, match="sidecar columns"):
+        apply_graph_op(g, f"LOAD <{nt}>")
