@@ -338,7 +338,11 @@ class _Parser:
                 f"query subset{hint}")
 
     # --- grammar ---
-    def parse(self) -> ParsedQuery:
+    def _parse_prefixes(self) -> None:
+        """PREFIX declarations into ``self.prefixes`` — shared by the
+        query prologue and the update parser (which re-runs it between
+        ``;``-chained operations: one accumulating prologue scope per
+        request)."""
         while self.at_kw("PREFIX"):
             self.next()
             name = self.next()
@@ -350,6 +354,9 @@ class _Parser:
             if not (iri.startswith("<") and iri.endswith(">")):
                 raise SparqlSyntaxError(f"PREFIX IRI must be <...>: {iri!r}")
             self.prefixes[name] = iri[1:-1]
+
+    def parse(self) -> ParsedQuery:
+        self._parse_prefixes()
         self._check_supported()
         if self.at_kw("SELECT"):
             q = self._select()

@@ -64,8 +64,9 @@ compiled onto the same plan machinery:
   driver (document-sized protocol payloads; bulk ingestion belongs on
   the snapshot table's distributed append path) and set-unions it
   into the target graph with full okind literal fidelity; ``SILENT``
-  turns an unreadable document into a no-op — the one management
-  error this model can actually suppress.
+  turns an unreadable or unparseable document into a no-op (§3.1.4:
+  both fetch and parse failure become a success) — the one management
+  error family this model can actually suppress.
 
 * :func:`apply_update` — pure graph → graph function with SPARQL set
   semantics ``(G ∖ D) ∪ I``:  the WHERE group binds once (the same
@@ -85,8 +86,8 @@ compiled onto the same plan machinery:
 
   On a QUADS frame the same algebra runs on the quad key
   ``(subj, pred, obj, graph)`` — the NULL default graph joins through
-  a ``coalesce(graph, '')`` sentinel column (the empty string is not a
-  parseable graph IRI, so the sentinel cannot collide), keeping every
+  a ``coalesce(graph, '')`` sentinel column (the empty IRI ``<>`` is
+  rejected at parse time, so the sentinel cannot collide), keeping every
   anti-join a plain broadcast equi-join instead of a null-safe
   condition join.  The WHERE group's dataset follows SPARQL 1.1
   §3.1.3: ``USING``/``USING NAMED`` construct it exactly like the
@@ -247,7 +248,17 @@ class _UpdateParser(_Parser):
                 or t == "a" or re.fullmatch(r"\d+(?:\.\d+)?", t or "")):
             raise SparqlSyntaxError(
                 f"{what} names a constant graph <iri>, got {t!r}")
-        return self._term()
+        iri = self._term()
+        if not iri:
+            # '<>' parses to the empty string — exactly the quad-key
+            # NULL-default-graph sentinel (_GSENT); admitting it would
+            # break the sentinel invariant and silently alias the
+            # default graph
+            raise SparqlSyntaxError(
+                f"{what} cannot name the empty IRI <> — a graph name "
+                "must be non-empty (the default graph has no IRI; use "
+                "DEFAULT where the grammar allows it)")
+        return iri
 
     def _quad_block(self) -> Tuple[List[Triple], List[Optional[str]],
                                    List[Optional[str]]]:
@@ -303,18 +314,8 @@ class _UpdateParser(_Parser):
         self._group(q)
         return q
 
-    def _parse_prefixes(self) -> None:
-        while self.at_kw("PREFIX"):
-            self.next()
-            name = self.next()
-            if name.endswith(":"):
-                name = name[:-1]
-            else:
-                self.expect(":")
-            iri = self.next()
-            if not (iri.startswith("<") and iri.endswith(">")):
-                raise SparqlSyntaxError(f"PREFIX IRI must be <...>: {iri!r}")
-            self.prefixes[name] = iri[1:-1]
+    # PREFIX handling: the shared _Parser._parse_prefixes (one
+    # accumulating prologue scope, re-run between ';'-chained ops)
 
     def _using_clauses(self, u: ParsedUpdate) -> None:
         while self.at_kw("USING"):
@@ -467,7 +468,7 @@ class _UpdateParser(_Parser):
                 u.where = self._where_group()
         else:
             raise SparqlSyntaxError(
-                f"expected INSERT or DELETE, got {t!r}")
+                f"expected INSERT or DELETE, got {self.peek()!r}")
         u.prefixes = dict(self.prefixes)
         return u
 
@@ -791,29 +792,12 @@ def apply_update_to_table(table, update: str,
     triples (no rewrite); a delete side falls back to an atomic
     overwrite of ``(G ∖ D) ∪ I`` (module docstring: the honest general
     path — copy-on-write of only the touched files is the production
-    refinement)."""
+    refinement).  This is the one-operation face of
+    :func:`apply_request_to_table` (same shape checks, okind typing,
+    append-vs-overwrite classification and atomic commit — kept as one
+    code path so the two faces cannot drift)."""
     u = update if isinstance(update, ParsedUpdate) else parse_update(update)
-    current = table.read()
-    quads, has_okind = _table_shape(current)
-    if u.graph_scoped and not quads:
-        raise ValueError(
-            "this update uses WITH/USING/GRAPH (named-graph scoping) "
-            "— it needs a quads table (a 'graph' column; publish with "
-            "code_kg_cli --with-named-graphs)")
-    where_frame = current.select(*(_QCOLS if quads else _KEYS)) \
-        if has_okind else current
-    dels, ins = _delta(where_frame, u, stats, charsets,
-                       with_okind=has_okind, quads=quads)
-    if dels is None:
-        new_rows = (_anti(ins, current, quads)
-                    .select(*current.columns))
-        return table.append(new_rows,
-                            extra={"sparql_update": u.form})
-    kept = _anti(current, dels, quads)
-    result = kept if ins is None \
-        else kept.unionByName(_anti(ins, kept, quads)
-                              .select(*current.columns))
-    return table.overwrite(result.select(*current.columns))
+    return apply_request_to_table(table, [u], stats, charsets)
 
 
 def _load_rows(src: str,
@@ -844,7 +828,10 @@ def _load_rows(src: str,
                         rows.extend(parse_turtle(fh.read()))
             return rows
         return parse_turtle_file(path)
-    except OSError:
+    except (OSError, UnicodeDecodeError, ValueError):
+        # ValueError covers TurtleParseError: §3.1.4 SILENT makes
+        # BOTH fetch and parse failure a success, not just a missing
+        # file
         if silent:
             return None
         raise
@@ -958,14 +945,15 @@ def apply_request(graph: DataFrame, request,
     a MULTIPLICATIVE number of times.  ``persist=True`` caches each
     intermediate graph (MEMORY_AND_DISK), collapsing every
     re-reference to one in-memory scan — the right call for requests
-    of more than ~two pattern operations; the caller owns the
-    unpersist (or lets the session's cache eviction handle it).  The
-    table face persists automatically and unpersists after its single
-    atomic commit."""
+    of more than ~two pattern operations.  The intermediates stay in
+    the session cache after this returns (the pure face hands back
+    only the final frame, which still references them); reclaim with
+    ``spark.catalog.clearCache()`` or let LRU eviction handle it.
+    The table face persists automatically and unpersists after its
+    single atomic commit."""
     ops = request if isinstance(request, list) \
         else parse_update_request(request)
     cur = graph
-    cached: List[DataFrame] = []
     for i, op in enumerate(ops):
         if isinstance(op, ParsedGraphOp):
             cur = apply_graph_op(cur, op)
@@ -974,7 +962,6 @@ def apply_request(graph: DataFrame, request,
         if persist and i < len(ops) - 1:
             from pyspark import StorageLevel
             cur = cur.persist(StorageLevel.MEMORY_AND_DISK)
-            cached.append(cur)
     return cur
 
 

@@ -470,3 +470,34 @@ def test_load_unknown_sidecar_rejected(spark, tmp_path):
         "subj string, pred string, obj string, lineage string")
     with pytest.raises(ValueError, match="sidecar columns"):
         apply_graph_op(g, f"LOAD <{nt}>")
+
+
+def test_empty_iri_graph_name_rejected():
+    # '<>' parses to '' — exactly the quad-key NULL-default sentinel;
+    # admitting it would alias the default graph (review finding)
+    for bad in [
+        "CLEAR GRAPH <>",
+        "WITH <> DELETE { ?s <p> ?o } WHERE { ?s <p> ?o }",
+        "DELETE DATA { GRAPH <> { <a> <p> <b> } }",
+        "COPY DEFAULT TO GRAPH <>",
+        "INSERT { ?s <p> ?o } USING <> WHERE { ?s <p> ?o }",
+        "LOAD <> INTO GRAPH <urn:g:x>",
+    ]:
+        with pytest.raises(SparqlSyntaxError, match="empty IRI"):
+            parse_update_request(bad)
+
+
+def test_load_silent_suppresses_parse_errors_too(spark, tmp_path, q):
+    # §3.1.4: SILENT makes BOTH fetch and parse failure a success
+    bad = tmp_path / "bad.nt"
+    bad.write_text("this is ]] not turtle at all <<", encoding="utf-8")
+    out = apply_graph_op(q, f"LOAD SILENT <file://{bad}>")
+    assert qrows(out) == qrows(q)
+    with pytest.raises(ValueError):
+        apply_graph_op(q, f"LOAD <file://{bad}>").collect()
+
+
+def test_mgmt_error_after_with_names_right_token():
+    with pytest.raises(SparqlSyntaxError,
+                       match="got 'CLEAR'"):
+        parse_update_request("WITH <urn:g> CLEAR GRAPH <urn:h>")
