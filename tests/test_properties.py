@@ -114,7 +114,7 @@ _SPARQL_TOKENS = [
     "GRAPH", "FROM", "NAMED", "OPTIONAL", "MINUS", "FILTER", "BIND",
     "UNION", "VALUES", "AS", "COUNT", "*", ".", ",", ";", "a",
     '"lit"', "42", "ORDER", "BY", "LIMIT", "GROUP", "HAVING", "ASC",
-    "DESC", "+", "/", "^", "|", "=", "!=", "&&", "||", "pfx:name",
+    "DESC", "+", "/", "^", "|", "=", "!=", "!", "&&", "||", "pfx:name",
     "PREFIX", ":", "CONSTRUCT", "ASK", "DESCRIBE", "DISTINCT",
 ]
 
@@ -178,7 +178,9 @@ _UPDATE_TOKENS = [
     "<urn:p>", "<urn:s>", '"lit"', "42", "a", ".", ";", "PREFIX",
     ":", "pfx:name", "FILTER", "OPTIONAL", "MINUS", "GRAPH", "WITH",
     "USING", "LOAD", "CLEAR", "+", "*", "?", "/", "^", "|", "(",
-    ")", "=", "EXISTS", "NOT",
+    ")", "=", "EXISTS", "NOT", "!", "SILENT", "TO", "INTO",
+    "DEFAULT", "NAMED", "ALL", "DROP", "CREATE", "COPY", "MOVE",
+    "ADD", "<>",
 ]
 
 
@@ -198,6 +200,25 @@ def test_update_parser_total_on_token_soup(toks):
 
     try:
         parse_update(" ".join(toks))
+    except SparqlSyntaxError:
+        pass
+
+
+@given(st.lists(st.sampled_from(_UPDATE_TOKENS), min_size=1,
+                max_size=25))
+@settings(max_examples=300, deadline=None)
+def test_update_request_parser_total_on_token_soup(toks):
+    """parse_update_request (sequences + management + LOAD + quads
+    scoping) is TOTAL over the extended alphabet too."""
+    from claimskg_generator_spark.operators.sparql import (
+        SparqlSyntaxError,
+    )
+    from claimskg_generator_spark.operators.sparql_update import (
+        parse_update_request,
+    )
+
+    try:
+        parse_update_request(" ".join(toks))
     except SparqlSyntaxError:
         pass
 
