@@ -93,6 +93,17 @@ P_DEPENDS_REPO = CODE + "dependsOnRepo"
 # direction operators/rdfs.owl_property_entail derives (prp-inv1)
 P_HAS_FILE = CODE + "hasSourceFile"
 
+# --- W3C PROV-O (the provenance vocabulary prov_lineage_triples mints
+# into; the north rule's lineage rows, published as graph facts) ---
+PROV = "http://www.w3.org/ns/prov#"
+T_PROV_ENTITY = PROV + "Entity"
+T_PROV_ACTIVITY = PROV + "Activity"
+P_WAS_DERIVED_FROM = PROV + "wasDerivedFrom"
+P_WAS_GENERATED_BY = PROV + "wasGeneratedBy"
+P_USED = PROV + "used"
+P_N_FILES = CODE + "nFiles"
+P_N_TRIPLES = CODE + "nTriplesEmitted"
+
 # --- vocabulary schema (consumed by operators/rdfs.rdfs_entail) ---
 # Two-level class and property hierarchies so subClassOf/subPropertyOf
 # transitivity is actually exercised, plus domain/range for the two
@@ -403,6 +414,77 @@ def code_kg_lineage(files: DataFrame, scheme: str = "md5") -> DataFrame:
             .alias("content_sha256"),
             F.sum("nt").alias("n_triples_emitted"),
         )
+    )
+
+
+def prov_lineage_triples(files: DataFrame,
+                         scheme: str = "md5") -> DataFrame:
+    """The lineage sidecar as PROV-O graph facts: one provenance
+    partition per REPO (the graph's natural publication grain — stable
+    across engines and retries, unlike the physical input split), each
+    described by a ``prov:Entity`` derived from the repo and generated
+    by a ``prov:Activity``, carrying the north rule's per-partition
+    invariants as literals: the order-canonical content fingerprint
+    (sha256 over the SORTED per-file content sha256s — the same
+    construction :func:`code_kg_lineage` commits into the snapshot
+    manifest), the file count, and the row-local triple-emission count
+    (8 fixed + 3 per distinct import, pre-dedup).
+
+    Publishing lineage INTO the graph closes the provenance loop: the
+    q101 BGP / SPARQL faces can then answer "which repo partition, with
+    what fingerprint, produced these triples" without reading table
+    manifests — the standard PROV-O deployment for a constructed KG.
+
+    Shape: ONE groupBy(repo) whose only unbounded state is the
+    collect_list of 64-hex digests (n_files x 64 bytes per repo; a
+    10^6-file repo holds ~64 MB in its reducer — fine at the repo
+    grain).  For pathological single-repo corpora at 10^12-file scale
+    use the split-grain :func:`code_kg_lineage` sidecar instead; the
+    sorted-concat construction is kept IDENTICAL between the two so a
+    repo that equals a split fingerprints equally.  The 8 facts per
+    repo are built in-row and exploded once — no joins, no second
+    exchange, and no final distinct (one row per (repo, fact) by
+    construction).
+    """
+    lang = F.col("lang")
+    mods: Column = F.array().cast("array<string>")
+    for lg, pat in IMPORT_PATTERNS.items():
+        mods = F.when(lang == lg,
+                      F.regexp_extract_all(F.col("content"),
+                                           F.lit(pat), 1)).otherwise(mods)
+    n_local = F.lit(8) + F.size(F.array_distinct(mods)) * 3
+    per_repo = (
+        files.select(
+            "repo",
+            F.sha2(F.col("content"), 256).alias("h"),
+            n_local.alias("nt"),
+        )
+        .groupBy("repo")
+        .agg(
+            F.count("*").alias("n_files"),
+            F.sha2(F.concat_ws("", F.sort_array(F.collect_list("h"))), 256)
+            .alias("fp"),
+            F.sum("nt").alias("nt"),
+        )
+    )
+    part_uri = mint_uri("provpart", F.col("repo"), scheme)
+    act_uri = mint_uri("provact", F.col("repo"), scheme)
+    repo_uri = mint_uri("repo", F.col("repo"), scheme)
+    facts = F.array(
+        triple_struct(part_uri, RDF_TYPE, T_PROV_ENTITY, OKIND_URI),
+        triple_struct(part_uri, P_WAS_DERIVED_FROM, repo_uri, OKIND_URI),
+        triple_struct(part_uri, P_WAS_GENERATED_BY, act_uri, OKIND_URI),
+        triple_struct(part_uri, P_SHA256, F.col("fp"), OKIND_PLAIN),
+        triple_struct(part_uri, P_N_FILES,
+                      F.col("n_files").cast("string"), OKIND_PLAIN),
+        triple_struct(part_uri, P_N_TRIPLES,
+                      F.col("nt").cast("string"), OKIND_PLAIN),
+        triple_struct(act_uri, RDF_TYPE, T_PROV_ACTIVITY, OKIND_URI),
+        triple_struct(act_uri, P_USED, repo_uri, OKIND_URI),
+    ).cast(_TRIPLE_ARR)
+    return (
+        per_repo.select(F.explode(facts).alias("t"))
+        .select("t.subj", "t.pred", "t.obj", "t.okind")
     )
 
 

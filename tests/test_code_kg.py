@@ -172,6 +172,53 @@ def test_lineage_invariants(files):
         assert len(r["content_sha256"]) == 64
 
 
+def test_prov_lineage_triples_fingerprint_and_shape(spark, files):
+    """The PROV-O face of the lineage sidecar: 8 facts per repo, the
+    content fingerprint recomputed in pure Python (sha256 over the
+    SORTED per-file content sha256 hexes), counts consistent with
+    code_kg_lineage's row-local emission formula."""
+    from claimskg_generator_spark.operators.code_kg import (
+        P_N_FILES,
+        P_N_TRIPLES,
+        P_USED,
+        P_WAS_DERIVED_FROM,
+        T_PROV_ACTIVITY,
+        T_PROV_ENTITY,
+        prov_lineage_triples,
+    )
+
+    trips = prov_lineage_triples(files).collect()
+    repos = {r["repo"] for r in files.select("repo").distinct().collect()}
+    assert len(trips) == 8 * len(repos)
+
+    by_subj = {}
+    for t in trips:
+        by_subj.setdefault(t["subj"], {}).setdefault(t["pred"], t["obj"])
+
+    # pick one repo; recompute its facts from the raw frame
+    repo = sorted(repos)[0]
+    part = ("urn:code:provpart:"
+            + hashlib.md5(f"provpart:{repo}".encode()).hexdigest())
+    act = ("urn:code:provact:"
+           + hashlib.md5(f"provact:{repo}".encode()).hexdigest())
+    repo_uri = ("urn:code:repo:"
+                + hashlib.md5(f"repo:{repo}".encode()).hexdigest())
+    rows = files.filter(F.col("repo") == repo).collect()
+    hashes = sorted(
+        hashlib.sha256(r["content"].encode()).hexdigest() for r in rows)
+    fp = hashlib.sha256("".join(hashes).encode()).hexdigest()
+
+    facts = by_subj[part]
+    assert facts[RDF_TYPE] == T_PROV_ENTITY
+    assert facts[P_WAS_DERIVED_FROM] == repo_uri
+    assert facts[P_SHA256] == fp
+    assert facts[P_N_FILES] == str(len(rows))
+    assert int(facts[P_N_TRIPLES]) >= 8 * len(rows)
+    afacts = by_subj[act]
+    assert afacts[RDF_TYPE] == T_PROV_ACTIVITY
+    assert afacts[P_USED] == repo_uri
+
+
 def test_materialize_snapshot_roundtrip(spark, files, tmp_path):
     table_dir = str(tmp_path / "code_kg")
     sid = materialize_code_kg(spark, files, table_dir, n_partitions=4)

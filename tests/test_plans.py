@@ -920,3 +920,33 @@ def test_sparql_load_plan(spark):
     joins = re.findall(r"\(\d+\) (\w+Join)", plan)
     assert len(joins) == 1, joins
     assert len(re.findall(r"\(\d+\) Union", plan)) == 1
+
+
+def test_prov_lineage_single_exchange_no_join(spark):
+    """q144: one groupBy(repo) fold then an in-row 8-fact explode —
+    zero joins, exactly one shuffle, no Python in the plan (sha2 /
+    sort_array / explode are all JVM expressions)."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.q144_kg_prov_lineage(spark, SF))
+    assert not re.search(r"\(\d+\) \w+Join", plan)
+    assert not re.search(r"EvalPython|PythonUDF", plan)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert re.search(r"\(\d+\) Generate", plan)
+
+
+def test_triple_pr_fold_never_joins(spark):
+    """q145: P/R is a tagged union + two aggregate stages — set
+    intersection WITHOUT a join (a semi-join would pay the distinct
+    exchange twice).  Exactly two exchanges: the triple-key flag-max
+    (map-side combinable — partial_max in the partial aggregate) and
+    the one-row global fold."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.q145_kg_triple_pr(spark, SF))
+    assert not re.search(r"\(\d+\) \w+Join", plan)
+    assert not re.search(r"CartesianProduct", plan)
+    assert re.search(r"partial_max", plan)
+    # triple dedup exchanges feed the union; the metric itself adds
+    # the flag-max exchange plus the single-row fold
+    assert len(re.findall(r"\(\d+\) Union", plan)) == 1
