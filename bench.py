@@ -238,6 +238,14 @@ BENCH_QUERIES = [
     # one anti-join) follow the q101 sliver policy and stay untimed.
     "q139_kg_update_request",
     "q141_kg_graph_scoped_update",
+    # provenance + evaluation wave (q144-q145): q145 is data-wide twice
+    # over — it builds BOTH graph versions and folds their union
+    # through the flag-max exchange (the acceptance-metric cost a
+    # release gate pays).  q144's groupBy(repo) fold is corpus-wide but
+    # repo-bounded in output; it stays untimed (the q101 sliver
+    # policy's aggregate analog — same shuffle family as the untimed
+    # q122).
+    "q145_kg_triple_pr",
 ]
 
 # The 13-query round-2 headline set: its subtotal is reported alongside the

@@ -153,6 +153,15 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         "description of the published graph (long "
                         "format: scope/key/metric/value); dataset-level "
                         "counts also land in the summary JSON")
+    p.add_argument("--prov-output",
+                   help="parquet dir for the W3C PROV-O provenance "
+                        "facts of this build (operators/code_kg."
+                        "prov_lineage_triples): per-repo prov:Entity/"
+                        "Activity rows carrying the order-canonical "
+                        "content fingerprint and file/emission counts. "
+                        "Requires a build — provenance derives from the "
+                        "INPUT files; a stored table's split-grain "
+                        "lineage already rides its snapshot manifests")
     p.add_argument("--quality-gate", action="store_true",
                    help="drop files failing the StarCoder-style gates")
     p.add_argument("--exact-dedup", action="store_true",
@@ -219,10 +228,11 @@ def main(argv=None) -> int:
               "--nquads-output and/or a query", file=sys.stderr)
         return 2
     if not building and not query_text and not args.validate \
-            and not args.void_output and not update_text:
+            and not args.void_output and not update_text \
+            and not args.prov_output:
         print("error: need --input/--synth-from-documents, a --sparql "
-              "query, --update, --validate, and/or --void-output",
-              file=sys.stderr)
+              "query, --update, --validate, --void-output and/or "
+              "--prov-output", file=sys.stderr)
         return 2
     if not building and (query_text or args.validate
                          or args.void_output) and not args.query_table:
@@ -240,10 +250,19 @@ def main(argv=None) -> int:
     summary = {"stages": [], "counts": {}}
     try:
         triples = None
+        files = None
         if building:
             files, triples = _build_graph(spark, args, summary)
             summary["counts"]["triples"] = triples.count()
             summary["counts"]["files"] = files.count()
+        if args.prov_output:
+            if files is None:
+                print("error: --prov-output needs a build (--input/"
+                      "--synth-from-documents) — provenance derives "
+                      "from the input files; a stored table's lineage "
+                      "rides its snapshot manifests", file=sys.stderr)
+                return 2
+            _run_prov(spark, args, files, summary)
         if update_text:
             _run_update(spark, args, update_text, summary)
         if args.validate:
@@ -332,6 +351,28 @@ def _run_void(spark, args, triples, summary) -> None:
         "output": args.void_output,
         "dataset": {r["metric"]: r["value"]
                     for r in stats.where("scope = 'dataset'").collect()},
+    }
+
+
+def _run_prov(spark, args, files, summary) -> None:
+    """PROV-O provenance sidecar: operators/code_kg.prov_lineage_triples
+    over this build's input files (the north rule's lineage rows
+    published as graph facts), written next to the graph outputs; the
+    partition count joins the summary JSON.  Minting follows
+    --uri-scheme so the facts join the graph they describe."""
+    from claimskg_generator_spark.operators.code_kg import (
+        prov_lineage_triples,
+    )
+
+    trips = prov_lineage_triples(files, scheme=args.uri_scheme)
+    trips.write.mode("overwrite").parquet(args.prov_output)
+    trips = spark.read.parquet(args.prov_output)
+    n = trips.count()
+    summary["prov"] = {
+        "output": args.prov_output,
+        "n_facts": n,
+        # 8 facts per repo partition by construction
+        "n_partitions": n // 8,
     }
 
 

@@ -757,3 +757,134 @@ def random_walks(edges: DataFrame, walk_length: int, num_walks: int,
     # ranked stays pinned for the job (the bfs_layers/pagerank
     # convention); the session frees it
     return walks.select("start", "walk_idx", "walk", "n_nodes")
+
+
+def biased_random_walks(edges: DataFrame, walk_length: int,
+                        num_walks: int, w_return: int = 1,
+                        w_inward: int = 1, w_outward: int = 1,
+                        seed: str = "n2v", src: str = "src",
+                        dst: str = "dst",
+                        checkpoint_every: int = 8) -> DataFrame:
+    """node2vec-style SECOND-ORDER biased walks (Grover & Leskovec,
+    KDD 2016) with deterministic md5 picks — :func:`random_walks`'
+    DeepWalk corpus, upgraded with the return/in-out bias that lets
+    the embedding interpolate between BFS-like (structural) and
+    DFS-like (homophilous) neighborhoods.
+
+    node2vec weights each candidate next-hop ``x`` from ``cur`` given
+    the PREVIOUS node: ``1/p`` if ``x == prev`` (return), ``1`` if
+    ``x`` is also a neighbor of ``prev`` (stay close), ``1/q``
+    otherwise (move away).  Here the three classes carry INTEGER
+    weights (``w_return`` ∝ 1/p, ``w_inward`` ∝ 1, ``w_outward`` ∝
+    1/q — scale all three by a common factor to express any rational
+    p/q), so the cumulative-weight pick is exact 64-bit arithmetic:
+    ``r = md5_60bit(seed:start:walk_idx:step) mod total_weight``
+    selects the candidate whose cumulative range covers ``r``.  No
+    floats anywhere — the walk is a pure function of the walk
+    identity, retry-stable and replayed bit-for-bit by the DuckDB
+    oracle (floating cumsums would need a cross-engine summation-order
+    contract; integers need nothing).  The FIRST hop is uniform
+    (``mod out_degree`` — no prev yet), the node2vec convention.
+
+    Output matches :func:`random_walks`: ``(start, walk_idx, walk,
+    n_nodes)``, sink nodes ending walks early.
+
+    Scale shape, per step: ONE equi-join of the walk frame against the
+    ranked-neighbor dim on the current node (deg-bounded candidate
+    fan-out — never all-pairs), ONE probe equi-join against the same
+    persisted edge dim marking the ``prev``-neighbor class, and ONE
+    window exchange keyed by the walk id for the cumulative pick —
+    walk state is O(1) columns, lineage truncates every
+    ``checkpoint_every`` steps.  The second-order bias is why a probe
+    join exists at all: "is the candidate a neighbor of where I came
+    from" is a data question, not a row-local one (the reference has
+    no graph-embedding analog; this serves the KG's training-corpus
+    face alongside q128)."""
+    if walk_length < 1:
+        raise ValueError(f"walk_length must be >= 1, got {walk_length}")
+    if num_walks < 1:
+        raise ValueError(f"num_walks must be >= 1, got {num_walks}")
+    for nm, w in (("w_return", w_return), ("w_inward", w_inward),
+                  ("w_outward", w_outward)):
+        if not isinstance(w, int) or w < 1:
+            raise ValueError(
+                f"{nm} must be a positive int, got {w!r} — express "
+                "node2vec p/q as integer class weights (w_return ∝ 1/p,"
+                " w_inward ∝ 1, w_outward ∝ 1/q, scaled by a common "
+                "factor)")
+    from pyspark.sql import Window
+
+    e = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+         .distinct())
+    ranked = (e.withColumn(
+        "rk", F.row_number().over(
+            Window.partitionBy("u").orderBy("v")))
+        .withColumn("deg", F.count(F.lit(1)).over(
+            Window.partitionBy("u")))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+
+    nodes = (e.select(F.col("u").alias("start"))
+             .unionAll(e.select(F.col("v").alias("start")))
+             .distinct())
+    walks = nodes.select(
+        "start",
+        F.explode(F.sequence(F.lit(0),
+                             F.lit(num_walks - 1))).alias("walk_idx"),
+    ).select(
+        "start", "walk_idx",
+        F.lit(None).cast("string").alias("prev"),
+        F.col("start").alias("cur"),
+        F.col("start").alias("walk"),
+        F.lit(1).cast("int").alias("n_nodes"),
+        F.lit(False).alias("done"),
+    )
+    probe = ranked.select(F.col("u").alias("pu"), F.col("v").alias("pv"))
+    wwin = Window.partitionBy("start", "walk_idx")
+    for step in range(1, walk_length):
+        # the shared 60-bit positive md5 slice (q128's discipline)
+        h = F.conv(F.substring(F.md5(F.concat_ws(
+            ":", F.lit(seed), F.col("start"),
+            F.col("walk_idx").cast("string"),
+            F.lit(str(step)))), 1, 15), 16, 10).cast("long")
+        cand = walks.join(
+            ranked, (walks["cur"] == ranked["u"]) & ~walks["done"],
+            "left")
+        if step == 1:
+            # no prev yet: uniform over the neighbor list
+            picked = cand.where(
+                F.col("u").isNull()
+                | (F.col("rk") == (h % F.col("deg") + 1).cast("int")))
+        else:
+            cand = cand.join(
+                probe,
+                (cand["prev"] == probe["pu"]) & (cand["v"] == probe["pv"]),
+                "left")
+            wt = (F.when(F.col("u").isNull(), F.lit(None))
+                  .when(F.col("v") == F.col("prev"), F.lit(w_return))
+                  .when(F.col("pu").isNotNull(), F.lit(w_inward))
+                  .otherwise(F.lit(w_outward))).cast("long")
+            scored = cand.withColumn("wt", wt).select(
+                "start", "walk_idx", "prev", "cur", "walk", "n_nodes",
+                "done", "u", "v", "wt",
+                F.sum("wt").over(wwin.orderBy("rk")).alias("cum"),
+                F.sum("wt").over(wwin).alias("tot"),
+            )
+            r = h % F.col("tot")
+            picked = scored.where(
+                F.col("u").isNull()
+                | ((F.col("cum") - F.col("wt") <= r) & (r < F.col("cum"))))
+        stepped = picked.select(
+            "start", "walk_idx",
+            F.col("cur").alias("prev"),
+            F.coalesce(F.col("v"), F.col("cur")).alias("cur"),
+            F.when(F.col("v").isNotNull(),
+                   F.concat_ws(" ", "walk", "v"))
+            .otherwise(F.col("walk")).alias("walk"),
+            (F.col("n_nodes")
+             + F.col("v").isNotNull().cast("int")).alias("n_nodes"),
+            (F.col("done") | F.col("v").isNull()).alias("done"),
+        )
+        walks = stepped
+        if step % checkpoint_every == 0:
+            walks = walks.localCheckpoint(eager=False)
+    return walks.select("start", "walk_idx", "walk", "n_nodes")

@@ -435,3 +435,42 @@ def test_update_face_request_sequence(spark, docs_path, tmp_path,
     got = tq.read()
     assert got.filter("graph = 'urn:code:graph:version'").count() == 0
     assert got.filter("graph = 'urn:code:graph:archive'").count() > 0
+
+
+def test_prov_output_sidecar(spark, docs_path, tmp_path, capsys):
+    """--prov-output writes the PROV-O provenance facts for this
+    build's input files and reports the partition count; the sidecar
+    must agree with prov_lineage_triples over the same (gated) files,
+    and the facts must join the graph they describe (the prov:Entity's
+    wasDerivedFrom target is a repo URI the triple set also minted)."""
+    out = str(tmp_path / "triples_p")
+    prov = str(tmp_path / "prov")
+    s = _run(capsys, "--synth-from-documents", docs_path,
+             "--output", out, "--prov-output", prov)
+    facts = spark.read.parquet(prov)
+    assert s["prov"]["n_facts"] == facts.count()
+    assert s["prov"]["n_partitions"] * 8 == s["prov"]["n_facts"]
+
+    from claimskg_generator_spark.operators.code_kg import (
+        P_WAS_DERIVED_FROM,
+        prov_lineage_triples,
+    )
+    from claimskg_generator_spark.sources.codesynth import (
+        code_files as cf,
+    )
+
+    direct = prov_lineage_triples(cf(spark.read.parquet(docs_path)))
+    assert sorted(map(tuple, facts.collect())) == \
+        sorted(map(tuple, direct.collect()))
+
+    graph = spark.read.parquet(out)
+    derived = facts.where(F.col("pred") == P_WAS_DERIVED_FROM)
+    joined = derived.join(graph, derived["obj"] == graph["subj"],
+                          "left_semi")
+    assert joined.count() == derived.count()
+
+
+def test_prov_output_requires_build(capsys, tmp_path):
+    assert main(["--prov-output", str(tmp_path / "p"),
+                 "--query-table", str(tmp_path / "t")]) == 2
+    assert "--prov-output needs a build" in capsys.readouterr().err

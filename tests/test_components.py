@@ -613,3 +613,101 @@ def test_random_walks_validates_args(spark):
         random_walks(df, 0, 1)
     with pytest.raises(ValueError, match="num_walks"):
         random_walks(df, 2, 0)
+
+
+# --------------------------------------------------------------------------
+# biased_random_walks (node2vec-style second-order corpus)
+# --------------------------------------------------------------------------
+
+def _python_biased_walks(edges, walk_length, num_walks, seed,
+                         w_return, w_inward, w_outward):
+    import hashlib
+
+    adj = {}
+    for s, d in sorted(set(edges)):
+        adj.setdefault(s, []).append(d)
+    eset = set(edges)
+
+    def h60(n, w, step):
+        return int(hashlib.md5(
+            f"{seed}:{n}:{w}:{step}".encode()).hexdigest()[:15], 16)
+
+    out = {}
+    for n in sorted({x for e in edges for x in e}):
+        for w in range(num_walks):
+            prev, cur, walk = None, n, [n]
+            for step in range(1, walk_length):
+                nb = adj.get(cur)
+                if not nb:
+                    break
+                if step == 1:
+                    nxt = nb[h60(n, w, step) % len(nb)]
+                else:
+                    wts = [w_return if x == prev
+                           else w_inward if (prev, x) in eset
+                           else w_outward for x in nb]
+                    r = h60(n, w, step) % sum(wts)
+                    cum = 0
+                    for x, wt in zip(nb, wts):
+                        cum += wt
+                        if r < cum:
+                            nxt = x
+                            break
+                prev, cur = cur, nxt
+                walk.append(cur)
+            out[(n, w)] = (" ".join(walk), len(walk))
+    return out
+
+
+def test_biased_walks_match_python_twin(spark):
+    from claimskg_generator_spark.operators.components import (
+        biased_random_walks,
+    )
+
+    edges = [("a", "b"), ("a", "c"), ("b", "a"), ("b", "c"), ("b", "d"),
+             ("c", "a"), ("c", "d"), ("d", "e"), ("e", "a"), ("e", "b")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    for wr, wi, wo in ((1, 4, 2), (6, 1, 1), (1, 1, 1)):
+        got = {(r["start"], r["walk_idx"]): (r["walk"], r["n_nodes"])
+               for r in biased_random_walks(
+                   df, 5, 2, w_return=wr, w_inward=wi, w_outward=wo,
+                   seed="bt").collect()}
+        assert got == _python_biased_walks(edges, 5, 2, "bt", wr, wi, wo)
+
+
+def test_biased_walks_bias_actually_biases(spark):
+    """With an overwhelming return weight every second hop goes back;
+    with an overwhelming outward weight (from a graph where the
+    in-class exists) the picks differ — the classes are live."""
+    from claimskg_generator_spark.operators.components import (
+        biased_random_walks,
+    )
+
+    edges = [("a", "b"), ("b", "a"), ("b", "c"), ("b", "d"), ("c", "a"),
+             ("a", "c")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    ret = {r["start"]: r["walk"] for r in biased_random_walks(
+        df, 3, 1, w_return=1000000, w_inward=1, w_outward=1,
+        seed="rb").collect()}
+    # a's first hop is uniform; its second hop returns to where it
+    # came from under the crushing return weight
+    first_hop = ret["a"].split()[1]
+    assert ret["a"].split()[2] == "a" or first_hop not in ("b", "c")
+    assert ret["a"] == f"a {first_hop} a"
+
+
+def test_biased_walks_sink_and_guards(spark):
+    from claimskg_generator_spark.operators.components import (
+        biased_random_walks,
+    )
+
+    df = spark.createDataFrame([("a", "b")], "src string, dst string")
+    rows = sorted(map(tuple, biased_random_walks(
+        df, 5, 1, seed="x").collect()))
+    assert rows == [("a", 0, "a b", 2), ("b", 0, "b", 1)]
+    with pytest.raises(ValueError, match="walk_length"):
+        biased_random_walks(df, 0, 1)
+    with pytest.raises(ValueError, match="w_return"):
+        biased_random_walks(df, 2, 1, w_return=0)
+    with pytest.raises(ValueError, match="node2vec p/q"):
+        biased_random_walks(df, 2, 1, w_outward=0.5)

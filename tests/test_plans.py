@@ -950,3 +950,16 @@ def test_triple_pr_fold_never_joins(spark):
     # triple dedup exchanges feed the union; the metric itself adds
     # the flag-max exchange plus the single-row fold
     assert len(re.findall(r"\(\d+\) Union", plan)) == 1
+
+
+def test_biased_walks_hash_joins_no_cartesian(spark):
+    """q146: each step is candidate fan-out + prev-neighbor probe as
+    equi hash joins over the persisted ranked dim plus one window pass
+    per biased step — never a cartesian, and the integer pick keeps
+    Python out of the plan."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.q146_kg_biased_walks(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert not re.search(r"EvalPython|PythonUDF", plan)
+    assert re.search(r"\(\d+\) Window", plan)
