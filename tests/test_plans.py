@@ -963,3 +963,16 @@ def test_biased_walks_hash_joins_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert not re.search(r"EvalPython|PythonUDF", plan)
     assert re.search(r"\(\d+\) Window", plan)
+
+
+def test_skipgram_vocab_join_hashed_no_python(spark):
+    """q147: pair generation is an in-row Generate; the negative pick
+    reaches the vocabulary through an equi hash join (never a
+    cartesian over the vocab), and the whole path stays JVM-side."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.q147_skipgram_negatives(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert not re.search(r"EvalPython|PythonUDF", plan)
+    assert re.search(r"\(\d+\) (BroadcastHash|SortMerge)Join", plan)
+    assert re.search(r"\(\d+\) Generate", plan)
