@@ -118,6 +118,45 @@ def ranked_vocab(df: DataFrame, token_col: str = "token",
     )
 
 
+def cooccurrence_counts(pairs: DataFrame, window: Optional[int] = None,
+                        ) -> DataFrame:
+    """GloVe-style co-occurrence matrix from a pair frame: one
+    combinable ``groupBy(center, context)`` over the skip-gram pairs —
+    the X matrix an embedding trainer factorizes.
+
+    With ``window`` set, GloVe's distance damping (each co-occurrence
+    counts 1/d) is carried EXACTLY as integers: every pair contributes
+    ``lcm(1..window) / d`` to ``weight_num``, so the damped weight is
+    ``weight_num / lcm(1..window)`` with no float accumulation — the
+    integer-weights-for-rational-bias discipline of
+    :func:`~claimskg_generator_spark.operators.components.
+    biased_random_walks`, applied to counting.  Without ``window``
+    only the raw ``n`` is emitted.
+
+    Scale shape: ONE map-side-combinable aggregate whose key space is
+    the distinct pair vocabulary (vastly smaller than the pair stream
+    at corpus scale) — partial sums fold before the single exchange.
+    """
+    g = pairs.groupBy("center", "context")
+    if window is None:
+        return g.agg(F.count("*").alias("n"))
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    import math
+
+    lcm = 1
+    for d in range(2, window + 1):
+        lcm = math.lcm(lcm, d)
+    w = F.lit(lcm) / F.abs(F.col("i") - F.col("j"))
+    return (
+        pairs.withColumn("__w", w.cast("long"))
+        .groupBy("center", "context")
+        .agg(F.count("*").alias("n"),
+             F.sum("__w").alias("weight_num"))
+        .withColumn("weight_den", F.lit(lcm))
+    )
+
+
 def negative_samples(pairs: DataFrame, corpus_tokens: DataFrame,
                      k: int = 2, seed: str = "neg",
                      id_cols: Sequence[str] = ("doc_id", "i", "j"),

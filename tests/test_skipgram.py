@@ -112,3 +112,28 @@ def test_guards(spark):
         skipgram_pairs(sents, window=0)
     with pytest.raises(ValueError, match="k must be"):
         negative_samples(skipgram_pairs(sents), toks, k=0)
+
+
+def test_cooccurrence_exact_integer_damping(spark):
+    from claimskg_generator_spark.operators.skipgram import (
+        cooccurrence_counts,
+    )
+
+    sents = _sents(spark, [(1, "a b a b a")])
+    pairs = skipgram_pairs(sents, window=2)
+    out = {(r["center"], r["context"]):
+           (r["n"], r["weight_num"], r["weight_den"])
+           for r in cooccurrence_counts(pairs, window=2).collect()}
+    # positions: a@1 b@2 a@3 b@4 a@5; lcm(1..2)=2, each pair adds 2/d
+    # (a,b): the d=1 pairs (1,2),(3,2),(3,4),(5,4); no d=2 pair links
+    # a to b -> n=4, weight_num = 4 * 2 = 8
+    assert out[("a", "b")] == (4, 8, 2)
+    # (a,a): d=2 pairs (1,3),(3,1),(3,5),(5,3) -> n=4, 4*1=4
+    assert out[("a", "a")] == (4, 4, 2)
+    # unweighted mode: bare counts only
+    plain = cooccurrence_counts(pairs)
+    assert plain.columns == ["center", "context", "n"]
+    got_n = {(r["center"], r["context"]): r["n"] for r in plain.collect()}
+    assert got_n[("a", "b")] == 4
+    with pytest.raises(ValueError, match="window"):
+        cooccurrence_counts(pairs, window=0)
