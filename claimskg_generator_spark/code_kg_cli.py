@@ -239,6 +239,12 @@ def main(argv=None) -> int:
         print("error: a query/--validate/--void-output without a build "
               "needs --query-table", file=sys.stderr)
         return 2
+    if args.prov_output and not building:
+        print("error: --prov-output needs a build (--input/"
+              "--synth-from-documents) — provenance derives from the "
+              "input files; a stored table's lineage rides its "
+              "snapshot manifests", file=sys.stderr)
+        return 2
 
     spark = SparkSession.getActiveSession()
     created = spark is None
@@ -256,12 +262,6 @@ def main(argv=None) -> int:
             summary["counts"]["triples"] = triples.count()
             summary["counts"]["files"] = files.count()
         if args.prov_output:
-            if files is None:
-                print("error: --prov-output needs a build (--input/"
-                      "--synth-from-documents) — provenance derives "
-                      "from the input files; a stored table's lineage "
-                      "rides its snapshot manifests", file=sys.stderr)
-                return 2
             _run_prov(spark, args, files, summary)
         if update_text:
             _run_update(spark, args, update_text, summary)

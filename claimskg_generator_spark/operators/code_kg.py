@@ -154,6 +154,27 @@ def _module_uri(lang: Column, module: Column, scheme: str) -> Column:
     return mint_uri("module", F.concat(lang, F.lit(":"), module), scheme)
 
 
+def _lang_import_lists() -> Column:
+    """Per-row import captures, regex dispatched on ``lang`` — the ONE
+    definition of what counts as an import (shared by code_triples,
+    code_kg_lineage, and prov_lineage_triples, so the emission formula
+    cannot desynchronize across the three)."""
+    lang = F.col("lang")
+    mods: Column = F.array().cast("array<string>")
+    for lg, pat in IMPORT_PATTERNS.items():
+        mods = F.when(lang == lg,
+                      F.regexp_extract_all(F.col("content"),
+                                           F.lit(pat), 1)).otherwise(mods)
+    return mods
+
+
+def _row_emission_count() -> Column:
+    """Row-local triple-emission count of :func:`code_triples`:
+    8 fixed + 3 per distinct import, pre-dedup — the lineage
+    invariant both lineage faces publish."""
+    return F.lit(8) + F.size(F.array_distinct(_lang_import_lists())) * 3
+
+
 def code_triples(files: DataFrame, scheme: str = "md5") -> DataFrame:
     """Extract the (subj, pred, obj, okind) triple set of a code corpus.
 
@@ -170,13 +191,7 @@ def code_triples(files: DataFrame, scheme: str = "md5") -> DataFrame:
     file_uri = mint_uri(
         "file", F.concat(F.col("repo"), F.lit("/"), F.col("path")), scheme)
     repo_uri = mint_uri("repo", F.col("repo"), scheme)
-
-    mods: Column = F.array().cast("array<string>")
-    for lg, pat in IMPORT_PATTERNS.items():
-        mods = F.when(lang == lg,
-                      F.regexp_extract_all(F.col("content"),
-                                           F.lit(pat), 1)).otherwise(mods)
-    mods = F.array_distinct(mods)
+    mods = F.array_distinct(_lang_import_lists())
 
     fixed = F.array(
         triple_struct(file_uri, RDF_TYPE, T_SOURCE_FILE, OKIND_URI),
@@ -394,18 +409,11 @@ def code_kg_lineage(files: DataFrame, scheme: str = "md5") -> DataFrame:
     count is the row-local emission count (8 fixed + 3 per distinct
     import, pre-dedup) — attributable to a split by construction, like
     plans/pipeline.py:494's row-local families."""
-    lang = F.col("lang")
-    mods: Column = F.array().cast("array<string>")
-    for lg, pat in IMPORT_PATTERNS.items():
-        mods = F.when(lang == lg,
-                      F.regexp_extract_all(F.col("content"),
-                                           F.lit(pat), 1)).otherwise(mods)
-    n_local = F.lit(8) + F.size(F.array_distinct(mods)) * 3
     return (
         files.select(
             F.spark_partition_id().alias("input_split"),
             F.sha2(F.col("content"), 256).alias("h"),
-            n_local.alias("nt"),
+            _row_emission_count().alias("nt"),
         )
         .groupBy("input_split")
         .agg(
@@ -446,18 +454,11 @@ def prov_lineage_triples(files: DataFrame,
     exchange, and no final distinct (one row per (repo, fact) by
     construction).
     """
-    lang = F.col("lang")
-    mods: Column = F.array().cast("array<string>")
-    for lg, pat in IMPORT_PATTERNS.items():
-        mods = F.when(lang == lg,
-                      F.regexp_extract_all(F.col("content"),
-                                           F.lit(pat), 1)).otherwise(mods)
-    n_local = F.lit(8) + F.size(F.array_distinct(mods)) * 3
     per_repo = (
         files.select(
             "repo",
             F.sha2(F.col("content"), 256).alias("h"),
-            n_local.alias("nt"),
+            _row_emission_count().alias("nt"),
         )
         .groupBy("repo")
         .agg(

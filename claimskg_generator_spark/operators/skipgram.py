@@ -130,8 +130,12 @@ def cooccurrence_counts(pairs: DataFrame, window: Optional[int] = None,
     ``weight_num / lcm(1..window)`` with no float accumulation — the
     integer-weights-for-rational-bias discipline of
     :func:`~claimskg_generator_spark.operators.components.
-    biased_random_walks`, applied to counting.  Without ``window``
-    only the raw ``n`` is emitted.
+    biased_random_walks`, applied to counting.  Pairs farther apart
+    than ``window`` are FILTERED OUT (pass the window the pairs were
+    built with to keep every pair): lcm/d is only exact inside the
+    window, and silently truncating an out-of-window weight would
+    corrupt the matrix.  Without ``window`` only the raw ``n`` is
+    emitted over all pairs.
 
     Scale shape: ONE map-side-combinable aggregate whose key space is
     the distinct pair vocabulary (vastly smaller than the pair stream
@@ -147,9 +151,11 @@ def cooccurrence_counts(pairs: DataFrame, window: Optional[int] = None,
     lcm = 1
     for d in range(2, window + 1):
         lcm = math.lcm(lcm, d)
-    w = F.lit(lcm) / F.abs(F.col("i") - F.col("j"))
+    d = F.abs(F.col("i") - F.col("j"))
+    w = F.lit(lcm) / d
     return (
-        pairs.withColumn("__w", w.cast("long"))
+        pairs.where(d <= window)
+        .withColumn("__w", w.cast("long"))
         .groupBy("center", "context")
         .agg(F.count("*").alias("n"),
              F.sum("__w").alias("weight_num"))

@@ -137,3 +137,9 @@ def test_cooccurrence_exact_integer_damping(spark):
     assert got_n[("a", "b")] == 4
     with pytest.raises(ValueError, match="window"):
         cooccurrence_counts(pairs, window=0)
+    # pairs beyond the weighting window are filtered, never truncated
+    # to a zero weight: window=1 over window=2 pairs keeps only d=1
+    narrow = {(r["center"], r["context"]): (r["n"], r["weight_num"])
+              for r in cooccurrence_counts(pairs, window=1).collect()}
+    assert narrow[("a", "b")] == (4, 4)  # the 4 d=1 pairs, weight 1/d=1
+    assert ("a", "a") not in narrow      # all (a,a) pairs were d=2
