@@ -976,3 +976,17 @@ def test_skipgram_vocab_join_hashed_no_python(spark):
     assert not re.search(r"EvalPython|PythonUDF", plan)
     assert re.search(r"\(\d+\) (BroadcastHash|SortMerge)Join", plan)
     assert re.search(r"\(\d+\) Generate", plan)
+
+
+def test_bpe_stats_two_combinable_aggregates_no_join(spark):
+    """q149: word-freq groupBy + pair groupBy — two exchanges, both
+    map-side combinable (partial_count / partial_sum), pairs generated
+    in-row (Generate), no joins, no Python."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.q149_bpe_pair_stats(spark, SF))
+    assert not re.search(r"\(\d+\) \w+Join", plan)
+    assert not re.search(r"EvalPython|PythonUDF", plan)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2
+    assert re.search(r"partial_(count|sum)", plan)
+    assert re.search(r"\(\d+\) Generate", plan)
