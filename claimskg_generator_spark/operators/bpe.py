@@ -146,6 +146,9 @@ def bpe_train(docs: DataFrame, n_merges: int, text_col: str = "text",
     Stops early when no pair remains (fully merged corpus)."""
     if n_merges < 0:
         raise ValueError(f"n_merges must be >= 0, got {n_merges}")
+    if checkpoint_every < 1:
+        raise ValueError(
+            f"checkpoint_every must be >= 1, got {checkpoint_every}")
     words = with_symbols(word_freqs(docs, text_col, lowercase))
     merges: List[Tuple[str, str, int]] = []
     for it in range(n_merges):

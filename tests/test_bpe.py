@@ -110,3 +110,8 @@ def test_train_stops_when_fully_merged(spark):
     assert list(row["symbols"]) == ["aa" + END]
     with pytest.raises(ValueError, match="n_merges"):
         bpe_train(_sents(spark, ["a"]), n_merges=-1)
+
+
+def test_checkpoint_every_guard(spark):
+    with pytest.raises(ValueError, match="checkpoint_every"):
+        bpe_train(_sents(spark, ["a"]), n_merges=1, checkpoint_every=0)
