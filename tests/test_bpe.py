@@ -115,3 +115,23 @@ def test_train_stops_when_fully_merged(spark):
 def test_checkpoint_every_guard(spark):
     with pytest.raises(ValueError, match="checkpoint_every"):
         bpe_train(_sents(spark, ["a"]), n_merges=1, checkpoint_every=0)
+
+
+def test_symbols_always_reconstruct_word(spark):
+    """Invariant: at every point in training, concatenating a word's
+    symbols yields word + END — merging never loses or duplicates a
+    character (seeded random corpus, all words checked in one job)."""
+    import random
+
+    rng = random.Random(42)
+    texts = [" ".join(
+        "".join(rng.choice("abcd") for _ in range(rng.randint(1, 8)))
+        for _ in range(40)) for _ in range(3)]
+    merges, words = bpe_train(_sents(spark, texts), n_merges=12)
+    rows = words.collect()
+    assert rows
+    for r in rows:
+        assert "".join(r["symbols"]) == r["word"] + END
+    # every learned merge is a concatenation with positive support
+    for a, b, f in merges:
+        assert f >= 1 and a and b

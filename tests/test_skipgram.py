@@ -143,3 +143,49 @@ def test_cooccurrence_exact_integer_damping(spark):
               for r in cooccurrence_counts(pairs, window=1).collect()}
     assert narrow[("a", "b")] == (4, 4)  # the 4 d=1 pairs, weight 1/d=1
     assert ("a", "a") not in narrow      # all (a,a) pairs were d=2
+
+
+def test_pair_symmetry_and_count_formula(spark):
+    """Invariants over a seeded random corpus: (i,j) emitted iff (j,i)
+    emitted (the skip-gram window is symmetric), and the total pair
+    count matches the closed form sum_i |window(i)|."""
+    import random
+
+    rng = random.Random(7)
+    rows = [(d, " ".join(
+        rng.choice("abcde") for _ in range(rng.randint(1, 12))))
+        for d in range(25)]
+    w = 3
+    pairs = skipgram_pairs(_sents(spark, rows), window=w).collect()
+    seen = {(r["doc_id"], r["i"], r["j"]) for r in pairs}
+    assert seen == {(d, j, i) for d, i, j in seen}
+    expected = 0
+    for _, text in rows:
+        n = len(text.split())
+        expected += sum(
+            min(n, i + w) - max(1, i - w) for i in range(1, n + 1))
+    assert len(pairs) == expected
+
+
+def test_triple_pr_bounds_and_symmetry(spark):
+    """tp <= min(sides); swapping candidate and gold swaps
+    precision/recall; f1 is the harmonic mean of the two."""
+    import random
+
+    from claimskg_generator_spark.operators.evaluation import triple_pr
+
+    rng = random.Random(11)
+    mk = lambda: [(f"s{rng.randint(0, 30)}", "p",  # noqa: E731
+                   f"o{rng.randint(0, 5)}", "") for _ in range(40)]
+    a = spark.createDataFrame(
+        mk(), "subj string, pred string, obj string, okind string")
+    b = spark.createDataFrame(
+        mk(), "subj string, pred string, obj string, okind string")
+    r1 = triple_pr(a, b).collect()[0]
+    r2 = triple_pr(b, a).collect()[0]
+    assert r1["tp"] == r2["tp"] <= min(r1["n_candidate"], r1["n_gold"])
+    assert r1["precision"] == r2["recall"]
+    assert r1["recall"] == r2["precision"]
+    if r1["tp"]:
+        p, rc = r1["precision"], r1["recall"]
+        assert abs(r1["f1"] - 2 * p * rc / (p + rc)) < 1e-12
