@@ -138,6 +138,86 @@ def apply_merge(words: DataFrame, left: str, right: str) -> DataFrame:
     return words.withColumn("symbols", F.aggregate(s, init, step, fin))
 
 
+def bpe_encode(docs: DataFrame, merges: List[Tuple[str, str, int]],
+               text_col: str = "text", id_col: str = "doc_id",
+               lowercase: bool = True,
+               broadcast_vocab: bool = True) -> DataFrame:
+    """Encode the corpus with a learned merge list: ``(id, tokens)``
+    with each document's BPE token sequence in order — the operation a
+    pipeline actually runs per-corpus once training is done.
+
+    Python touches only the DISTINCT-WORD dictionary: the classic
+    rank-order merge loop (apply the lowest-ranked applicable merge,
+    greedy left-to-right, until none applies — equivalent to replaying
+    the merges in training order) runs as ONE Arrow-batched pandas UDF
+    over the vocabulary, and the corpus-sized side stays JVM: tokenize
+    with position, equi-join the encoded dictionary (broadcast by
+    default — a vocabulary is dim-sized; set ``broadcast_vocab=False``
+    for pathological vocabularies), regroup per document with an
+    in-row sort, flatten.  One corpus shuffle (the regroup); the
+    encode cost is O(vocabulary), not O(corpus).
+
+    Parity contract (pinned by tests/test_bpe.py): for every word of
+    the training corpus, ``bpe_encode`` with the learned merges
+    reproduces ``bpe_train``'s final symbol sequences exactly."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    ranks = {(a, b): i for i, (a, b, _f) in enumerate(merges)}
+
+    @pandas_udf("array<string>")
+    def enc(col: pd.Series) -> pd.Series:
+        cache = {}
+
+        def one(word):
+            if word in cache:
+                return cache[word]
+            sym = list(word) + [END]
+            while len(sym) >= 2:
+                best = min(
+                    (r for r in (ranks.get(p)
+                                 for p in zip(sym, sym[1:]))
+                     if r is not None),
+                    default=None)
+                if best is None:
+                    break
+                a, b, _ = merges[best]
+                out, carry = [], None
+                for cur in sym:
+                    if carry == a and cur == b:
+                        out.append(a + b)
+                        carry = None
+                    else:
+                        if carry is not None:
+                            out.append(carry)
+                        carry = cur
+                if carry is not None:
+                    out.append(carry)
+                sym = out
+            cache[word] = sym
+            return sym
+
+        return col.map(one)
+
+    text = F.trim(F.col(text_col))
+    if lowercase:
+        text = F.lower(text)
+    toks = (
+        docs.select(
+            F.col(id_col),
+            F.posexplode(F.split(text, r"\s+")).alias("pos", "word"))
+        .where(F.col("word") != ""))
+    vocab = toks.select("word").distinct().withColumn("toks", enc("word"))
+    if broadcast_vocab:
+        vocab = F.broadcast(vocab)
+    return (
+        toks.join(vocab, "word")
+        .groupBy(id_col)
+        .agg(F.flatten(F.array_sort(F.collect_list(
+            F.struct("pos", "toks"))).getField("toks")).alias("tokens"))
+    )
+
+
 def bpe_train(docs: DataFrame, n_merges: int, text_col: str = "text",
               lowercase: bool = True, checkpoint_every: int = 8,
               ) -> Tuple[List[Tuple[str, str, int]], DataFrame]:

@@ -135,3 +135,31 @@ def test_symbols_always_reconstruct_word(spark):
     # every learned merge is a concatenation with positive support
     for a, b, f in merges:
         assert f >= 1 and a and b
+
+
+def test_encode_matches_training_dictionary(spark):
+    """The rank-order encode loop must reproduce bpe_train's final
+    symbol sequences for every training word, and document token
+    sequences must be the in-order concatenation of their words'
+    encodings."""
+    from claimskg_generator_spark.operators.bpe import bpe_encode
+
+    texts = ["low lower lowest low low",
+             "new newer newest new low",
+             "wide wider widest wide"]
+    sents = _sents(spark, texts)
+    merges, words = bpe_train(sents, n_merges=10)
+    trained = {r["word"]: list(r["symbols"]) for r in words.collect()}
+
+    enc = {r["doc_id"]: list(r["tokens"])
+           for r in bpe_encode(sents, merges).collect()}
+    for doc_id, text in enumerate(texts):
+        expect = []
+        for w in text.split():
+            expect.extend(trained[w])
+        assert enc[doc_id] == expect, doc_id
+    # no-merge encoding degrades to chars + end marker
+    enc0 = {r["doc_id"]: list(r["tokens"])
+            for r in bpe_encode(sents, []).collect()}
+    assert enc0[2] == (list("wide") + [END] + list("wider") + [END]
+                      + list("widest") + [END] + list("wide") + [END])
