@@ -39,7 +39,7 @@ matching SQL division semantics in both engines.
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -79,3 +79,75 @@ def triple_pr(candidate: DataFrame, gold: DataFrame,
         p.alias("precision"), r.alias("recall"),
         F.try_divide(F.lit(2) * p * r, p + r).alias("f1"),
     )
+
+
+def _tokens(col: Column, lowercase: bool) -> Column:
+    t = F.trim(col)
+    if lowercase:
+        t = F.lower(t)
+    return F.filter(F.split(t, r"\s+"), lambda x: x != "")
+
+
+def _ngrams(toks: Column, n: int) -> Column:
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    # sequence(1, 0) DESCENDS in Spark — short inputs must yield []
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>"))
+
+
+def _clipped(cg: Column, rg: Column) -> Column:
+    """sum over distinct candidate grams of min(count in cand, count
+    in ref) — the BLEU modified-precision numerator, exact integers."""
+    return F.aggregate(
+        F.array_distinct(cg), F.lit(0).cast("long"),
+        lambda acc, g: acc + F.least(
+            F.size(F.filter(cg, lambda y: y == g)),
+            F.size(F.filter(rg, lambda y: y == g))))
+
+
+def ngram_overlap(pairs: DataFrame, cand_col: str = "candidate",
+                  ref_col: str = "reference", max_n: int = 2,
+                  lowercase: bool = True) -> DataFrame:
+    """Corpus-level BLEU statistics (Papineni et al., ACL 2002) for
+    aligned (candidate, reference) text pairs — the generated-text
+    quality gate of an LLM data pipeline, scored as ONE row.
+
+    Per pair and per n <= ``max_n``, the clipped n-gram matches
+    (sum over distinct candidate grams of min(candidate count,
+    reference count) — BLEU's modified precision numerator) and the
+    candidate gram totals are computed IN the row with exact integer
+    arithmetic; one combinable global fold sums them with the
+    candidate/reference token lengths, and the modified precisions
+    ``p<n> = clipped_<n> / total_<n>`` are raw IEEE divisions of those
+    integers — engine-replayable like :func:`triple_pr`'s ratios.
+
+    The geometric mean and ``exp(1 - ref_len/cand_len)`` brevity
+    penalty of headline BLEU are NOT emitted: cross-engine ``exp``/
+    ``pow`` carry no bit-level contract, and every input to them
+    (clipped/total counts, both corpus lengths) IS in the output row —
+    callers compose the scalar in one line with their own float
+    policy.  Scale shape: narrow per-row transforms (O(grams²) per
+    row in the clip — document-bounded) and a single one-row
+    aggregate; nothing shuffles but the final fold."""
+    if max_n < 1:
+        raise ValueError(f"max_n must be >= 1, got {max_n}")
+    ct = _tokens(F.col(cand_col), lowercase)
+    rt = _tokens(F.col(ref_col), lowercase)
+    per_row = [F.size(ct).alias("clen"), F.size(rt).alias("rlen")]
+    for n in range(1, max_n + 1):
+        cg = _ngrams(ct, n)
+        rg = _ngrams(rt, n)
+        per_row.append(_clipped(cg, rg).alias(f"clip{n}"))
+        per_row.append(F.size(cg).cast("long").alias(f"tot{n}"))
+    rows = pairs.select(*per_row)
+    aggs = [F.sum("clen").alias("cand_len"),
+            F.sum("rlen").alias("ref_len")]
+    for n in range(1, max_n + 1):
+        aggs.append(F.sum(f"clip{n}").alias(f"clipped_{n}"))
+        aggs.append(F.sum(f"tot{n}").alias(f"total_{n}"))
+    out = rows.agg(*aggs)
+    precs = [F.try_divide(F.col(f"clipped_{n}"), F.col(f"total_{n}"))
+             .alias(f"p{n}") for n in range(1, max_n + 1)]
+    return out.select("*", *precs)

@@ -64,3 +64,56 @@ def test_identical_graphs_perfect_score(spark):
     r = triple_pr(g, g).collect()[0]
     assert r["precision"] == 1.0 and r["recall"] == 1.0
     assert math.isclose(r["f1"], 1.0)
+
+
+def test_ngram_overlap_matches_python_twin(spark):
+    from collections import Counter
+
+    from claimskg_generator_spark.operators.evaluation import (
+        ngram_overlap,
+    )
+
+    rows = [("the cat sat on the mat", "the cat is on the mat"),
+            ("a b", "a b c d"),
+            ("z", "q")]
+    df = spark.createDataFrame(rows, "candidate string, reference string")
+    r = ngram_overlap(df, max_n=2).collect()[0]
+
+    def grams(toks, n):
+        return Counter(" ".join(toks[i:i + n])
+                       for i in range(len(toks) - n + 1))
+
+    exp = {"cand_len": 0, "ref_len": 0, "clipped_1": 0, "total_1": 0,
+           "clipped_2": 0, "total_2": 0}
+    for c, g in rows:
+        ct, rt = c.split(), g.split()
+        exp["cand_len"] += len(ct)
+        exp["ref_len"] += len(rt)
+        for n in (1, 2):
+            cg, rg = grams(ct, n), grams(rt, n)
+            exp[f"clipped_{n}"] += sum(
+                min(v, rg[k]) for k, v in cg.items())
+            exp[f"total_{n}"] += sum(cg.values())
+    for k, v in exp.items():
+        assert r[k] == v, k
+    assert r["p1"] == exp["clipped_1"] / exp["total_1"]
+    assert r["p2"] == exp["clipped_2"] / exp["total_2"]
+
+
+def test_ngram_overlap_short_and_empty_edges(spark):
+    from claimskg_generator_spark.operators.evaluation import (
+        ngram_overlap,
+    )
+
+    # single-token candidate: zero bigrams, never bogus descending
+    # sequence grams; empty candidate: zero everything, NULL p1
+    df = spark.createDataFrame(
+        [("x", "x y"), ("", "y z")],
+        "candidate string, reference string")
+    r = ngram_overlap(df, max_n=2).collect()[0]
+    assert (r["cand_len"], r["total_1"], r["total_2"]) == (1, 1, 0)
+    assert (r["clipped_1"], r["clipped_2"]) == (1, 0)
+    assert r["p2"] is None
+    import pytest as _pt
+    with _pt.raises(ValueError, match="max_n"):
+        ngram_overlap(df, max_n=0)

@@ -990,3 +990,17 @@ def test_bpe_stats_two_combinable_aggregates_no_join(spark):
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2
     assert re.search(r"partial_(count|sum)", plan)
     assert re.search(r"\(\d+\) Generate", plan)
+
+
+def test_ngram_overlap_single_fold_no_join_no_explode(spark):
+    """q150: clipped counts are in-row HOFs — no explode, no join;
+    the only exchange is the one-row global fold (map-side partials
+    first)."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.q150_ngram_overlap_bleu(spark, SF))
+    assert not re.search(r"\(\d+\) \w+Join", plan)
+    assert not re.search(r"EvalPython|PythonUDF", plan)
+    assert not re.search(r"\(\d+\) Generate", plan)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert re.search(r"partial_sum", plan)
