@@ -114,3 +114,60 @@ def rollup_merge(
         .agg(*[_MONOIDS[fn][1](F.col(alias)).alias(alias)
                for alias, fn, _col in specs])
     )
+
+
+def gap_fill(
+    rolled: DataFrame,
+    step: int,
+    keys: Sequence[str],
+    bucket_col: str = "bucket",
+    locf_cols: Sequence[str] = (),
+    zero_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Densify an epoch-second bucketed rollup to a gapless per-key
+    time spine — the `time_bucket_gapfill` face of a hypertable stack:
+    downstream consumers (charting, window features, rate-of-change)
+    need every bucket present, not just the observed ones.
+
+    Per key, the spine is ``sequence(min bucket, max bucket, step)``
+    generated IN the per-key bounds row (one combinable groupBy + one
+    explode — the spine costs O(keys) shuffle rows, not O(buckets)),
+    left-joined back to the observations.  ``filled`` marks generated
+    rows.  Fill policy per column: ``locf_cols`` carry the last
+    observation forward (`F.last(ignorenulls)` per key in bucket
+    order — leading gaps stay NULL, there is nothing to carry);
+    ``zero_cols`` coalesce to 0 (the right fill for counts); anything
+    else stays NULL on gaps.
+
+    Scale shape: one bounds groupBy, one co-keyed left join, and (only
+    when ``locf_cols`` is non-empty) one window exchange per key — the
+    spine explode is in-row.  A key with a pathological bucket range
+    fans out to range/step rows exactly like the real timeline it
+    models; cap the range upstream if that is not intended.
+    """
+    if step <= 0:
+        raise ValueError(f"step must be > 0, got {step}")
+    ks = list(keys)
+    spine = (
+        rolled.groupBy(*ks).agg(
+            F.min(bucket_col).alias("__b0"),
+            F.max(bucket_col).alias("__b1"))
+        .select(*ks, F.explode(F.sequence(
+            "__b0", "__b1", F.lit(step).cast("long"))).alias(bucket_col))
+    )
+    obs = rolled.withColumn("__obs", F.lit(True))
+    out = (
+        spine.join(obs, ks + [bucket_col], "left")
+        .withColumn("filled", F.col("__obs").isNull())
+        .drop("__obs")
+    )
+    if locf_cols:
+        from pyspark.sql import Window
+
+        w = (Window.partitionBy(*ks).orderBy(bucket_col)
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        for c in locf_cols:
+            out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    for c in zero_cols:
+        out = out.withColumn(c, F.coalesce(F.col(c), F.lit(0)))
+    return out

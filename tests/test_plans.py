@@ -1004,3 +1004,19 @@ def test_ngram_overlap_single_fold_no_join_no_explode(spark):
     assert not re.search(r"\(\d+\) Generate", plan)
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
     assert re.search(r"partial_sum", plan)
+
+
+def test_gap_fill_spine_in_row_single_left_join(spark):
+    """q151: the spine explodes from the per-key BOUNDS row (Generate
+    after an aggregate — O(keys) shuffle rows, never a bucket-range
+    relation), then ONE left join back and one per-key window; no
+    cartesian, no Python."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.q151_gap_fill_locf(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert not re.search(r"EvalPython|PythonUDF", plan)
+    joins = re.findall(r"\(\d+\) (\w+Join)", plan)
+    assert len(joins) == 1, joins
+    assert re.search(r"\(\d+\) Generate", plan)
+    assert re.search(r"\(\d+\) Window", plan)

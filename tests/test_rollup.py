@@ -132,3 +132,38 @@ def test_distinct_per_bucket_via_hll_registers_merges(spark):
     counts = {r["bucket"]: r["n"] for r in time_bucket_rollup(
         ev, "ts", 86400, [], _measures()).collect()}
     assert set(counts) == set(w)
+
+
+def test_gap_fill_spine_locf_and_leading_gap(spark):
+    from claimskg_generator_spark.operators.rollup import gap_fill
+
+    rolled = spark.createDataFrame(
+        [("a", 100, 2, 5.0), ("a", 130, 1, 7.0), ("b", 200, 3, 1.0)],
+        "k string, bucket long, n long, v double")
+    out = {(r["k"], r["bucket"]): (r["n"], r["v"], r["filled"])
+           for r in gap_fill(rolled, 10, ["k"], locf_cols=["v"],
+                             zero_cols=["n"]).collect()}
+    # a spans 100..130 -> 4 buckets; b a single bucket
+    assert set(out) == {("a", 100), ("a", 110), ("a", 120), ("a", 130),
+                        ("b", 200)}
+    assert out[("a", 110)] == (0, 5.0, True)   # zero count, LOCF value
+    assert out[("a", 120)] == (0, 5.0, True)
+    assert out[("a", 130)] == (1, 7.0, False)  # observation untouched
+    assert out[("b", 200)] == (3, 1.0, False)
+
+    # a column in neither fill list stays NULL on gaps; a leading gap
+    # has nothing to carry (spine starts at the per-key MIN, so force
+    # one with explicit NULL observations)
+    rolled2 = spark.createDataFrame(
+        [("a", 0, None), ("a", 20, 3.0)],
+        "k string, bucket long, v double")
+    got = {r["bucket"]: (r["v"], r["filled"])
+           for r in gap_fill(rolled2, 10, ["k"],
+                             locf_cols=["v"]).collect()}
+    assert got[0] == (None, False)    # nothing to carry yet
+    assert got[10] == (None, True)
+    assert got[20] == (3.0, False)
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="step"):
+        gap_fill(rolled, 0, ["k"])
