@@ -126,3 +126,53 @@ def bigram_lm_perplexity(documents: DataFrame, alpha: float = 0.1,
     if max_ppl is not None:
         out = out.withColumn("keep", F.col("ppl") <= F.lit(max_ppl))
     return out
+
+
+def kn_bigram_table(documents: DataFrame, discount: float = 0.75,
+                    doc_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Interpolated Kneser-Ney bigram table (Kneser & Ney, ICASSP
+    1995; Chen & Goodman 1998) — the smoothing the add-alpha LM above
+    trades away, built from the SAME slim count frames.
+
+    KN's insight is that the backoff weight of a word should be its
+    CONTINUATION count (how many distinct left contexts it follows),
+    not its frequency: "francisco" is frequent but continues almost
+    nothing.  Every statistic here is one more regroup of the
+    (w1, w2, c12) frame:
+
+    * ``c12``, ``c1`` — bigram and left-context totals,
+    * ``n1p_fw``  — distinct continuations of w1 (N1+(w1, .)),
+    * ``n1p_bw``  — distinct left contexts of w2 (N1+(., w2)),
+    * ``n1p_all`` — distinct bigram count (one-row broadcast),
+
+    and the interpolated probability is the textbook identity
+
+        pkn(w2|w1) = max(c12 - d, 0)/c1 + d * N1+(w1,.)/c1
+                     * (N1+(., w2) / N1+(., .))
+
+    emitted as ONE fixed expression tree over the integer counts — no
+    float accumulates across rows, so both engines produce the
+    bit-identical double (the q145 discipline) and sum_w2 pkn(w2|w1)
+    == 1 exactly up to float associativity (pytest-pinned).
+
+    Scale shape: after doc_bigrams' single corpus explode, everything
+    regroups vocabulary-sized count frames; the w1/w2 joins are slim
+    dimension joins and the grand total rides a one-row broadcast.
+    """
+    if not (0.0 < discount < 1.0):
+        raise ValueError(
+            f"discount must be in (0, 1), got {discount}")
+    bg = doc_bigrams(documents, doc_col, text_col)
+    c12 = bg.groupBy("w1", "w2").agg(F.sum("m").alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"),
+                               F.count(F.lit(1)).alias("n1p_fw"))
+    bw = c12.groupBy("w2").agg(F.count(F.lit(1)).alias("n1p_bw"))
+    tot = c12.agg(F.count(F.lit(1)).alias("n1p_all"))
+    j = c12.join(c1, "w1").join(bw, "w2").crossJoin(F.broadcast(tot))
+    d = float(discount)
+    pkn = (F.greatest(F.col("c12") - d, F.lit(0.0)) / F.col("c1")
+           + F.lit(d) * F.col("n1p_fw") / F.col("c1")
+           * (F.col("n1p_bw") / F.col("n1p_all")))
+    return j.select("w1", "w2", "c12", "c1", "n1p_fw", "n1p_bw",
+                    "n1p_all", pkn.alias("pkn"))

@@ -196,3 +196,56 @@ def test_recognize_plan_is_broadcast_map_side(spark):
     assert "BroadcastNestedLoopJoin" in plan
     big_side = plan.split("BroadcastNestedLoopJoin")[0]
     assert "SortMergeJoin" not in plan
+
+
+def test_kn_bigram_table_counts_and_normalization(spark):
+    """Continuation counts against a hand-computed corpus, and the KN
+    identity sum_w2 pkn(w2|w1) == 1 for every context."""
+    from collections import Counter
+
+    from claimskg_generator_spark.operators.lm import kn_bigram_table
+
+    texts = ["the cat sat", "the dog sat", "a cat ran the cat sat"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)],
+        "doc_id bigint, text string")
+    rows = kn_bigram_table(docs, discount=0.75).collect()
+
+    # python twin of the counts
+    bigrams = Counter()
+    for t in texts:
+        tk = ["<s>"] + t.split()
+        bigrams.update(zip(tk, tk[1:]))
+    fw = Counter(w1 for w1, _ in bigrams)
+    bwc = Counter(w2 for _, w2 in bigrams)
+    c1 = Counter()
+    for (w1, _), c in bigrams.items():
+        c1[w1] += c
+    for r in rows:
+        key = (r["w1"], r["w2"])
+        assert r["c12"] == bigrams[key]
+        assert r["c1"] == c1[r["w1"]]
+        assert r["n1p_fw"] == fw[r["w1"]]
+        assert r["n1p_bw"] == bwc[r["w2"]]
+        assert r["n1p_all"] == len(bigrams)
+
+    # KN normalization: discounted mass + the full backoff mass sums
+    # to 1 per context (seen rows carry lam * their p_cont share; the
+    # remaining lam mass belongs to unseen continuations)
+    for w1 in fw:
+        seen = [r for r in rows if r["w1"] == w1]
+        lam = 0.75 * fw[w1] / c1[w1]
+        p_cont_seen = sum(bwc[r["w2"]] for r in seen) / len(bigrams)
+        total = sum(max(r["c12"] - 0.75, 0) / c1[w1] for r in seen) \
+            + lam * 1.0
+        # sum over seen rows of pkn = discounted mass + lam*p_cont_seen
+        s = sum(r["pkn"] for r in seen)
+        import math
+        assert math.isclose(
+            s, sum(max(r["c12"] - 0.75, 0) / c1[w1] for r in seen)
+            + lam * p_cont_seen, rel_tol=1e-12)
+        assert math.isclose(total, 1.0, rel_tol=1e-12)
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="discount"):
+        kn_bigram_table(docs, discount=1.5)

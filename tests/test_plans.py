@@ -1020,3 +1020,16 @@ def test_gap_fill_spine_in_row_single_left_join(spark):
     assert len(joins) == 1, joins
     assert re.search(r"\(\d+\) Generate", plan)
     assert re.search(r"\(\d+\) Window", plan)
+
+
+def test_kn_table_slim_regroups_one_broadcast(spark):
+    """q152: every statistic is a regroup of the slim bigram count
+    frame; the grand total attaches as a one-row broadcast (a
+    BroadcastNestedLoopJoin over a single row, never a cartesian of
+    data relations); no Python."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.q152_kn_bigram_table(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert not re.search(r"EvalPython|PythonUDF", plan)
+    assert re.search(r"partial_(count|sum)", plan)
