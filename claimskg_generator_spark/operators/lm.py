@@ -130,7 +130,8 @@ def bigram_lm_perplexity(documents: DataFrame, alpha: float = 0.1,
 
 def kn_bigram_table(documents: DataFrame, discount: float = 0.75,
                     doc_col: str = "doc_id",
-                    text_col: str = "text") -> DataFrame:
+                    text_col: str = "text",
+                    persist: bool = True) -> DataFrame:
     """Interpolated Kneser-Ney bigram table (Kneser & Ney, ICASSP
     1995; Chen & Goodman 1998) — the smoothing the add-alpha LM above
     trades away, built from the SAME slim count frames.
@@ -159,12 +160,21 @@ def kn_bigram_table(documents: DataFrame, discount: float = 0.75,
     Scale shape: after doc_bigrams' single corpus explode, everything
     regroups vocabulary-sized count frames; the w1/w2 joins are slim
     dimension joins and the grand total rides a one-row broadcast.
+    ``persist`` (default True) materializes the slim (w1, w2, c12)
+    frame once: FOUR branches consume it (the output join plus the
+    c1/bw/tot regroups) and exchange reuse dedups re-aliased subtrees
+    only partially (see bigram_lm_perplexity's note above) — without
+    it the 100 TB text side can be tokenized once per branch.
     """
     if not (0.0 < discount < 1.0):
         raise ValueError(
             f"discount must be in (0, 1), got {discount}")
     bg = doc_bigrams(documents, doc_col, text_col)
     c12 = bg.groupBy("w1", "w2").agg(F.sum("m").alias("c12"))
+    if persist:
+        from pyspark import StorageLevel
+
+        c12 = c12.persist(StorageLevel.MEMORY_AND_DISK)
     c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"),
                                F.count(F.lit(1)).alias("n1p_fw"))
     bw = c12.groupBy("w2").agg(F.count(F.lit(1)).alias("n1p_bw"))

@@ -123,6 +123,7 @@ def gap_fill(
     bucket_col: str = "bucket",
     locf_cols: Sequence[str] = (),
     zero_cols: Sequence[str] = (),
+    persist: bool = True,
 ) -> DataFrame:
     """Densify an epoch-second bucketed rollup to a gapless per-key
     time spine — the `time_bucket_gapfill` face of a hypertable stack:
@@ -139,21 +140,40 @@ def gap_fill(
     ``zero_cols`` coalesce to 0 (the right fill for counts); anything
     else stays NULL on gaps.
 
-    Scale shape: one bounds groupBy, one co-keyed left join, and (only
-    when ``locf_cols`` is non-empty) one window exchange per key — the
-    spine explode is in-row.  A key with a pathological bucket range
-    fans out to range/step rows exactly like the real timeline it
-    models; cap the range upstream if that is not intended.
+    The spine is the per-key min-anchored step grid UNIONed with the
+    observed buckets, so an observation OFF the grid (a caller whose
+    ``step`` disagrees with how the input was bucketed) is preserved
+    as its own spine row rather than silently dropped — the gapfill
+    densifies, it never loses data.  On grid-aligned input (anything
+    :func:`time_bucket_rollup` produced with the same width) the
+    union is a no-op the dedup collapses.
+
+    Scale shape: one bounds groupBy, the spine dedup, one co-keyed
+    left join, and (only when ``locf_cols`` is non-empty) one window
+    exchange per key — the spine explode is in-row.  ``persist``
+    (default True) materializes the input once: the bounds branch and
+    the observation branch both consume it, and exchange reuse dedups
+    re-aliased subtrees only partially — without it the upstream
+    rollup (and the raw scan under it) can run twice.  A key with a
+    pathological bucket range fans out to range/step rows exactly
+    like the real timeline it models; cap the range upstream if that
+    is not intended.
     """
     if step <= 0:
         raise ValueError(f"step must be > 0, got {step}")
     ks = list(keys)
+    if persist:
+        from pyspark import StorageLevel
+
+        rolled = rolled.persist(StorageLevel.MEMORY_AND_DISK)
     spine = (
         rolled.groupBy(*ks).agg(
             F.min(bucket_col).alias("__b0"),
             F.max(bucket_col).alias("__b1"))
         .select(*ks, F.explode(F.sequence(
             "__b0", "__b1", F.lit(step).cast("long"))).alias(bucket_col))
+        .unionByName(rolled.select(*ks, bucket_col))
+        .distinct()
     )
     obs = rolled.withColumn("__obs", F.lit(True))
     out = (

@@ -167,3 +167,22 @@ def test_gap_fill_spine_locf_and_leading_gap(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="step"):
         gap_fill(rolled, 0, ["k"])
+
+
+def test_gap_fill_preserves_off_grid_observations(spark):
+    """An observation off the min-anchored step grid (caller step
+    disagrees with the input bucketing) stays in the output as its own
+    spine row — the gapfill never loses data."""
+    from claimskg_generator_spark.operators.rollup import gap_fill
+
+    rolled = spark.createDataFrame(
+        [("a", 0, 1.0), ("a", 3600, 2.0), ("a", 90000, 3.0)],
+        "k string, bucket long, v double")
+    out = {r["bucket"]: (r["v"], r["filled"])
+           for r in gap_fill(rolled, 86400, ["k"],
+                             locf_cols=["v"]).collect()}
+    # grid: 0, 86400 (min-anchored); observed off-grid: 3600, 90000
+    assert set(out) == {0, 3600, 86400, 90000}
+    assert out[3600] == (2.0, False)
+    assert out[90000] == (3.0, False)
+    assert out[86400] == (2.0, True)  # LOCF from the 3600 observation
