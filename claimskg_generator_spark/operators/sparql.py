@@ -51,7 +51,8 @@ Grammar (keywords case-insensitive; ``#`` comments allowed)::
     row       := literal | '(' literal+ ')'
     triple    := term path term
     path      := pelt ('+'|'*'|'?') | pelt ( '/' pelt )*
-               | pelt ( '|' pelt )+ | ?var
+               | pelt ( '|' pelt )+ | group ('+'|'*'|'?')? | ?var
+    group     := '(' pelt ( ('/'|'|') pelt )* ')'
     pelt      := '^'? ( <iri> | pfx:local | a )
     term      := ?var | <iri> | pfx:local | "string" | number | a
     expr      := conj ( '||' conj )*
@@ -94,9 +95,23 @@ of the unbounded SPARQL ``+``, exactly the contract of path_closure
 itself; the value oracle replays the same bound as a recursive CTE).
 The closure frame joins the rest of the group on its shared
 variables; a literal endpoint filters the closure result.  Accepted
-only in the required group and only on a single (possibly inverse)
-predicate — ``p+/q`` and ``(p|q)+`` are outside the subset.  A node on
-a cycle reaches itself (real ``p+`` semantics).
+only in the required group; mixing closure with un-grouped ``/`` or
+``|`` (``p+/q``) stays outside the subset.  A node on a cycle reaches
+itself (real ``p+`` semantics).
+
+Modifiers on GROUPED composite paths — ``(p1|p2)+``, ``(p1/p2)+``,
+and their ``*``/``?`` forms, members optionally inverse — compile to
+the SAME closure machinery over a DERIVED step relation
+(:func:`_path_step_edges`): alternation unions the member slivers
+(the undirected closure ``(p|^p)+`` is the idiomatic instance),
+sequence composes them left-to-right through equi-joins, and the
+composed ``(src, dst)`` frame feeds :func:`path_closure` /
+the one-traversal ``?`` form / the §18.4 zero-length union
+unchanged.  Inside a group, one operator only (no ``/``–``|``
+mixing), members carry no modifiers, and a bare group is exactly its
+inner path; a single-member group collapses to the single-predicate
+form.  Endpoints of a grouped closure are NOT pre-swapped (member
+``^`` is honored inside the step relation itself).
 
 ``p*`` and ``p?`` add the zero-length contribution (SPARQL 1.1 §18.4
 ZeroLengthPath): with both endpoints variables, every term of the
@@ -261,9 +276,13 @@ class ParsedQuery:
     binds: List[Tuple[str, tuple]] = field(default_factory=list)
     #: each chain is >= 2 branches, each branch a BGP pattern list
     union_chains: List[List[List[Triple]]] = field(default_factory=list)
-    #: ``p+``/``p*``/``p?`` closure patterns (inverse pre-swapped):
-    #: (s, pred IRI, o, mode) with mode in "plus" | "star" | "opt"
-    closure_patterns: List[Tuple[str, str, str, str]] = \
+    #: ``p+``/``p*``/``p?`` closure patterns: (s, path, o, mode) with
+    #: mode in "plus" | "star" | "opt" and path either a pred IRI
+    #: (single-predicate form, inverse pre-swapped into s/o) or a
+    #: grouped composite ("seq"|"alt", ((inverse, iri), ...)) from
+    #: ``(p1/p2)+`` / ``(p1|p2)+`` (member inverses NOT pre-swapped —
+    #: they live inside the step relation)
+    closure_patterns: List[Tuple[str, object, str, str]] = \
         field(default_factory=list)
     #: negated property sets (SPARQL 1.1 §9.1 PathNegatedPropertySet):
     #: (s, (pred IRI, ...), o) — matches any DEFAULT-graph triple whose
@@ -711,6 +730,15 @@ class _Parser:
                     "path-modifier patterns (p+/p*/p?) need at least "
                     f"one variable endpoint: {cs!r} {p} {co!r}")
             return [], None, (cs, p, co, kind)
+        if kind in ("gplus", "gstar", "gopt"):
+            # grouped composite closure: endpoints stay as written —
+            # member inverses live inside the step relation, so there
+            # is no whole-pattern pre-swap
+            if not (s.startswith("?") or o.startswith("?")):
+                raise SparqlSyntaxError(
+                    "path-modifier patterns need at least one "
+                    f"variable endpoint: {s!r} (...) {o!r}")
+            return [], None, (s, elts, o, kind[1:])
         if kind == "alt":
             branches = [[(o, p, s) if inv else (s, p, o)]
                         for inv, p in elts]
@@ -757,6 +785,8 @@ class _Parser:
                     "path operator in the subset")
             self._no_path_var(elts)
             return "nps", elts
+        if self.peek() == "(":
+            return self._path_group()
         first = self._path_elt()
         if self.peek() in self._MODS:
             mode = self._MODS[self.next()]
@@ -796,6 +826,55 @@ class _Parser:
         if first[0]:
             self._no_path_var([first])
         return "seq", [first]
+
+    def _path_group(self):
+        """``'(' pelt (('/'|'|') pelt)* ')' ('+'|'*'|'?')?`` — a
+        grouped composite path.  With a trailing modifier the group
+        becomes a closure pattern over its COMPOSED step relation:
+        returns ``("gplus"|"gstar"|"gopt", ("seq"|"alt", elts))``
+        (single-member groups collapse to the single-predicate
+        ``("plus"|..., [elt])`` form).  A bare group is exactly its
+        inner path.  Mixing ``/`` and ``|`` inside one group,
+        modifiers on group MEMBERS, and composing a group with any
+        further path operator stay outside the subset — rejected
+        loudly, never misplanned."""
+        self.expect("(")
+        elts = [self._path_elt()]
+        op = None
+        while self.peek() in ("/", "|"):
+            if op is None:
+                op = self.peek()
+            elif self.peek() != op:
+                raise SparqlSyntaxError(
+                    "mixing / and | inside one path group is outside "
+                    "the subset — nest as separate patterns")
+            self.next()
+            elts.append(self._path_elt())
+            if self.peek() in ("+", "*", "?"):
+                raise SparqlSyntaxError(
+                    "modifiers on path-group members are outside the "
+                    "subset — the modifier goes after the closing ')'")
+        if self.peek() in ("+", "*", "?") and len(elts) == 1:
+            raise SparqlSyntaxError(
+                "modifiers on path-group members are outside the "
+                "subset — the modifier goes after the closing ')'")
+        self.expect(")")
+        self._no_path_var(elts)
+        ikind = "alt" if op == "|" else "seq"
+        if self.peek() in self._MODS:
+            mode = self._MODS[self.next()]
+            if self.peek() in ("/", "|", "+", "*", "?"):
+                raise SparqlSyntaxError(
+                    "a modified path group composes with no other "
+                    "path operator in the subset")
+            if len(elts) == 1:
+                return mode, elts          # (p)+ == p+ / (^p)* == ^p*
+            return "g" + mode, (ikind, tuple(elts))
+        if self.peek() in ("/", "|"):
+            raise SparqlSyntaxError(
+                "a bare path group composes with no other path "
+                "operator in the subset")
+        return ikind, elts                 # bare group == its inner path
 
     def _path_elt(self) -> Tuple[bool, str]:
         inv = False
@@ -1163,14 +1242,12 @@ def _bindings(triples: DataFrame, q: ParsedQuery,
                            False))
         for (cs, cp, co, mode) in q.closure_patterns:
             dg = _default_graph(triples)
-            if mode == "opt":      # p? — at most one hop: the sliver
-                pairs = (dg.where(F.col("pred") == cp)
-                         .select(F.col("subj").alias("src"),
-                                 F.col("obj").alias("dst")))
-            else:                  # p+ / p* — semi-naive closure
+            step = _path_step_edges(dg, cp)
+            if mode == "opt":      # p? / (group)? — one traversal
+                pairs = step
+            else:                  # + / * — semi-naive closure
                 pairs = path_closure(
-                    edges_from_triples(dg, cp),
-                    max_hops=closure_hops).select("src", "dst")
+                    step, max_hops=closure_hops).select("src", "dst")
             # zero-length contribution (SPARQL 1.1 §18.4
             # ZeroLengthPath) for p* / p?: every graph term reaches
             # itself; a constant endpoint matches itself uncondition-
@@ -1509,6 +1586,46 @@ def edges_from_triples(triples: DataFrame, pred: str) -> DataFrame:
         .select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
         .distinct()
     )
+
+
+def _path_step_edges(triples: DataFrame, path) -> DataFrame:
+    """ONE traversal of a closure pattern's path as a distinct
+    ``(src, dst)`` edge frame — the input :func:`path_closure` walks.
+
+    ``path`` is a predicate IRI (``str`` — the single-predicate
+    sliver, via :func:`edges_from_triples`) or a grouped composite
+    ``("alt" | "seq", ((inverse, iri), ...))`` from the parser's
+    ``(p1|p2)+`` / ``(p1/p2)+`` forms.  Alternation unions the member
+    slivers (each a pushdown-filtered scan of one predicate; inverse
+    members read swapped — ``(p|^p)+`` is the idiomatic undirected
+    closure); sequence composes members left-to-right through
+    equi-joins on the chain endpoint, projecting intermediate nodes
+    away per step so the frame stays two columns throughout.  Each
+    join's sides are single-predicate slivers, so Catalyst/AQE
+    broadcasts the small one; the final distinct makes the step a SET
+    relation (closure semantics are path-existence, not path-count —
+    and it is what keeps the iteration's frontier bounded by pairs,
+    not by path multiplicity)."""
+    if isinstance(path, str):
+        return edges_from_triples(triples, path)
+    kind, elts = path
+
+    def sliver(inv: bool, p: str) -> DataFrame:
+        e = triples.filter(F.col("pred") == p)
+        s, o = ("obj", "subj") if inv else ("subj", "obj")
+        return e.select(F.col(s).alias("src"), F.col(o).alias("dst"))
+
+    frames = [sliver(i, p) for i, p in elts]
+    if kind == "alt":
+        return reduce(DataFrame.unionAll, frames).distinct()
+    cur = frames[0]
+    for n, nxt in enumerate(frames[1:]):
+        hop = nxt.select(F.col("src").alias(f"__h{n}"),
+                         F.col("dst").alias(f"__d{n}"))
+        cur = (cur.join(hop, cur["dst"] == hop[f"__h{n}"])
+               .select(cur["src"].alias("src"),
+                       hop[f"__d{n}"].alias("dst")))
+    return cur.distinct()
 
 
 def path_closure(edges: DataFrame, max_hops: int,

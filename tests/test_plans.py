@@ -1033,3 +1033,48 @@ def test_kn_table_slim_regroups_one_broadcast(spark):
     assert "CartesianProduct" not in plan
     assert not re.search(r"EvalPython|PythonUDF", plan)
     assert re.search(r"partial_(count|sum)", plan)
+
+
+def test_group_path_step_union_of_slivers(spark):
+    """q153: the grouped (p|^p)+ step relation is a union of two
+    pushdown-filtered predicate slivers — no cartesian, no Python;
+    the closure output reaches the label pattern through hash joins.
+    (path_closure localCheckpoints, so we pin the STEP frame.)"""
+    from claimskg_generator_spark.operators.sparql import (
+        _path_step_edges,
+    )
+    import __spark_entry__ as e
+
+    files = e._code_files(spark, SF)
+    from claimskg_generator_spark.operators.code_kg import (
+        repo_dep_triples,
+    )
+
+    g = repo_dep_triples(files).select("subj", "pred", "obj")
+    p = "http://example.org/code#dependsOnRepo"
+    step = _path_step_edges(g, ("alt", ((False, p), (True, p))))
+    plan = _plan(step)
+    assert "CartesianProduct" not in plan
+    assert not re.search(r"EvalPython|PythonUDF", plan)
+    assert re.search(r"\(\d+\) Union", plan)
+    # seq composition: one equi-join per extra member, never cartesian
+    step2 = _plan(_path_step_edges(
+        g, ("seq", ((False, p), (False, p)))))
+    assert "CartesianProduct" not in step2
+    assert re.search(r"\(\d+\) (BroadcastHash|SortMerge)Join", step2)
+
+
+def test_kg_train_pairs_equi_join_filtered_anti(spark):
+    """q154: slot fan-out is an in-row Generate, the entity lookup an
+    equi hash join on the dense index, the filtered protocol ONE
+    left-anti join — no cartesian beyond the broadcast one-row E
+    total, no Python."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.q154_kg_train_pairs(spark, SF))
+    assert not re.search(r"EvalPython|PythonUDF", plan)
+    assert re.search(r"\(\d+\) Generate", plan)
+    assert re.search(r"LeftAnti", plan)
+    # the only cartesian-ish node is the broadcast nested loop over
+    # the ONE-ROW max(idx) aggregate
+    assert "CartesianProduct" not in plan

@@ -762,10 +762,10 @@ def test_plus_path_in_ask_and_construct(chain_g):
 
 def test_plus_path_rejections(chain_g):
     for bad in [
-        # (p* / p? are supported since q137 — see the star/opt tests)
+        # (p* / p? are supported since q137, grouped (p1|p2)+ since
+        # q153 — see the star/opt and grouped-path tests)
         "SELECT ?s WHERE { ?s <p>/<q>+ ?t }",
         "SELECT ?s WHERE { ?s <p>+/<q> ?t }",
-        "SELECT ?s WHERE { ?s (<p>|<q>)+ ?t }",
         'SELECT ?s WHERE { "a" <p>+ "d" }',
         "SELECT ?s WHERE { ?s ?v+ ?t }",
         "SELECT ?l WHERE { OPTIONAL { ?s <p>+ ?t } . ?s <label> ?l }",
@@ -1125,6 +1125,147 @@ def test_nps_rejections(g):
         ("SELECT ?v WHERE { <f1> !<lang> <x> }",
          "at least one variable"),
         ('SELECT ?v WHERE { OPTIONAL { ?f !<a> ?v } . '
+         '?f <lang> "go" }', "required group"),
+    ]:
+        with pytest.raises(SparqlSyntaxError, match=msg):
+            sparql_select(g, bad).collect()
+
+
+# ------------------------------------------- grouped composite paths
+
+
+@pytest.fixture(scope="module")
+def two_pred_g(spark):
+    rows = [("a", "p", "b", "uri"), ("b", "q", "c", "uri"),
+            ("c", "p", "d", "uri"), ("d", "q", "e", "uri"),
+            ("e", "r", "f", "uri")]
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _py_closure(edges, hops=8):
+    clo = set(edges)
+    for _ in range(hops - 1):
+        clo |= {(a, d) for (a, b) in clo for (c, d) in edges if b == c}
+    return clo
+
+
+def test_group_alt_plus_undirected(chain_g):
+    # (p|^p)+ == closure of the symmetrized edge set — every node on
+    # an edge reaches itself through edge + inverse
+    fwd = {("a", "b"), ("b", "c"), ("c", "d"), ("x", "x")}
+    und = fwd | {(o, s) for (s, o) in fwd}
+    got = sorted(tuple(r) for r in sparql_select(
+        chain_g, "SELECT ?s ?t WHERE { ?s (<p>|^<p>)+ ?t }").collect())
+    assert got == sorted(_py_closure(und))
+
+
+def test_group_alt_plus_two_preds(two_pred_g):
+    edges = {("a", "b"), ("c", "d"),            # p
+             ("b", "c"), ("d", "e")}            # q
+    got = sorted(tuple(r) for r in sparql_select(
+        two_pred_g,
+        "SELECT ?s ?t WHERE { ?s (<p>|<q>)+ ?t }").collect())
+    assert got == sorted(_py_closure(edges))
+
+
+def test_group_seq_plus(two_pred_g):
+    # (p/q)+ — step = p∘q: (a,c) and (c,e); closure adds (a,e)
+    got = sorted(tuple(r) for r in sparql_select(
+        two_pred_g,
+        "SELECT ?s ?t WHERE { ?s (<p>/<q>)+ ?t }").collect())
+    assert got == [("a", "c"), ("a", "e"), ("c", "e")]
+
+
+def test_group_seq_with_inverse_member(two_pred_g):
+    # (p/^q) — step = p then q walked backwards: a-p->b, b<-q nothing;
+    # c-p->d, d<-q... q edges are (b,c),(d,e): ^q maps c->b, e->d
+    got = sorted(tuple(r) for r in sparql_select(
+        two_pred_g,
+        "SELECT ?s ?t WHERE { ?s (<q>/^<q>) ?t }").collect())
+    # q then ^q: b->c->b, d->e->d
+    assert got == [("b", "b"), ("d", "d")]
+
+
+def test_group_opt_one_traversal_plus_zero(two_pred_g):
+    # (p/q)? from a literal subject: itself plus ONE composed hop
+    got = sorted(r["t"] for r in sparql_select(
+        two_pred_g, 'SELECT ?t WHERE { "a" (<p>/<q>)? ?t }').collect())
+    assert got == ["a", "c"]
+
+
+def test_group_star_zero_length_literal_subject(two_pred_g):
+    # (p|q)* from "e": e reaches itself unconditionally; r not in set
+    got = sorted(r["t"] for r in sparql_select(
+        two_pred_g, 'SELECT ?t WHERE { "e" (<p>|<q>)* ?t }').collect())
+    assert got == ["e"]
+
+
+def test_group_star_var_var_includes_term_domain(two_pred_g):
+    # ?s (p|q)* ?s == every graph term (SPARQL 1.1 §18.4)
+    got = sorted(r["s"] for r in sparql_select(
+        two_pred_g, "SELECT ?s WHERE { ?s (<p>|<q>)* ?s }").collect())
+    assert got == ["a", "b", "c", "d", "e", "f"]
+
+
+def test_group_plus_joins_other_patterns(chain_g):
+    got = sorted(tuple(r) for r in sparql_select(
+        chain_g,
+        'SELECT ?s ?l WHERE { ?s (<p>|^<p>)+ "d" . ?s <label> ?l }'
+    ).collect())
+    assert got == [("a", "A"), ("b", "B"), ("c", "C"), ("d", "D")]
+
+
+def test_group_single_member_collapses_to_plain_form(chain_g):
+    # (p)+ parses to the single-predicate closure pattern (str path)
+    q = parse_sparql("SELECT ?s ?t WHERE { ?s (<p>)+ ?t }")
+    assert q.closure_patterns == [("?s", "p", "?t", "plus")]
+    # (^p)* pre-swaps endpoints exactly like ^p*
+    q = parse_sparql("SELECT ?s ?t WHERE { ?s (^<p>)* ?t }")
+    assert q.closure_patterns == [("?t", "p", "?s", "star")]
+    a = sorted(map(tuple, sparql_select(
+        chain_g, "SELECT ?s ?t WHERE { ?s (<p>)+ ?t }").collect()))
+    b = sorted(map(tuple, sparql_select(
+        chain_g, "SELECT ?s ?t WHERE { ?s <p>+ ?t }").collect()))
+    assert a == b
+
+
+def test_group_multi_member_ast_shape():
+    q = parse_sparql("SELECT ?s ?t WHERE { ?s (<p>|^<q>)+ ?t }")
+    assert q.closure_patterns == [
+        ("?s", ("alt", ((False, "p"), (True, "q"))), "?t", "plus")]
+    q = parse_sparql("SELECT ?s ?t WHERE { ?s (<p>/<q>)* ?t }")
+    assert q.closure_patterns == [
+        ("?s", ("seq", ((False, "p"), (False, "q"))), "?t", "star")]
+
+
+def test_bare_group_is_inner_path(two_pred_g):
+    # (p/q) == p/q (hidden-var sequence); (p|q) == p|q (union chain)
+    a = sorted(map(tuple, sparql_select(
+        two_pred_g, "SELECT ?s ?t WHERE { ?s (<p>/<q>) ?t }").collect()))
+    b = sorted(map(tuple, sparql_select(
+        two_pred_g, "SELECT ?s ?t WHERE { ?s <p>/<q> ?t }").collect()))
+    assert a == b == [("a", "c"), ("c", "e")]
+    a = sorted(map(tuple, sparql_select(
+        two_pred_g, "SELECT ?s ?t WHERE { ?s (<p>|<q>) ?t }").collect()))
+    b = sorted(map(tuple, sparql_select(
+        two_pred_g, "SELECT ?s ?t WHERE { ?s <p>|<q> ?t }").collect()))
+    assert a == b
+
+
+def test_group_path_rejections(g):
+    for bad, msg in [
+        ("SELECT ?s WHERE { ?s (<p>+/<q>) ?o }", "group members"),
+        ("SELECT ?s WHERE { ?s (<p>/<q>+) ?o }", "group members"),
+        ("SELECT ?s WHERE { ?s (<p>+) ?o }", "group members"),
+        ("SELECT ?s WHERE { ?s (<p>/<q>|<r>)+ ?o }", "mixing / and |"),
+        ("SELECT ?s WHERE { ?s (<p>|<q>)+/<r> ?o }",
+         "composes with no other"),
+        ("SELECT ?s WHERE { ?s (<p>/<q>)/<r> ?o }",
+         "bare path group"),
+        ("SELECT ?s WHERE { ?s (?v|<q>)+ ?o }", "not variables"),
+        ("SELECT ?s WHERE { <a> (<p>/<q>)+ <b> }",
+         "variable endpoint"),
+        ('SELECT ?v WHERE { OPTIONAL { ?f (<p>|<q>)+ ?v } . '
          '?f <lang> "go" }', "required group"),
     ]:
         with pytest.raises(SparqlSyntaxError, match=msg):
