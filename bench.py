@@ -246,6 +246,16 @@ BENCH_QUERIES = [
     # policy's aggregate analog — same shuffle family as the untimed
     # q122).
     "q145_kg_triple_pr",
+    # KG-embedding + structure wave (q153-q155): q154 builds the dense
+    # entity index over the full uri-triple set and pays the filtered
+    # protocol's left-anti join against it — data-wide twice.  q155
+    # runs two WL rounds, each two graph-wide equi-joins + a
+    # groupBy(node) — the pagerank shuffle profile, timed for the same
+    # reason q55 is.  q153's closure walks the repo-repo deps sliver
+    # and stays untimed (q101 sliver policy, same as q124/q137's plus
+    # face... q137 is timed only for its zero-length term-domain scan).
+    "q154_kg_train_pairs",
+    "q155_kg_wl_roles",
 ]
 
 # The 13-query round-2 headline set: its subtotal is reported alongside the

@@ -888,3 +888,101 @@ def biased_random_walks(edges: DataFrame, walk_length: int,
         if step % checkpoint_every == 0:
             walks = walks.localCheckpoint(eager=False)
     return walks.select("start", "walk_idx", "walk", "n_nodes")
+
+
+def wl_colors(triples: DataFrame, n_iters: int = 2,
+              checkpoint_every: int = 3) -> DataFrame:
+    """1-dimensional Weisfeiler-Leman color refinement over a triple
+    graph: ``(node, color)`` rows where ``color`` is the node's
+    structural-role fingerprint after ``n_iters`` rounds — the
+    classic graph-isomorphism refinement (Weisfeiler & Leman 1968;
+    the WL-kernel of Shervashidze et al. 2011) as a distributed
+    fixed-depth iteration.
+
+    Every node starts with the SAME color (``md5('')`` — pure
+    structure, no identity), and each round rehashes a node's color
+    together with the SORTED multiset of its incident
+    ``direction:predicate:neighbor-color`` messages (both directions,
+    predicate-labeled — the RDF form of the WL message).  Two nodes
+    share a color after k rounds iff their k-hop neighborhood
+    unfoldings agree, so the colors are structural ROLE ids:
+    blank-node-safe canonical labels, graph-kernel features, and the
+    per-node half of :func:`wl_fingerprint`.  Everything is md5 over
+    canonically-ordered strings — engine-replayable (driver q155
+    unrolls the rounds as DuckDB CTEs with ordered string_agg).
+
+    Scale shape per round: two co-partitioned equi-joins (edge ⨝
+    colors, once per direction) + one groupBy(node) whose state is
+    the sorted message list — the PageRank shuffle profile
+    (components.pagerank:311); the edge frame persists once; color
+    lineage truncates every ``checkpoint_every`` rounds.  Message
+    lists are bounded by node degree: for 100 TB graphs cap
+    super-hub degree upstream (the q122 hub-overflow discipline) —
+    the hash is exact for every node whose messages fit.
+
+    The reference has no analog (its graph lives in rdflib); this is
+    part of the KG-publication family (graph diff/versioning:
+    triple_diff tells you WHAT changed, wl_fingerprint whether two
+    anonymized/relabeled graphs are structurally equal)."""
+    if n_iters < 1:
+        raise ValueError(f"n_iters must be >= 1, got {n_iters}")
+    e = (triples.select("subj", "pred", "obj")
+         .persist(StorageLevel.MEMORY_AND_DISK))
+    nodes = (e.select(F.col("subj").alias("node"))
+             .unionAll(e.select(F.col("obj").alias("node")))
+             .distinct())
+    colors = nodes.withColumn("color", F.md5(F.lit("")))
+    for i in range(1, n_iters + 1):
+        cd = colors.select(F.col("node").alias("__n"),
+                           F.col("color").alias("__c"))
+        out_msgs = (
+            e.join(cd, e["obj"] == cd["__n"])
+            .select(F.col("subj").alias("node"),
+                    F.concat_ws(":", F.lit("o"), F.col("pred"),
+                                F.col("__c")).alias("msg")))
+        in_msgs = (
+            e.join(cd, e["subj"] == cd["__n"])
+            .select(F.col("obj").alias("node"),
+                    F.concat_ws(":", F.lit("i"), F.col("pred"),
+                                F.col("__c")).alias("msg")))
+        msgs = (out_msgs.unionAll(in_msgs)
+                .groupBy("node")
+                .agg(F.concat_ws(
+                    ",", F.sort_array(F.collect_list("msg")))
+                    .alias("__m")))
+        colors = (colors.join(msgs, "node", "left")
+                  .select("node",
+                          F.md5(F.concat_ws(
+                              "#", F.col("color"),
+                              F.coalesce(F.col("__m"), F.lit(""))))
+                          .alias("color")))
+        if i % checkpoint_every == 0:
+            colors = colors.localCheckpoint(eager=True)
+    out = colors.localCheckpoint(eager=True)
+    e.unpersist()
+    return out
+
+
+def wl_fingerprint(triples: DataFrame, n_iters: int = 2) -> DataFrame:
+    """One-row isomorphism-invariant graph fingerprint from
+    :func:`wl_colors`: ``(n_nodes, n_roles, xor_h, sum_h)`` — node
+    count, distinct WL colors, and the xor / exact-decimal sum of the
+    60-bit color hashes.  Equal fingerprints <=> equal WL color
+    MULTISETS (up to hash collision), which relabeled-but-isomorphic
+    graphs preserve and any structural change breaks.
+
+    The multiset is folded COMMUTATIVELY (xor + sum of per-node
+    hashes — the connected_components convergence-probe discipline at
+    components.py:104), never a sorted global concat: the fold is
+    map-side combinable and mergeable across shards, so the
+    fingerprint costs one aggregate over the color frame at any
+    scale.  ``sum_h`` is an exact decimal (DuckDB replays it as
+    HUGEINT; emitted as a string so both engines compare bytes)."""
+    colors = wl_colors(triples, n_iters=n_iters)
+    h = F.conv(F.substring(F.col("color"), 1, 15), 16, 10).cast("long")
+    return (colors.select(F.col("color"), h.alias("__h"))
+            .agg(F.count("*").alias("n_nodes"),
+                 F.countDistinct("color").alias("n_roles"),
+                 F.bit_xor("__h").alias("xor_h"),
+                 F.sum(F.col("__h").cast("decimal(38,0)"))
+                 .cast("decimal(38,0)").cast("string").alias("sum_h")))

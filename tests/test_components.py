@@ -711,3 +711,102 @@ def test_biased_walks_sink_and_guards(spark):
         biased_random_walks(df, 2, 1, w_return=0)
     with pytest.raises(ValueError, match="node2vec p/q"):
         biased_random_walks(df, 2, 1, w_outward=0.5)
+
+
+# --------------------------------------------------- WL refinement
+
+
+def _wl_py(rows, n_iters=2):
+    import hashlib
+
+    def h(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    nodes = {s for s, _, _ in rows} | {o for _, _, o in rows}
+    color = {v: h("") for v in nodes}
+    for _ in range(n_iters):
+        msgs = {v: [] for v in nodes}
+        for (s, p, o) in rows:
+            msgs[s].append(f"o:{p}:{color[o]}")
+            msgs[o].append(f"i:{p}:{color[s]}")
+        color = {v: h(color[v] + "#" + ",".join(sorted(msgs[v])))
+                 for v in nodes}
+    return color
+
+
+def test_wl_colors_match_python_twin(spark):
+    from claimskg_generator_spark.operators.components import wl_colors
+
+    rows = [("a", "p", "b"), ("b", "p", "c"), ("c", "q", "a"),
+            ("d", "p", "a")]
+    df = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    got = {r["node"]: r["color"] for r in wl_colors(df, 2).collect()}
+    assert got == _wl_py(rows, 2)
+
+
+def test_wl_roles_distinguish_path_positions(spark):
+    from claimskg_generator_spark.operators.components import wl_colors
+
+    # path a->b->c: after 2 rounds the two ends differ from the middle
+    # and from each other (head has only out, tail only in)
+    df = spark.createDataFrame(
+        [("a", "p", "b"), ("b", "p", "c")],
+        "subj string, pred string, obj string")
+    got = {r["node"]: r["color"] for r in wl_colors(df, 2).collect()}
+    assert len({got["a"], got["b"], got["c"]}) == 3
+
+
+def test_wl_fingerprint_isomorphism_invariant(spark):
+    from claimskg_generator_spark.operators.components import (
+        wl_fingerprint,
+    )
+
+    rows = [("a", "p", "b"), ("b", "p", "c"), ("c", "q", "a")]
+    iso = [("x", "p", "y"), ("y", "p", "z"), ("z", "q", "x")]
+    schema = "subj string, pred string, obj string"
+    f1 = wl_fingerprint(spark.createDataFrame(rows, schema)).collect()[0]
+    f2 = wl_fingerprint(spark.createDataFrame(iso, schema)).collect()[0]
+    assert tuple(f1) == tuple(f2)
+    # a structural change (extra edge) breaks it
+    f3 = wl_fingerprint(spark.createDataFrame(
+        rows + [("a", "p", "c")], schema)).collect()[0]
+    assert tuple(f3) != tuple(f1)
+    assert f3["n_nodes"] == 3 and f1["n_nodes"] == 3
+
+
+def test_wl_fingerprint_fold_matches_colors(spark):
+    from claimskg_generator_spark.operators.components import (
+        wl_colors,
+        wl_fingerprint,
+    )
+    from functools import reduce
+
+    rows = [("a", "p", "b"), ("b", "q", "c"), ("d", "p", "b")]
+    df = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    colors = [r["color"] for r in wl_colors(df, 2).collect()]
+    hs = [int(c[:15], 16) for c in colors]
+    fp = wl_fingerprint(df, 2).collect()[0]
+    assert fp["n_nodes"] == len(colors)
+    assert fp["n_roles"] == len(set(colors))
+    assert fp["xor_h"] == reduce(lambda a, b: a ^ b, hs)
+    assert fp["sum_h"] == str(sum(hs))
+
+
+def test_wl_refinement_is_monotone(spark):
+    from claimskg_generator_spark.operators.components import wl_colors
+
+    rows = [("a", "p", "b"), ("b", "p", "c"), ("c", "p", "d"),
+            ("d", "p", "e"), ("x", "p", "b")]
+    df = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    n = [len({r["color"] for r in wl_colors(df, k).collect()})
+         for k in (1, 2, 3)]
+    assert n[0] <= n[1] <= n[2]
+
+
+def test_wl_validation(spark):
+    from claimskg_generator_spark.operators.components import wl_colors
+
+    df = spark.createDataFrame(
+        [("a", "p", "b")], "subj string, pred string, obj string")
+    with pytest.raises(ValueError, match="n_iters"):
+        wl_colors(df, 0)

@@ -1078,3 +1078,44 @@ def test_kg_train_pairs_equi_join_filtered_anti(spark):
     # the only cartesian-ish node is the broadcast nested loop over
     # the ONE-ROW max(idx) aggregate
     assert "CartesianProduct" not in plan
+
+
+def test_wl_colors_pagerank_shuffle_profile(spark):
+    """q155: each WL round is two equi hash joins (one per direction)
+    + one groupBy whose state is the sorted message list — no
+    cartesian, no Python, in-row sort_array (never a window sort).
+    wl_colors localCheckpoints its output (lineage truncation), so
+    the round shape is pinned by replaying ONE round inline with the
+    same expressions."""
+    import __spark_entry__ as e
+    from claimskg_generator_spark.operators.code_kg import code_triples
+
+    files = e._code_files(spark, SF)
+    g = (code_triples(files).where(F.col("okind") == "uri")
+         .select("subj", "pred", "obj"))
+    nodes = (g.select(F.col("subj").alias("node"))
+             .unionAll(g.select(F.col("obj").alias("node"))).distinct())
+    colors = nodes.withColumn("color", F.md5(F.lit("")))
+    cd = colors.select(F.col("node").alias("__n"),
+                       F.col("color").alias("__c"))
+    msgs = (
+        g.join(cd, g["obj"] == cd["__n"])
+        .select(F.col("subj").alias("node"),
+                F.concat_ws(":", F.lit("o"), "pred", "__c").alias("msg"))
+        .unionAll(
+            g.join(cd, g["subj"] == cd["__n"])
+            .select(F.col("obj").alias("node"),
+                    F.concat_ws(":", F.lit("i"), "pred",
+                                "__c").alias("msg")))
+        .groupBy("node")
+        .agg(F.concat_ws(",", F.sort_array(F.collect_list("msg")))
+             .alias("__m")))
+    rnd = colors.join(msgs, "node", "left").select(
+        "node", F.md5(F.concat_ws("#", "color",
+                                  F.coalesce("__m", F.lit(""))))
+        .alias("color"))
+    plan = _plan(rnd)
+    assert "CartesianProduct" not in plan
+    assert not re.search(r"EvalPython|PythonUDF", plan)
+    assert re.search(r"\(\d+\) (BroadcastHash|SortMerge)Join", plan)
+    assert "sort_array" in plan and "Window" not in plan
