@@ -986,3 +986,96 @@ def wl_fingerprint(triples: DataFrame, n_iters: int = 2) -> DataFrame:
                  F.bit_xor("__h").alias("xor_h"),
                  F.sum(F.col("__h").cast("decimal(38,0)"))
                  .cast("decimal(38,0)").cast("string").alias("sum_h")))
+
+
+def shortest_paths(edges: DataFrame, sources: DataFrame,
+                   n_rounds: Optional[int] = None, max_rounds: int = 50,
+                   src: str = "src", dst: str = "dst",
+                   weight: str = "w", directed: bool = True,
+                   checkpoint_every: int = 5) -> DataFrame:
+    """Multi-source WEIGHTED shortest paths — frontier-only
+    Bellman-Ford (semi-naive relaxation): ``(node, dist)`` with the
+    minimal path weight from any source, the weighted twin of
+    :func:`bfs_layers` (supply-chain latency/cost radius where hop
+    count is not the metric).
+
+    Weights must be NON-NEGATIVE INTEGERS (cast to long; exact
+    arithmetic — the engine's no-float-accumulation discipline: scale
+    rational costs upstream).  Negative weights are a contract
+    violation this function does not detect (a fixed-round run still
+    returns the exact min over ``<= n_rounds``-edge paths, but
+    convergence mode may stop early of the true fixpoint).
+
+    After round k, ``dist`` is EXACTLY ``min`` over paths of
+    ``<= k`` edges — so ``n_rounds`` fixed pins the depth (the
+    q83/q55 fixed-iteration pattern, replayable by a bounded
+    recursive-CTE twin: min over the hop-bounded walk — driver
+    q156); ``n_rounds=None`` relaxes until NO distance improves
+    (one tiny isEmpty probe per round), giving up loudly after
+    ``max_rounds``.
+
+    Scale shape per round: one frontier ⋈ edges equi-join, one
+    map-side-combinable groupBy(node) min over the candidate
+    relaxations, one left join against the current dist frame to
+    keep IMPROVEMENTS only (the semi-naive delta — re-relaxing
+    settled nodes is what naive BF wastes), then an anti-join +
+    union to fold improvements into dist; frontier = improvements,
+    so work is proportional to the wavefront, not the graph.
+    Lineage truncates every ``checkpoint_every`` rounds.  Sources
+    report dist 0 even when isolated."""
+    if n_rounds is not None and n_rounds < 0:
+        raise ValueError(f"n_rounds must be >= 0, got {n_rounds}")
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"),
+                     F.col(weight).cast("long").alias("w"))
+    if not directed:
+        e = e.unionAll(e.select(F.col("v").alias("u"),
+                                F.col("u").alias("v"), F.col("w")))
+    e = e.persist(StorageLevel.MEMORY_AND_DISK)
+
+    dist = (sources.select(F.col(sources.columns[0]).alias("node"))
+            .distinct()
+            .withColumn("dist", F.lit(0).cast("long"))
+            .persist(StorageLevel.MEMORY_AND_DISK))
+    frontier = dist
+    cached = [e, dist]
+    rounds = n_rounds if n_rounds is not None else max_rounds
+    converged = n_rounds is not None
+    for r in range(1, rounds + 1):
+        # frontier carries e in its lineage after round 1 — rename its
+        # columns and resolve by name so the relaxation join is never
+        # an ambiguous self-join
+        fr = frontier.select(F.col("node").alias("__fn"),
+                             F.col("dist").alias("__fd"))
+        cand = (
+            fr.join(e, F.col("__fn") == F.col("u"))
+            .select(F.col("v").alias("node"),
+                    (F.col("__fd") + F.col("w")).alias("d"))
+            .groupBy("node").agg(F.min("d").alias("d"))
+        )
+        improved = (
+            cand.join(dist.select(F.col("node"),
+                                  F.col("dist").alias("__cur")),
+                      "node", "left")
+            .where(F.col("__cur").isNull()
+                   | (F.col("d") < F.col("__cur")))
+            .select("node", F.col("d").alias("dist"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        cached.append(improved)
+        if n_rounds is None and improved.isEmpty():
+            converged = True
+            break
+        dist = (dist.join(improved.select("node"), "node", "left_anti")
+                .unionByName(improved))
+        frontier = improved
+        if r % checkpoint_every == 0:
+            dist = dist.localCheckpoint(eager=True)
+            frontier = frontier.localCheckpoint(eager=True)
+    out = dist.localCheckpoint(eager=True)
+    for c in cached:
+        c.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"shortest_paths did not converge in {max_rounds} rounds; "
+            "raise max_rounds or pin n_rounds")
+    return out

@@ -186,3 +186,67 @@ def kn_bigram_table(documents: DataFrame, discount: float = 0.75,
            * (F.col("n1p_bw") / F.col("n1p_all")))
     return j.select("w1", "w2", "c12", "c1", "n1p_fw", "n1p_bw",
                     "n1p_all", pkn.alias("pkn"))
+
+
+def pmi_collocations(documents: DataFrame, min_count: int = 2,
+                     delta: int = 1, doc_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Collocation / phrase mining over adjacent bigrams — the
+    word2phrase gate of Mikolov et al. 2013 (§4, "Learning Phrases"):
+    ``score(w1, w2) = (c12 - delta) * N / (c1 * c2)`` — a discounted
+    PMI — decides which adjacent word pairs fuse into phrase tokens
+    before embedding training.
+
+    The score is emitted as the EXACT integer rational
+    ``(score_num, score_den) = ((c12 - delta) * N, c1 * c2)`` — the
+    engine's no-cross-engine-float contract (the q148/q150
+    discipline): callers compare ``score_num * t_den > t_num *
+    score_den`` against a rational threshold, and the driver oracle
+    hash-matches the strings byte-for-byte (DuckDB folds them as
+    HUGEINT, Spark as DECIMAL(38,0) — both rendered as plain decimal
+    strings, exact up to 10^38).  PMI itself is
+    ``log(score + delta-correction)`` — left to the caller like
+    q150's geometric mean.
+
+    Counts share the corpus tokenization (:func:`doc_bigrams` /
+    relevance.py): ``c12`` regroups the per-doc bigram frame with the
+    ``<s>`` sentinel rows EXCLUDED (the sentinel conditions LM
+    probabilities; it is not a word that can collocate), ``c1``/
+    ``c2``/``N`` come from one unigram groupBy.  ``min_count``
+    filters rare pairs BEFORE the unigram joins (the word2phrase
+    knob, and what keeps the join slim at corpus scale).
+
+    Scale shape: the corpus is touched twice (bigram explode, unigram
+    explode — both in-row Generates into combinable groupBys); the
+    unigram attach is two equi-joins of the slim pair frame against
+    the unigram dim; N rides a one-row broadcast.  Output: ``(w1, w2,
+    c12, c1, c2, n_tokens, score_num, score_den)``."""
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    if delta < 0:
+        raise ValueError(f"delta must be >= 0, got {delta}")
+    bg = doc_bigrams(documents, doc_col=doc_col, text_col=text_col)
+    c12 = (bg.where(F.col("w1") != "<s>")
+           .groupBy("w1", "w2").agg(F.sum("m").alias("c12"))
+           .where(F.col("c12") >= min_count))
+    toks = documents.select(F.explode(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("t"))
+    uni = toks.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    n_total = uni.agg(F.sum("c").alias("n_tokens"))
+    out = (
+        c12
+        .join(uni.select(F.col("t").alias("w1"),
+                         F.col("c").alias("c1")), "w1")
+        .join(uni.select(F.col("t").alias("w2"),
+                         F.col("c").alias("c2")), "w2")
+        .crossJoin(F.broadcast(n_total))
+    )
+    dec = "decimal(38,0)"
+    return out.select(
+        "w1", "w2", "c12", "c1", "c2", "n_tokens",
+        ((F.col("c12").cast(dec) - delta)
+         * F.col("n_tokens").cast(dec))
+        .cast(dec).cast("string").alias("score_num"),
+        (F.col("c1").cast(dec) * F.col("c2").cast(dec))
+        .cast(dec).cast("string").alias("score_den"),
+    )

@@ -810,3 +810,102 @@ def test_wl_validation(spark):
         [("a", "p", "b")], "subj string, pred string, obj string")
     with pytest.raises(ValueError, match="n_iters"):
         wl_colors(df, 0)
+
+
+# ----------------------------------------------- weighted shortest paths
+
+
+def _bf_py(edges, sources, k):
+    dist = {s: 0 for s in sources}
+    for _ in range(k):
+        nd = dict(dist)
+        for (u, v, w) in edges:
+            if u in dist and dist[u] + w < nd.get(v, float("inf")):
+                nd[v] = min(nd.get(v, float("inf")), dist[u] + w)
+        dist = nd
+    return dist
+
+
+def test_shortest_paths_match_python_twin(spark):
+    from claimskg_generator_spark.operators.components import (
+        shortest_paths,
+    )
+
+    edges = [("a", "b", 5), ("b", "c", 1), ("a", "c", 10),
+             ("c", "d", 2), ("a", "d", 20), ("d", "e", 1)]
+    e = spark.createDataFrame(edges, "src string, dst string, w long")
+    s = spark.createDataFrame([("a",)], "node string")
+    got = {r["node"]: r["dist"]
+           for r in shortest_paths(e, s, n_rounds=4).collect()}
+    assert got == _bf_py(edges, {"a"}, 4)
+    # the cheap 3-hop a->b->c->d (8) beats both direct edges
+    assert got["d"] == 8 and got["e"] == 9
+
+
+def test_shortest_paths_fixed_rounds_bound_path_length(spark):
+    from claimskg_generator_spark.operators.components import (
+        shortest_paths,
+    )
+
+    edges = [("a", "b", 1), ("b", "c", 1), ("c", "d", 1)]
+    e = spark.createDataFrame(edges, "src string, dst string, w long")
+    s = spark.createDataFrame([("a",)], "node string")
+    got = {r["node"]: r["dist"]
+           for r in shortest_paths(e, s, n_rounds=2).collect()}
+    assert got == {"a": 0, "b": 1, "c": 2}   # d needs 3 edges
+
+
+def test_shortest_paths_convergence_equals_fixed(spark):
+    from claimskg_generator_spark.operators.components import (
+        shortest_paths,
+    )
+
+    edges = [("a", "b", 3), ("b", "c", 3), ("a", "c", 7),
+             ("c", "a", 1), ("c", "d", 2)]
+    e = spark.createDataFrame(edges, "src string, dst string, w long")
+    s = spark.createDataFrame([("a",)], "node string")
+    conv = sorted(map(tuple, shortest_paths(e, s).collect()))
+    fixed = sorted(map(tuple, shortest_paths(e, s, n_rounds=10).collect()))
+    assert conv == fixed
+
+
+def test_shortest_paths_multi_source_and_isolated(spark):
+    from claimskg_generator_spark.operators.components import (
+        shortest_paths,
+    )
+
+    edges = [("a", "b", 2), ("x", "b", 1)]
+    e = spark.createDataFrame(edges, "src string, dst string, w long")
+    s = spark.createDataFrame([("a",), ("x",), ("lone",)], "node string")
+    got = {r["node"]: r["dist"]
+           for r in shortest_paths(e, s, n_rounds=3).collect()}
+    assert got == {"a": 0, "x": 0, "lone": 0, "b": 1}
+
+
+def test_shortest_paths_undirected(spark):
+    from claimskg_generator_spark.operators.components import (
+        shortest_paths,
+    )
+
+    e = spark.createDataFrame([("a", "b", 4)],
+                              "src string, dst string, w long")
+    s = spark.createDataFrame([("b",)], "node string")
+    got = {r["node"]: r["dist"]
+           for r in shortest_paths(e, s, n_rounds=2,
+                                   directed=False).collect()}
+    assert got == {"b": 0, "a": 4}
+
+
+def test_shortest_paths_guards(spark):
+    from claimskg_generator_spark.operators.components import (
+        shortest_paths,
+    )
+
+    e = spark.createDataFrame([("a", "b", 1), ("b", "c", 1),
+                               ("c", "d", 1)],
+                              "src string, dst string, w long")
+    s = spark.createDataFrame([("a",)], "node string")
+    with pytest.raises(ValueError, match="n_rounds"):
+        shortest_paths(e, s, n_rounds=-1)
+    with pytest.raises(RuntimeError, match="did not converge"):
+        shortest_paths(e, s, max_rounds=1)

@@ -249,3 +249,71 @@ def test_kn_bigram_table_counts_and_normalization(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="discount"):
         kn_bigram_table(docs, discount=1.5)
+
+
+# ------------------------------------------------ PMI collocations
+
+
+def _pmi_py(texts, min_count=2, delta=1):
+    from collections import Counter
+
+    uni, bi = Counter(), Counter()
+    for t in texts:
+        toks = t.strip().lower().split()
+        uni.update(toks)
+        bi.update(zip(toks[:-1], toks[1:]))
+    n = sum(uni.values())
+    out = {}
+    for (w1, w2), c12 in bi.items():
+        if c12 >= min_count:
+            out[(w1, w2)] = (c12, uni[w1], uni[w2], n,
+                             str((c12 - delta) * n),
+                             str(uni[w1] * uni[w2]))
+    return out
+
+
+def test_pmi_collocations_match_python_twin(spark):
+    from claimskg_generator_spark.operators.lm import pmi_collocations
+
+    texts = ["new york is big", "new york wins", "big wins",
+             "york is new", "new york new york"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = {(r["w1"], r["w2"]): (r["c12"], r["c1"], r["c2"],
+                                r["n_tokens"], r["score_num"],
+                                r["score_den"])
+           for r in pmi_collocations(docs, min_count=2).collect()}
+    assert got == _pmi_py(texts, min_count=2)
+    assert ("new", "york") in got          # the collocation survives
+
+
+def test_pmi_sentinel_never_collocates(spark):
+    from claimskg_generator_spark.operators.lm import pmi_collocations
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "alpha beta")], "doc_id long, text string")
+    rows = pmi_collocations(docs, min_count=1).collect()
+    assert all(r["w1"] != "<s>" for r in rows)
+    # doc-initial tokens still count as unigrams
+    got = {(r["w1"], r["w2"]): r["c1"] for r in rows}
+    assert got[("alpha", "beta")] == 2
+
+
+def test_pmi_min_count_filters_before_join(spark):
+    from claimskg_generator_spark.operators.lm import pmi_collocations
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "c d")], "doc_id long, text string")
+    pairs = {(r["w1"], r["w2"])
+             for r in pmi_collocations(docs, min_count=2).collect()}
+    assert pairs == {("a", "b")}           # (b,a) and (c,d) are count 1
+
+
+def test_pmi_guards(spark):
+    from claimskg_generator_spark.operators.lm import pmi_collocations
+
+    docs = spark.createDataFrame([(1, "x y")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="min_count"):
+        pmi_collocations(docs, min_count=0)
+    with pytest.raises(ValueError, match="delta"):
+        pmi_collocations(docs, delta=-1)

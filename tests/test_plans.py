@@ -1119,3 +1119,42 @@ def test_wl_colors_pagerank_shuffle_profile(spark):
     assert not re.search(r"EvalPython|PythonUDF", plan)
     assert re.search(r"\(\d+\) (BroadcastHash|SortMerge)Join", plan)
     assert "sort_array" in plan and "Window" not in plan
+
+
+def test_shortest_paths_round_is_join_plus_combinable_min(spark):
+    """q156: one relaxation round = frontier ⋈ edges equi-join + a
+    map-side-combinable min groupBy + the improvement left join — no
+    cartesian, no Python, no window.  (The loop localCheckpoints, so
+    one round is built inline with the operator's own expressions.)"""
+    e = spark.createDataFrame(
+        [("a", "b", 3), ("b", "c", 1)], "src string, dst string, w long")
+    fr = spark.createDataFrame([("a", 0)], "node string, dist long")
+    cand = (fr.select(F.col("node").alias("__fn"),
+                      F.col("dist").alias("__fd"))
+            .join(e.select(F.col("src").alias("u"),
+                           F.col("dst").alias("v"), "w"),
+                  F.col("__fn") == F.col("u"))
+            .select(F.col("v").alias("node"),
+                    (F.col("__fd") + F.col("w")).alias("d"))
+            .groupBy("node").agg(F.min("d").alias("d")))
+    plan = _plan(cand)
+    assert "CartesianProduct" not in plan
+    assert not re.search(r"EvalPython|PythonUDF", plan)
+    assert re.search(r"partial_min", plan)
+    assert "Window" not in plan
+
+
+def test_pmi_collocations_two_generates_slim_joins(spark):
+    """q157: the corpus is touched by two in-row Generates (bigram +
+    unigram explodes) into combinable groupBys; the unigram attach is
+    equi-joins of the min_count-filtered pair frame; N rides a one-row
+    broadcast — no Python, no window, no cartesian beyond that
+    broadcast."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.q157_pmi_collocations(spark, SF))
+    assert not re.search(r"EvalPython|PythonUDF", plan)
+    assert len(re.findall(r"\(\d+\) Generate", plan)) >= 2
+    assert re.search(r"partial_(count|sum)", plan)
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
