@@ -162,6 +162,17 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         "Requires a build — provenance derives from the "
                         "INPUT files; a stored table's split-grain "
                         "lineage already rides its snapshot manifests")
+    p.add_argument("--wl-output",
+                   help="parquet dir for the Weisfeiler-Leman structural "
+                        "fingerprint of the published graph (operators/"
+                        "components.wl_fingerprint over the entity-entity "
+                        "triples): one row (n_nodes, n_roles, xor_h, "
+                        "sum_h) — an isomorphism-invariant hash two "
+                        "relabeled-but-structurally-equal publications "
+                        "share; the fields also land in the summary JSON")
+    p.add_argument("--wl-iters", type=int, default=2,
+                   help="WL refinement rounds for --wl-output "
+                        "(default 2)")
     p.add_argument("--quality-gate", action="store_true",
                    help="drop files failing the StarCoder-style gates")
     p.add_argument("--exact-dedup", action="store_true",
@@ -229,15 +240,16 @@ def main(argv=None) -> int:
         return 2
     if not building and not query_text and not args.validate \
             and not args.void_output and not update_text \
-            and not args.prov_output:
+            and not args.prov_output and not args.wl_output:
         print("error: need --input/--synth-from-documents, a --sparql "
-              "query, --update, --validate, --void-output and/or "
-              "--prov-output", file=sys.stderr)
+              "query, --update, --validate, --void-output, "
+              "--prov-output and/or --wl-output", file=sys.stderr)
         return 2
     if not building and (query_text or args.validate
-                         or args.void_output) and not args.query_table:
-        print("error: a query/--validate/--void-output without a build "
-              "needs --query-table", file=sys.stderr)
+                         or args.void_output
+                         or args.wl_output) and not args.query_table:
+        print("error: a query/--validate/--void-output/--wl-output "
+              "without a build needs --query-table", file=sys.stderr)
         return 2
     if args.prov_output and not building:
         print("error: --prov-output needs a build (--input/"
@@ -269,6 +281,8 @@ def main(argv=None) -> int:
             _run_validate(spark, args, triples, summary)
         if args.void_output:
             _run_void(spark, args, triples, summary)
+        if args.wl_output:
+            _run_wl(spark, args, triples, summary)
         if query_text:
             _run_query(spark, args, query_text, triples, summary)
         print(json.dumps(summary))
@@ -351,6 +365,37 @@ def _run_void(spark, args, triples, summary) -> None:
         "output": args.void_output,
         "dataset": {r["metric"]: r["value"]
                     for r in stats.where("scope = 'dataset'").collect()},
+    }
+
+
+def _run_wl(spark, args, triples, summary) -> None:
+    """Weisfeiler-Leman structural-fingerprint sidecar
+    (operators/components.wl_fingerprint over the graph's
+    entity-entity triples — literal objects are attributes, not
+    structure): the isomorphism-invariant hash of the published
+    graph, written next to the graph outputs; the fields join the
+    summary JSON so two publications can be compared structurally
+    without reading either graph."""
+    from pyspark.sql import functions as F
+
+    from claimskg_generator_spark.operators.components import (
+        wl_fingerprint,
+    )
+
+    g = _resolve_graph(spark, args, triples)
+    if "okind" in g.columns:
+        g = g.where(F.col("okind") == "uri")
+    fp = wl_fingerprint(g.select("subj", "pred", "obj"),
+                        n_iters=args.wl_iters)
+    fp.write.mode("overwrite").parquet(args.wl_output)
+    row = spark.read.parquet(args.wl_output).collect()[0]
+    summary["wl"] = {
+        "output": args.wl_output,
+        "n_iters": args.wl_iters,
+        "n_nodes": row["n_nodes"],
+        "n_roles": row["n_roles"],
+        "xor_h": row["xor_h"],
+        "sum_h": row["sum_h"],
     }
 
 

@@ -474,3 +474,40 @@ def test_prov_output_requires_build(capsys, tmp_path):
     assert main(["--prov-output", str(tmp_path / "p"),
                  "--query-table", str(tmp_path / "t")]) == 2
     assert "--prov-output needs a build" in capsys.readouterr().err
+
+
+def test_wl_output_sidecar(spark, docs_path, tmp_path, capsys):
+    """--wl-output writes the one-row WL structural fingerprint and
+    surfaces its fields in the summary; the sidecar must equal
+    wl_fingerprint over the built graph's uri triples."""
+    out = str(tmp_path / "triples_wl")
+    wl = str(tmp_path / "wl")
+    s = _run(capsys, "--synth-from-documents", docs_path,
+             "--output", out, "--wl-output", wl)
+    assert s["wl"]["output"] == wl and s["wl"]["n_iters"] == 2
+    assert s["wl"]["n_nodes"] > 0 and s["wl"]["n_roles"] > 0
+
+    from pyspark.sql import functions as F
+
+    from claimskg_generator_spark.operators.components import (
+        wl_fingerprint,
+    )
+
+    direct = wl_fingerprint(
+        spark.read.parquet(out).where(F.col("okind") == "uri")
+        .select("subj", "pred", "obj")).collect()[0]
+    assert (s["wl"]["n_nodes"], s["wl"]["n_roles"], s["wl"]["xor_h"],
+            s["wl"]["sum_h"]) == tuple(direct)
+
+
+def test_wl_output_against_snapshot_table(spark, docs_path, tmp_path,
+                                          capsys):
+    table = str(tmp_path / "kg_wl")
+    _run(capsys, "--synth-from-documents", docs_path,
+         "--table-dir", table)
+    wl = str(tmp_path / "wl_t")
+    s = _run(capsys, "--query-table", table, "--wl-output", wl,
+             "--wl-iters", "1")
+    assert s["wl"]["n_iters"] == 1 and s["wl"]["n_nodes"] > 0
+    # wl-only without a build and without --query-table is an error
+    assert main(["--wl-output", wl]) == 2
