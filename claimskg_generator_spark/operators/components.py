@@ -1079,3 +1079,142 @@ def shortest_paths(edges: DataFrame, sources: DataFrame,
             f"shortest_paths did not converge in {max_rounds} rounds; "
             "raise max_rounds or pin n_rounds")
     return out
+
+
+def hits_scores(edges: DataFrame, n_iters: int = 2,
+                src: str = "src", dst: str = "dst",
+                checkpoint_every: int = 3) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999) as a fixed-depth
+    EXACT-INTEGER power iteration: ``(node, hub, auth)`` after
+    ``n_iters`` rounds from the all-ones start, WITHOUT the usual
+    per-round normalization — scores are the raw path-counting
+    integers (hub = walks alternating out/in of length 2k+1 from the
+    node, auth = the dual), carried as DECIMAL(38,0) so the driver
+    oracle replays them bit-for-bit (cross-engine float normalization
+    carries no contract; callers normalize/rank downstream — ranking
+    is invariant to the scale factor dropped here).  Growth is
+    bounded by (max degree)^(2·n_iters): at the default 2 rounds a
+    10^9-degree hub still fits decimal(38); deeper runs are the
+    caller's overflow responsibility (documented, like pagerank's
+    n_iters lineage note).
+
+    Round shape (the pagerank profile): auth = one
+    map-side-combinable groupBy(dst) sum over the edge frame joined
+    with current hubs; hub = the dual groupBy(src) over the new
+    auths; edges persist once; lineage truncates every
+    ``checkpoint_every`` rounds.  Nodes with no incoming edges keep
+    auth 0, no outgoing keep hub 0 (coalesced — every node reports)."""
+    if n_iters < 1:
+        raise ValueError(f"n_iters must be >= 1, got {n_iters}")
+    dec = "decimal(38,0)"
+    e = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+         .distinct()
+         .persist(StorageLevel.MEMORY_AND_DISK))
+    nodes = (e.select(F.col("u").alias("node"))
+             .unionAll(e.select(F.col("v").alias("node")))
+             .distinct()
+             .persist(StorageLevel.MEMORY_AND_DISK))
+    hub = nodes.withColumn("hub", F.lit(1).cast(dec))
+    cached = [e, nodes]
+    for i in range(1, n_iters + 1):
+        h = hub.select(F.col("node").alias("__hn"),
+                       F.col("hub").alias("__h"))
+        auth = (
+            e.join(h, e["u"] == F.col("__hn"))
+            .groupBy(F.col("v").alias("node"))
+            .agg(F.sum("__h").cast(dec).alias("auth")))
+        a = auth.select(F.col("node").alias("__an"),
+                        F.col("auth").alias("__a"))
+        hub = (
+            e.join(a, e["v"] == F.col("__an"))
+            .groupBy(F.col("u").alias("node"))
+            .agg(F.sum("__a").cast(dec).alias("hub")))
+        if i % checkpoint_every == 0:
+            hub = hub.localCheckpoint(eager=True)
+            auth = auth.localCheckpoint(eager=True)
+        last_auth = auth
+    out = (nodes
+           .join(hub, "node", "left")
+           .join(last_auth, "node", "left")
+           .select("node",
+                   F.coalesce(F.col("hub"), F.lit(0).cast(dec))
+                   .cast(dec).cast("string").alias("hub"),
+                   F.coalesce(F.col("auth"), F.lit(0).cast(dec))
+                   .cast(dec).cast("string").alias("auth"))
+           .localCheckpoint(eager=True))
+    for c in cached:
+        c.unpersist()
+    return out
+
+
+def neighbor_jaccard(edges: DataFrame, src: str = "src",
+                     dst: str = "dst", min_common: int = 1,
+                     max_degree: Optional[int] = None,
+                     exclude_edges: bool = True) -> DataFrame:
+    """Link-prediction features from neighborhood overlap: for node
+    pairs sharing at least ``min_common`` UNDIRECTED neighbors, the
+    common-neighbor count and the Jaccard coefficient
+    ``|N(a) ∩ N(b)| / |N(a) ∪ N(b)|`` as an EXACT integer rational
+    ``(jn, jd) = (common, deg_a + deg_b - common)`` — the classic
+    "who should be linked" scores (Liben-Nowell & Kleinberg 2003),
+    float-free so the driver oracle hash-matches (callers rank by
+    cross-multiplication; Adamic-Adar needs a log contract and is
+    deliberately left out).
+
+    Candidate pairs are generated IN the shared neighbor's row (the
+    q54 co-mention pattern: sorted neighbor array, i<j slice pairs —
+    never a node-level self-join), then ONE combinable groupBy(a, b)
+    counts shared neighbors.  ``max_degree`` caps the exploding
+    neighbor list: a hub shared by more nodes than the cap is treated
+    as NON-discriminative and generates no pairs (the q122/ifp_sameas
+    hub-overflow discipline — at 10^9-degree hubs the d² pair
+    explosion is the scale killer, and a hub everyone shares carries
+    no link-prediction signal anyway; counts are then "common
+    neighbors of degree <= cap", a documented semantic both engines
+    apply identically).  Degrees stay the TRUE degrees.
+    ``exclude_edges=True`` drops already-adjacent pairs (the
+    link-PREDICTION protocol) with one anti-join against the
+    symmetrized edge set.
+
+    Output: ``(a, b, common, deg_a, deg_b, jn, jd)`` with a < b."""
+    if min_common < 1:
+        raise ValueError(f"min_common must be >= 1, got {min_common}")
+    if max_degree is not None and max_degree < 2:
+        raise ValueError(f"max_degree must be >= 2, got {max_degree}")
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    sym = (e.unionAll(e.select(F.col("v").alias("u"),
+                               F.col("u").alias("v")))
+           .where(F.col("u") != F.col("v"))
+           .distinct()
+           .persist(StorageLevel.MEMORY_AND_DISK))
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    lists = sym.groupBy("u").agg(
+        F.sort_array(F.collect_set("v")).alias("ns"))
+    if max_degree is not None:
+        lists = lists.where(F.size("ns") <= max_degree)
+    pairs = lists.select(F.explode(F.expr(
+        "flatten(transform(ns, (x, i) -> "
+        "transform(slice(ns, i + 2, size(ns)), "
+        "y -> struct(x AS a, y AS b))))")).alias("p"))
+    common = (pairs.select("p.a", "p.b")
+              .groupBy("a", "b")
+              .agg(F.count(F.lit(1)).alias("common"))
+              .where(F.col("common") >= min_common))
+    out = (
+        common
+        .join(deg.select(F.col("u").alias("a"),
+                         F.col("deg").alias("deg_a")), "a")
+        .join(deg.select(F.col("u").alias("b"),
+                         F.col("deg").alias("deg_b")), "b")
+    )
+    if exclude_edges:
+        out = out.join(sym.select(F.col("u").alias("a"),
+                                  F.col("v").alias("b")),
+                       ["a", "b"], "left_anti")
+    res = out.select(
+        "a", "b", "common", "deg_a", "deg_b",
+        F.col("common").alias("jn"),
+        (F.col("deg_a") + F.col("deg_b") - F.col("common")).alias("jd"),
+    ).localCheckpoint(eager=True)
+    sym.unpersist()
+    return res

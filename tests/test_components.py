@@ -909,3 +909,150 @@ def test_shortest_paths_guards(spark):
         shortest_paths(e, s, n_rounds=-1)
     with pytest.raises(RuntimeError, match="did not converge"):
         shortest_paths(e, s, max_rounds=1)
+
+
+# ----------------------------------------------- HITS hubs/authorities
+
+
+def _hits_py(edges, k=2):
+    nodes = {u for u, _ in edges} | {v for _, v in edges}
+    e = set(edges)
+    hub = {n: 1 for n in nodes}
+    auth = {n: 0 for n in nodes}
+    for _ in range(k):
+        auth = {n: sum(hub[u] for (u, v) in e if v == n) for n in nodes}
+        hub = {n: sum(auth[v] for (u, v) in e if u == n) for n in nodes}
+    return {n: (str(hub[n]), str(auth[n])) for n in nodes}
+
+
+def test_hits_match_python_twin(spark):
+    from claimskg_generator_spark.operators.components import hits_scores
+
+    edges = [("a", "m1"), ("b", "m1"), ("b", "m2"), ("c", "m2"),
+             ("m1", "root"), ("m2", "root")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"]: (r["hub"], r["auth"])
+           for r in hits_scores(df, n_iters=2).collect()}
+    assert got == _hits_py(edges, 2)
+
+
+def test_hits_sink_and_source_zero_scores(spark):
+    from claimskg_generator_spark.operators.components import hits_scores
+
+    df = spark.createDataFrame([("a", "b")], "src string, dst string")
+    got = {r["node"]: (r["hub"], r["auth"])
+           for r in hits_scores(df, n_iters=1).collect()}
+    # a: hub = auth(b) = 1, never an authority; b: the dual
+    assert got == {"a": ("1", "0"), "b": ("0", "1")}
+
+
+def test_hits_duplicate_edges_collapse(spark):
+    from claimskg_generator_spark.operators.components import hits_scores
+
+    one = spark.createDataFrame([("a", "b"), ("a", "c")],
+                                "src string, dst string")
+    dup = spark.createDataFrame([("a", "b"), ("a", "b"), ("a", "c")],
+                                "src string, dst string")
+    assert sorted(map(tuple, hits_scores(one, 2).collect())) == \
+        sorted(map(tuple, hits_scores(dup, 2).collect()))
+
+
+def test_hits_guard(spark):
+    from claimskg_generator_spark.operators.components import hits_scores
+
+    df = spark.createDataFrame([("a", "b")], "src string, dst string")
+    with pytest.raises(ValueError, match="n_iters"):
+        hits_scores(df, n_iters=0)
+
+
+# ----------------------------------------------- neighborhood Jaccard
+
+
+def _nj_py(edges, min_common=1, max_degree=None, exclude=True):
+    from collections import defaultdict
+
+    nbr = defaultdict(set)
+    for (u, v) in edges:
+        if u != v:
+            nbr[u].add(v)
+            nbr[v].add(u)
+    common = defaultdict(int)
+    for w, ns in nbr.items():
+        if max_degree is not None and len(ns) > max_degree:
+            continue
+        ns = sorted(ns)
+        for i in range(len(ns)):
+            for j in range(i + 1, len(ns)):
+                common[(ns[i], ns[j])] += 1
+    out = {}
+    for (a, b), c in common.items():
+        if c < min_common:
+            continue
+        if exclude and b in nbr[a]:
+            continue
+        da, db = len(nbr[a]), len(nbr[b])
+        out[(a, b)] = (c, da, db, c, da + db - c)
+    return out
+
+
+def test_neighbor_jaccard_match_python_twin(spark):
+    from claimskg_generator_spark.operators.components import (
+        neighbor_jaccard,
+    )
+
+    edges = [("a", "w"), ("b", "w"), ("a", "x"), ("b", "x"),
+             ("c", "w"), ("a", "b")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {(r["a"], r["b"]): (r["common"], r["deg_a"], r["deg_b"],
+                              r["jn"], r["jd"])
+           for r in neighbor_jaccard(df, min_common=1).collect()}
+    assert got == _nj_py(edges, 1)
+    # (a, b) share w and x but ARE adjacent -> excluded; (a, c)/(b, c)
+    # share only w
+    assert ("a", "b") not in got and got[("a", "c")][0] == 1
+
+
+def test_neighbor_jaccard_include_edges(spark):
+    from claimskg_generator_spark.operators.components import (
+        neighbor_jaccard,
+    )
+
+    edges = [("a", "w"), ("b", "w"), ("a", "b")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {(r["a"], r["b"]): (r["jn"], r["jd"])
+           for r in neighbor_jaccard(df, exclude_edges=False).collect()}
+    # a: {w, b}, b: {w, a}, common {w} -> jacc 1/3
+    assert got[("a", "b")] == (1, 3)
+
+
+def test_neighbor_jaccard_hub_cap_drops_pairs(spark):
+    from claimskg_generator_spark.operators.components import (
+        neighbor_jaccard,
+    )
+
+    edges = [("a", "hub"), ("b", "hub"), ("c", "hub"),
+             ("a", "w"), ("b", "w")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    capped = {(r["a"], r["b"]): r["common"]
+              for r in neighbor_jaccard(df, max_degree=2).collect()}
+    # hub has degree 3 > cap: it generates no pairs itself — (a, b)
+    # now share only w; (hub, w) still co-occur through a and b,
+    # whose degrees are within the cap
+    assert capped == {("a", "b"): 1, ("hub", "w"): 2}
+    assert capped == {k: v[0] for k, v in
+                      _nj_py(edges, 1, max_degree=2).items()}
+    full = {(r["a"], r["b"]): r["common"]
+            for r in neighbor_jaccard(df).collect()}
+    assert full[("a", "b")] == 2 and ("a", "c") in full
+
+
+def test_neighbor_jaccard_guards(spark):
+    from claimskg_generator_spark.operators.components import (
+        neighbor_jaccard,
+    )
+
+    df = spark.createDataFrame([("a", "b")], "src string, dst string")
+    with pytest.raises(ValueError, match="min_common"):
+        neighbor_jaccard(df, min_common=0)
+    with pytest.raises(ValueError, match="max_degree"):
+        neighbor_jaccard(df, max_degree=1)

@@ -1158,3 +1158,57 @@ def test_pmi_collocations_two_generates_slim_joins(spark):
     assert re.search(r"partial_(count|sum)", plan)
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_hits_power_step_combinable_sums(spark):
+    """q158: each HITS half-step is one edge ⋈ scores equi-join into a
+    map-side-combinable sum groupBy — the pagerank profile; no
+    cartesian, no Python, no window.  (hits_scores localCheckpoints;
+    one half-step is replayed inline.)"""
+    e = spark.createDataFrame([("a", "b"), ("a", "c")],
+                              "u string, v string")
+    h = spark.createDataFrame([("a", 1)], "node string, hub long")
+    step = (e.join(h.select(F.col("node").alias("__hn"),
+                            F.col("hub").alias("__h")),
+                   e["u"] == F.col("__hn"))
+            .groupBy(F.col("v").alias("node"))
+            .agg(F.sum("__h").alias("auth")))
+    plan = _plan(step)
+    assert "CartesianProduct" not in plan
+    assert not re.search(r"EvalPython|PythonUDF", plan)
+    assert re.search(r"partial_sum", plan)
+    assert "Window" not in plan
+
+
+def test_neighbor_jaccard_in_row_pairs_no_self_join(spark):
+    """q159: candidate pairs are generated inside the shared
+    neighbor's row (Generate over the sorted neighbor array — never a
+    node-level self-join before the cap), counted by one combinable
+    groupBy; the degree attach is equi-joins and the adjacency
+    exclusion a left-anti — no Python, no window."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.q159_kg_link_prediction(spark, SF))
+    assert not re.search(r"EvalPython|PythonUDF", plan)
+    # localCheckpoint truncates the operator's own plan; pin the
+    # pair-generation shape inline instead
+    from claimskg_generator_spark.operators.code_kg import code_triples
+    from pyspark.sql import functions as FF
+
+    files = e._code_files(spark, SF)
+    g = (code_triples(files).where(FF.col("okind") == "uri")
+         .select(FF.col("subj").alias("u"), FF.col("obj").alias("v")))
+    sym = g.unionAll(g.select(FF.col("v").alias("u"),
+                              FF.col("u").alias("v"))).distinct()
+    lists = sym.groupBy("u").agg(
+        FF.sort_array(FF.collect_set("v")).alias("ns"))
+    pairs = lists.select(FF.explode(FF.expr(
+        "flatten(transform(ns, (x, i) -> "
+        "transform(slice(ns, i + 2, size(ns)), "
+        "y -> struct(x AS a, y AS b))))")).alias("p"))
+    cnt = pairs.groupBy("p.a", "p.b").agg(FF.count(FF.lit(1)).alias("c"))
+    inner = _plan(cnt)
+    assert "CartesianProduct" not in inner
+    assert re.search(r"\(\d+\) Generate", inner)
+    assert re.search(r"partial_count", inner)
+    assert not re.search(r"\(\d+\) \w*Join", inner)
