@@ -251,6 +251,9 @@ def main(argv=None) -> int:
         print("error: a query/--validate/--void-output/--wl-output "
               "without a build needs --query-table", file=sys.stderr)
         return 2
+    if args.wl_output and args.wl_iters < 1:
+        print("error: --wl-iters must be >= 1", file=sys.stderr)
+        return 2
     if args.prov_output and not building:
         print("error: --prov-output needs a build (--input/"
               "--synth-from-documents) — provenance derives from the "

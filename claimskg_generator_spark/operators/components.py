@@ -926,7 +926,10 @@ def wl_colors(triples: DataFrame, n_iters: int = 2,
     anonymized/relabeled graphs are structurally equal)."""
     if n_iters < 1:
         raise ValueError(f"n_iters must be >= 1, got {n_iters}")
-    e = (triples.select("subj", "pred", "obj")
+    # set semantics: a storage-duplicated triple must not duplicate WL
+    # messages, or the "relabeled-but-equal graphs share the hash"
+    # contract silently breaks (same discipline as hits_scores)
+    e = (triples.select("subj", "pred", "obj").distinct()
          .persist(StorageLevel.MEMORY_AND_DISK))
     nodes = (e.select(F.col("subj").alias("node"))
              .unionAll(e.select(F.col("obj").alias("node")))
@@ -1129,13 +1132,13 @@ def hits_scores(edges: DataFrame, n_iters: int = 2,
             e.join(a, e["v"] == F.col("__an"))
             .groupBy(F.col("u").alias("node"))
             .agg(F.sum("__a").cast(dec).alias("hub")))
+        # next round's lineage flows only through hub (auth is
+        # re-derived from it), so hub alone needs truncation
         if i % checkpoint_every == 0:
             hub = hub.localCheckpoint(eager=True)
-            auth = auth.localCheckpoint(eager=True)
-        last_auth = auth
     out = (nodes
            .join(hub, "node", "left")
-           .join(last_auth, "node", "left")
+           .join(auth, "node", "left")
            .select("node",
                    F.coalesce(F.col("hub"), F.lit(0).cast(dec))
                    .cast(dec).cast("string").alias("hub"),
@@ -1187,11 +1190,16 @@ def neighbor_jaccard(edges: DataFrame, src: str = "src",
            .where(F.col("u") != F.col("v"))
            .distinct()
            .persist(StorageLevel.MEMORY_AND_DISK))
-    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
-    lists = sym.groupBy("u").agg(
-        F.sort_array(F.collect_set("v")).alias("ns"))
+    # ONE aggregation serves both consumers: sym is distinct, so the
+    # collected neighbor set's size IS the true degree — a separate
+    # count groupBy would be a second graph-wide exchange for nothing
+    lists_all = (sym.groupBy("u")
+                 .agg(F.sort_array(F.collect_set("v")).alias("ns"))
+                 .persist(StorageLevel.MEMORY_AND_DISK))
+    deg = lists_all.select("u", F.size("ns").cast("long").alias("deg"))
+    lists = lists_all
     if max_degree is not None:
-        lists = lists.where(F.size("ns") <= max_degree)
+        lists = lists_all.where(F.size("ns") <= max_degree)
     pairs = lists.select(F.explode(F.expr(
         "flatten(transform(ns, (x, i) -> "
         "transform(slice(ns, i + 2, size(ns)), "
@@ -1217,4 +1225,5 @@ def neighbor_jaccard(edges: DataFrame, src: str = "src",
         (F.col("deg_a") + F.col("deg_b") - F.col("common")).alias("jd"),
     ).localCheckpoint(eager=True)
     sym.unpersist()
+    lists_all.unpersist()
     return res

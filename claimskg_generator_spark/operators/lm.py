@@ -211,27 +211,34 @@ def pmi_collocations(documents: DataFrame, min_count: int = 2,
     Counts share the corpus tokenization (:func:`doc_bigrams` /
     relevance.py): ``c12`` regroups the per-doc bigram frame with the
     ``<s>`` sentinel rows EXCLUDED (the sentinel conditions LM
-    probabilities; it is not a word that can collocate), ``c1``/
-    ``c2``/``N`` come from one unigram groupBy.  ``min_count``
-    filters rare pairs BEFORE the unigram joins (the word2phrase
-    knob, and what keeps the join slim at corpus scale).
+    probabilities; it is not a word that can collocate).  The
+    unigram counts need NO second corpus pass: the sentinel prefix
+    means every token occurrence appears exactly once as a bigram
+    ``w2``, so ``c1``/``c2``/``N`` are regroups of the SAME slim
+    bigram-count frame (the q152 one-corpus-explode discipline).
+    ``min_count`` filters rare pairs BEFORE the unigram joins (the
+    word2phrase knob, and what keeps the join slim at corpus scale).
 
-    Scale shape: the corpus is touched twice (bigram explode, unigram
-    explode — both in-row Generates into combinable groupBys); the
-    unigram attach is two equi-joins of the slim pair frame against
-    the unigram dim; N rides a one-row broadcast.  Output: ``(w1, w2,
-    c12, c1, c2, n_tokens, score_num, score_den)``."""
+    Scale shape: ONE corpus-sized explode (the bigram Generate) into
+    a combinable groupBy; every later structure is bigram-vocabulary-
+    sized; the unigram attach is two equi-joins of the slim pair
+    frame; N rides a one-row broadcast.  Output: ``(w1, w2, c12, c1,
+    c2, n_tokens, score_num, score_den)``."""
     if min_count < 1:
         raise ValueError(f"min_count must be >= 1, got {min_count}")
     if delta < 0:
         raise ValueError(f"delta must be >= 0, got {delta}")
     bg = doc_bigrams(documents, doc_col=doc_col, text_col=text_col)
-    c12 = (bg.where(F.col("w1") != "<s>")
-           .groupBy("w1", "w2").agg(F.sum("m").alias("c12"))
+    # lazy localCheckpoint: c12_all feeds BOTH the pair filter and the
+    # unigram regroup — without it each consumer would replan (and
+    # re-run) the corpus-sized bigram explode; the checkpointed frame
+    # is bigram-vocabulary-sized and computes once at first action
+    c12_all = (bg.groupBy("w1", "w2").agg(F.sum("m").alias("c12"))
+               .localCheckpoint(eager=False))
+    c12 = (c12_all.where(F.col("w1") != "<s>")
            .where(F.col("c12") >= min_count))
-    toks = documents.select(F.explode(
-        F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("t"))
-    uni = toks.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    uni = (c12_all.groupBy(F.col("w2").alias("t"))
+           .agg(F.sum("c12").alias("c")))
     n_total = uni.agg(F.sum("c").alias("n_tokens"))
     out = (
         c12

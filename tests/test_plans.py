@@ -1144,20 +1144,36 @@ def test_shortest_paths_round_is_join_plus_combinable_min(spark):
     assert "Window" not in plan
 
 
-def test_pmi_collocations_two_generates_slim_joins(spark):
-    """q157: the corpus is touched by two in-row Generates (bigram +
-    unigram explodes) into combinable groupBys; the unigram attach is
-    equi-joins of the min_count-filtered pair frame; N rides a one-row
-    broadcast — no Python, no window, no cartesian beyond that
-    broadcast."""
+def test_pmi_collocations_one_explode_shared_bigram_frame(spark):
+    """q157: ONE corpus-sized explode — the bigram-count frame is
+    lazily checkpointed and shared by the pair filter AND the unigram
+    regroup, so the downstream plan contains NO Generate at all (the
+    explode lives behind the checkpoint scan, computed once); the
+    rest is combinable groupBys + slim equi-joins, no Python, no
+    window, no cartesian beyond the one-row N broadcast."""
+    from claimskg_generator_spark.operators.lm import (
+        doc_bigrams,
+        pmi_collocations,
+    )
     import __spark_entry__ as e
 
     plan = _plan(e.q157_pmi_collocations(spark, SF))
     assert not re.search(r"EvalPython|PythonUDF", plan)
-    assert len(re.findall(r"\(\d+\) Generate", plan)) >= 2
+    # the corpus explode is NOT duplicated into the two consumers —
+    # both read the checkpointed bigram-count RDD
+    assert not re.search(r"\(\d+\) Generate", plan)
+    assert plan.count("Scan ExistingRDD") >= 2
     assert re.search(r"partial_(count|sum)", plan)
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
+    # the stage BEHIND the checkpoint: one in-row Generate into a
+    # combinable groupBy
+    docs = spark.read.parquet(SF + "/documents.parquet")
+    stage = (doc_bigrams(docs).groupBy("w1", "w2")
+             .agg(F.sum("m").alias("c12")))
+    inner = _plan(stage)
+    assert len(re.findall(r"\(\d+\) Generate", inner)) == 1
+    assert re.search(r"partial_(count|sum)", inner)
 
 
 def test_hits_power_step_combinable_sums(spark):
