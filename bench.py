@@ -256,6 +256,13 @@ BENCH_QUERIES = [
     # face... q137 is timed only for its zero-length term-domain scan).
     "q154_kg_train_pairs",
     "q155_kg_wl_roles",
+    # link-analysis wave (q158-q159): q158 runs two HITS power steps
+    # (two graph-wide join+sum exchanges each) — the q55/q155 family.
+    # q159 pays the capped in-row pair explosion + the combinable
+    # pair count over the whole KG — the corpus-wide candidate
+    # generation cost a link-prediction pass actually spends.
+    "q158_kg_hits",
+    "q159_kg_link_prediction",
 ]
 
 # The 13-query round-2 headline set: its subtotal is reported alongside the
