@@ -1227,3 +1227,68 @@ def neighbor_jaccard(edges: DataFrame, src: str = "src",
     sym.unpersist()
     lists_all.unpersist()
     return res
+
+
+def personalized_pagerank(edges: DataFrame, sources: DataFrame,
+                          src: str = "src", dst: str = "dst",
+                          n_iters: int = 3, damping: float = 0.85,
+                          checkpoint_every: int = 8) -> DataFrame:
+    """Personalized PageRank / random walk with restart (Jeh & Widom
+    2003; the entity-relatedness primitive): :func:`pagerank` with the
+    teleport mass restricted to a SOURCE set — ``r_{k+1}(v) =
+    (1-d)·1[v ∈ S]/|S| + d · Σ_{u→v} r_k(u)/outdeg(u)`` from the
+    uniform-over-S start, so rank measures proximity TO the seeds
+    ("which KG entities are most related to this query set"), not
+    global centrality.
+
+    Same shape as pagerank (undirected symmetrized edges, one
+    co-partitioned join + one combinable groupBy-sum per iteration,
+    degrees/edges persisted once, rank lineage truncated every
+    ``checkpoint_every`` rounds), plus one full-outer join per round
+    folding the walk mass with the source-only teleport term (nodes
+    the walk has not reached yet hold rank 0 and stay ABSENT from the
+    slim rank frame — the frontier-growth property that makes PPR on
+    a 10^12-edge graph from a 10-seed set cheap: the rank frame is
+    the reached set, not the node universe).  Fixed ``n_iters`` keeps
+    it oracle-deterministic (unrolled SQL twin, driver q160); output
+    covers ALL nodes with unreached ones at rank 0, rounded to 6
+    decimals like pagerank."""
+    if n_iters < 0:
+        raise ValueError("n_iters must be >= 0")
+    if checkpoint_every < 1:
+        raise ValueError("checkpoint_every must be >= 1")
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
+    sym = e.unionByName(
+        e.select(F.col("t").alias("s"), F.col("s").alias("t"))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    deg = sym.groupBy("s").agg(F.count("*").alias("od"))
+    out_edges = sym.join(deg, "s").persist(StorageLevel.MEMORY_AND_DISK)
+    nodes = sym.select(F.col("s").alias("node")).distinct()
+    srcs = (sources.select(F.col(sources.columns[0]).alias("node"))
+            .distinct()
+            .persist(StorageLevel.MEMORY_AND_DISK))
+    n_src = srcs.count()  # one action: sizes the teleport term
+    if n_src == 0:
+        raise ValueError("sources must name at least one node")
+    teleport = (1.0 - damping) / n_src
+    tele = srcs.withColumn("tp", F.lit(teleport))
+    ranks = srcs.withColumn("rank", F.lit(1.0 / n_src))
+    for i in range(n_iters):
+        contrib = (
+            out_edges.join(ranks, out_edges["s"] == ranks["node"])
+            .select(F.col("t").alias("node"),
+                    (F.col("rank") / F.col("od")).alias("c"))
+        )
+        walk = (contrib.groupBy("node")
+                .agg((damping * F.sum("c")).alias("w")))
+        ranks = (walk.join(tele, "node", "full")
+                 .select("node",
+                         (F.coalesce("w", F.lit(0.0))
+                          + F.coalesce("tp", F.lit(0.0))).alias("rank")))
+        if (i + 1) % checkpoint_every == 0 and i + 1 < n_iters:
+            ranks = ranks.localCheckpoint(eager=True)
+    out = nodes.join(ranks, "node", "left").select(
+        "node",
+        F.round(F.coalesce("rank", F.lit(0.0)), 6).alias("rank"),
+    )
+    return out

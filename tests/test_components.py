@@ -1056,3 +1056,87 @@ def test_neighbor_jaccard_guards(spark):
         neighbor_jaccard(df, min_common=0)
     with pytest.raises(ValueError, match="max_degree"):
         neighbor_jaccard(df, max_degree=1)
+
+
+# ----------------------------------------------- personalized PageRank
+
+
+def _ppr_py(edges, seeds, k=3, d=0.85):
+    sym = [(u, v) for (u, v) in edges] + [(v, u) for (u, v) in edges]
+    od = {}
+    for (u, _) in sym:
+        od[u] = od.get(u, 0) + 1
+    nodes = set(od)
+    r = {s: 1.0 / len(seeds) for s in seeds}
+    for _ in range(k):
+        w = {}
+        for (u, v) in sym:
+            if u in r:
+                w[v] = w.get(v, 0.0) + d * r[u] / od[u]
+        r = dict(w)
+        for s in seeds:
+            r[s] = r.get(s, 0.0) + (1 - d) / len(seeds)
+    return {n: round(r.get(n, 0.0), 6) for n in nodes}
+
+
+def test_ppr_match_python_twin(spark):
+    from claimskg_generator_spark.operators.components import (
+        personalized_pagerank,
+    )
+
+    edges = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"),
+             ("x", "y")]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    s = spark.createDataFrame([("a",)], "node string")
+    got = {r["node"]: r["rank"]
+           for r in personalized_pagerank(e, s, n_iters=3).collect()}
+    exp = _ppr_py(edges, ["a"], 3)
+    assert got.keys() == exp.keys()
+    for n in exp:
+        # Spark rounds HALF_UP, python round() is banker's — allow
+        # one quantum at the 6th decimal (the value oracle pins the
+        # exact rounding against DuckDB, which matches Spark)
+        assert abs(got[n] - exp[n]) <= 1.000001e-6, n
+
+
+def test_ppr_disconnected_component_gets_zero(spark):
+    from claimskg_generator_spark.operators.components import (
+        personalized_pagerank,
+    )
+
+    e = spark.createDataFrame([("a", "b"), ("x", "y")],
+                              "src string, dst string")
+    s = spark.createDataFrame([("a",)], "node string")
+    got = {r["node"]: r["rank"]
+           for r in personalized_pagerank(e, s, n_iters=3).collect()}
+    assert got["x"] == 0.0 and got["y"] == 0.0
+    assert got["a"] > 0 and got["b"] > 0
+
+
+def test_ppr_mass_conserved_no_dangling(spark):
+    from claimskg_generator_spark.operators.components import (
+        personalized_pagerank,
+    )
+
+    # undirected symmetrization leaves no dangling nodes, so walk
+    # mass is conserved: ranks sum to 1 on the seed component
+    e = spark.createDataFrame([("a", "b"), ("b", "c")],
+                              "src string, dst string")
+    s = spark.createDataFrame([("a",), ("c",)], "node string")
+    total = sum(r["rank"] for r in
+                personalized_pagerank(e, s, n_iters=4).collect())
+    assert abs(total - 1.0) < 1e-5
+
+
+def test_ppr_guards(spark):
+    from claimskg_generator_spark.operators.components import (
+        personalized_pagerank,
+    )
+
+    e = spark.createDataFrame([("a", "b")], "src string, dst string")
+    empty = spark.createDataFrame([], "node string")
+    with pytest.raises(ValueError, match="at least one node"):
+        personalized_pagerank(e, empty)
+    s = spark.createDataFrame([("a",)], "node string")
+    with pytest.raises(ValueError, match="n_iters"):
+        personalized_pagerank(e, s, n_iters=-1)

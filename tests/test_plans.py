@@ -1233,3 +1233,27 @@ def test_neighbor_jaccard_in_row_pairs_no_self_join(spark):
     assert re.search(r"\(\d+\) Generate", inner)
     assert re.search(r"partial_count", inner)
     assert not re.search(r"\(\d+\) \w*Join", inner)
+
+
+def test_ppr_round_join_sum_fold(spark):
+    """q160: one PPR round = the pagerank join+combinable-sum plus the
+    walk/teleport full-outer fold — no cartesian, no Python, no
+    window; the teleport side is the tiny seed frame."""
+    e = spark.createDataFrame([("a", "b"), ("b", "c")],
+                              "s string, t string")
+    deg = e.groupBy("s").agg(F.count("*").alias("od"))
+    oe = e.join(deg, "s")
+    ranks = spark.createDataFrame([("a", 1.0)], "node string, rank double")
+    tele = spark.createDataFrame([("a", 0.15)], "node string, tp double")
+    contrib = (oe.join(ranks, oe["s"] == ranks["node"])
+               .select(F.col("t").alias("node"),
+                       (F.col("rank") / F.col("od")).alias("c")))
+    walk = contrib.groupBy("node").agg((0.85 * F.sum("c")).alias("w"))
+    rnd = (walk.join(tele, "node", "full")
+           .select("node", (F.coalesce("w", F.lit(0.0))
+                            + F.coalesce("tp", F.lit(0.0))).alias("rank")))
+    plan = _plan(rnd)
+    assert "CartesianProduct" not in plan
+    assert not re.search(r"EvalPython|PythonUDF", plan)
+    assert re.search(r"partial_sum", plan)
+    assert "Window" not in plan
