@@ -77,23 +77,37 @@ def _hash_sample_centroids(embeddings: DataFrame, n_centroids: int,
 
 def _cent_arr(cents: DataFrame) -> DataFrame:
     """One-row frame holding ALL centroids as a cent_id-ordered array —
-    broadcast once, n_centroids * dim floats total."""
+    broadcast once, n_centroids * dim floats total.  Each struct carries
+    the centroid's precomputed norm (``nc``): higher-order-function
+    lambdas are CodegenFallback with no CSE, so evaluating ``_norm(cv)``
+    inside the per-vector argmax lambda would re-fold the centroid vector
+    once per (vector, centroid) visit; the value is the identical double
+    either way (same expression, evaluated earlier)."""
     return cents.agg(
         F.array_sort(
-            F.collect_list(F.struct(F.col("cent_id"), F.col("cv")))
+            F.collect_list(
+                F.struct(
+                    F.col("cent_id"), F.col("cv"),
+                    _norm(F.col("cv")).alias("nc"),
+                )
+            )
         ).alias("cents")
     )
 
 
-def _scored_arr(vcol):
+def _scored_arr(vcol, nv=None):
     """Per-centroid (cosine, -cent_id) structs over the broadcast ``cents``
     array column; array_max / array_sort over them orders by cosine first,
-    then SMALLER cent_id on ties."""
+    then SMALLER cent_id on ties.  ``nv`` is the vector's precomputed norm
+    column (defaults to folding it in-lambda — same double, more
+    interpreted work; callers on the hot path pass a projected column so
+    the norm folds once per vector, not once per centroid)."""
+    if nv is None:
+        nv = _norm(vcol)
     return F.transform(
         F.col("cents"),
         lambda c: F.struct(
-            (_dot(vcol, c["cv"]) / (_norm(vcol) * _norm(c["cv"])))
-            .alias("c"),
+            (_dot(vcol, c["cv"]) / (nv * c["nc"])).alias("c"),
             (-c["cent_id"]).alias("neg_id"),
         ),
     )
@@ -104,12 +118,20 @@ def _assign(embeddings: DataFrame, cent_arr: DataFrame,
     """Argmax coarse assignment as a PURE MAP stage: the fixed-size
     centroid set rides as a one-row broadcast array column and the
     per-vector argmax is a within-row transform + array_max — no N x |C|
-    row explosion, no aggregation shuffle, no Window sort."""
+    row explosion, no aggregation shuffle, no Window sort.  The vector
+    norm is projected ONCE per row before the argmax lambda (no CSE
+    inside HOF lambdas — see _cent_arr)."""
     return (
         embeddings.join(F.broadcast(cent_arr))
         .select(
             F.col(id_col).alias("m_id"), F.col(vec_col).alias("mv"),
-            F.array_max(_scored_arr(F.col(vec_col))).alias("best"),
+            _norm(F.col(vec_col)).alias("_nv"), F.col("cents"),
+        )
+        .select(
+            "m_id", "mv",
+            F.array_max(
+                _scored_arr(F.col("mv"), F.col("_nv"))
+            ).alias("best"),
         )
         .select("m_id", "mv", (-F.col("best.neg_id")).alias("m_cent"))
     )
@@ -167,6 +189,19 @@ def ivf_topk(embeddings: DataFrame, query_ids: List[int], k: int = 5,
         return _assign(embeddings, carr, id_col, vec_col)
 
     cent_arr = to_cent_arr(cents)
+    if n_iters > 0:
+        # The trained chain embeds a FULL-CORPUS assignment pass in the
+        # centroid lineage, and cent_arr is broadcast from at least two
+        # places (final assignment + probe lists): without a cache each
+        # broadcast re-runs every preceding Lloyd pass over the whole
+        # corpus.  The cached frames are one row of n_centroids * dim
+        # doubles per iteration — negligible, and deliberately left
+        # cached (the plan is lazy, so there is no post-action hook here
+        # to unpersist from; callers holding a long-lived session can
+        # spark.catalog.clearCache() if the few KB matter).
+        from pyspark import StorageLevel
+
+        cent_arr = cent_arr.persist(StorageLevel.MEMORY_AND_DISK)
 
     for _ in range(n_iters):
         # Lloyd pass: argmax assignment (pure map) + element-wise cluster
@@ -200,7 +235,9 @@ def ivf_topk(embeddings: DataFrame, query_ids: List[int], k: int = 5,
                 ).alias("cv"),
             )
         )
-        cent_arr = to_cent_arr(cents)
+        from pyspark import StorageLevel
+
+        cent_arr = to_cent_arr(cents).persist(StorageLevel.MEMORY_AND_DISK)
 
     assigned = assign(cent_arr)
     # probe lists: the n_probe nearest centroids per query — same within-row
