@@ -355,11 +355,21 @@ def triple_diff(old: DataFrame, new: DataFrame) -> DataFrame:
     "what changed between graph versions" primitive, and the building
     block for incremental downstream refresh (only added/removed
     triples re-enter a consumer)."""
+    from pyspark import StorageLevel
+
     cols = ["subj", "pred", "obj", "okind"]
-    o, n = old.select(*cols), new.select(*cols)
-    added = (n.distinct().join(o, cols, "left_anti")
+    # Each side feeds BOTH directions (left of one anti-join, right of the
+    # other).  Without a cache the full upstream chain (for code_triples: an
+    # explode + set-dedup over the corpus) runs twice per side — measured 4
+    # subtree evaluations for q102.  Persist the DEDUPED frames once
+    # (MEMORY_AND_DISK, the repo-wide multi-consumer pattern) and anti-join
+    # against the deduped right side — equivalent by set semantics, and it
+    # drops the second full-width dedup exchange per direction.
+    od = old.select(*cols).distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    nd = new.select(*cols).distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    added = (nd.join(od, cols, "left_anti")
              .withColumn("change", F.lit("added")))
-    removed = (o.distinct().join(n, cols, "left_anti")
+    removed = (od.join(nd, cols, "left_anti")
                .withColumn("change", F.lit("removed")))
     return added.unionByName(removed)
 

@@ -153,10 +153,18 @@ def ngram_jaccard_pairs(documents: DataFrame, n: int = 3,
     the posting-list row (no shingle self-join) -> count common shingles
     per (a,b) -> jaccard = common/(|A|+|B|-common).
     """
+    from pyspark import StorageLevel
+
     docs = with_shingle_set(documents, n).select("doc_id", "sset")
     # per-doc shingle count is a pure map (no shuffle): |set| == exploded
-    # row count because the set is distinct per doc
-    sizes = docs.select("doc_id", F.size("sset").alias("n_sh"))
+    # row count because the set is distinct per doc.  The slim (id, count)
+    # frame persists — BOTH size re-attach joins read it, which halves the
+    # interpreted shingle-HOF passes (3 -> 2); persisting the full
+    # shingle-set frame instead was MEASURED SLOWER (6.8 s vs 4.7 s at
+    # sf0.1): materializing ~2M shingle strings into the cache costs more
+    # than one recompute of the pure-map chain.
+    sizes = (docs.select("doc_id", F.size("sset").alias("n_sh"))
+             .persist(StorageLevel.MEMORY_AND_DISK))
     sh = docs.select("doc_id", F.explode_outer("sset").alias("shingle"))
     # ONE pass over the exploded frame: document frequency + posting list
     # together (round 3 computed df, the hot set, and the capped frame as
@@ -252,11 +260,22 @@ def minhash_coefficients(num_hashes: int, seed: int = 7):
 
 
 def _verify_candidate_jaccard(documents: DataFrame, candidates: DataFrame,
-                              n: int, threshold: float) -> DataFrame:
+                              n: int, threshold: float,
+                              persist_sets: bool = True) -> DataFrame:
     """Exact n-gram Jaccard on CANDIDATE pairs only (join each side to its
     distinct-shingle set + array_intersect) — never the full-corpus shingle
-    self-join LSH exists to avoid."""
+    self-join LSH exists to avoid.
+
+    ``persist_sets`` caches the per-doc shingle-set frame, which both
+    per-side joins consume (without it the interpreted shingle HOF runs
+    twice over the corpus).  Streaming's per-trigger verify passes False:
+    a persist per trigger would accumulate caches across the query's
+    lifetime."""
     shingle_sets = with_shingle_set(documents, n).select("doc_id", "sset")
+    if persist_sets:
+        from pyspark import StorageLevel
+
+        shingle_sets = shingle_sets.persist(StorageLevel.MEMORY_AND_DISK)
     return (
         candidates
         .join(shingle_sets.select(F.col("doc_id").alias("id_a"),
@@ -338,8 +357,17 @@ def _minhash_banded_pairs(documents: DataFrame, shingle_hash_mod_p, n: int,
     """Shared MinHash+LSH back half: bucket membership (minhash_band_keys)
     -> bucket equi-self-join -> exact n-gram-Jaccard verify on candidates
     only."""
-    banded = minhash_band_keys(documents, shingle_hash_mod_p, n, num_hashes,
-                               bands, seed, compact_keys)
+    from pyspark import StorageLevel
+
+    banded = (
+        minhash_band_keys(documents, shingle_hash_mod_p, n, num_hashes,
+                          bands, seed, compact_keys)
+        # both sides of the bucket self-join consume this frame; the
+        # signature chain (num_hashes interpreted array passes over the
+        # shingle hashes) is the front half's dominant cost, so compute it
+        # once — the cached rows are slim (doc_id, band, key)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     a, b = banded.alias("a"), banded.alias("b")
     candidates = (
         a.join(
@@ -560,7 +588,13 @@ def simhash_near_dups(documents: DataFrame, max_hamming: int = 3,
     # pair that the exact hamming verification below then filters — and
     # equal blocks still always collide, so pigeonhole recall is intact).
     # The signature rides along (8 bytes) so no re-attach join is needed.
-    banded = simhash_table_keys(sigs, max_hamming, n_blocks)
+    from pyspark import StorageLevel
+
+    # both self-join sides consume the banded frame; without a cache the
+    # 64-way vote aggregate (one shuffle + wide aggregation) runs once per
+    # side — the cached rows are slim (doc_id, simhash, t, k)
+    banded = (simhash_table_keys(sigs, max_hamming, n_blocks)
+              .persist(StorageLevel.MEMORY_AND_DISK))
     a = banded.select(F.col("doc_id").alias("id_a"),
                       F.col("simhash").alias("s_a"), "t", "k")
     b = banded.select(F.col("doc_id").alias("id_b"),

@@ -130,7 +130,8 @@ def streaming_minhash_neardup(spark: SparkSession, input_dir: str,
         cands = batch_df.dropDuplicates(["id_a", "id_b"])
         docs = spark.read.schema(schema).parquet(input_dir)
         verified = _verify_candidate_jaccard(docs, cands, n,
-                                             verify_threshold)
+                                             verify_threshold,
+                                             persist_sets=False)
         verified.write.mode("append").parquet(output_dir)
 
     writer = (
