@@ -266,15 +266,32 @@ def _verify_candidate_jaccard(documents: DataFrame, candidates: DataFrame,
     distinct-shingle set + array_intersect) — never the full-corpus shingle
     self-join LSH exists to avoid.
 
-    ``persist_sets`` caches the per-doc shingle-set frame, which both
-    per-side joins consume (without it the interpreted shingle HOF runs
-    twice over the corpus).  Streaming's per-trigger verify passes False:
-    a persist per trigger would accumulate caches across the query's
-    lifetime."""
-    shingle_sets = with_shingle_set(documents, n).select("doc_id", "sset")
-    if persist_sets:
-        from pyspark import StorageLevel
+    Both per-side joins consume the shingle-set frame, but persisting the
+    FULL corpus' sets does not hold at scale (first cut of this round:
+    q17's 10x sf-scale ratio blew past linear when the cached set frame
+    outgrew storage memory mid-session).  Instead the candidate pair
+    frame persists (slim ids — it feeds the member-id set and both
+    verify joins), and the shingle sets are built once, semi-joined down
+    to CANDIDATE MEMBERS before caching: verification work and cache
+    footprint stay candidate-bounded at any corpus size, and the corpus
+    is scanned exactly once for shingles.  ``persist_sets=False``
+    (streaming's per-trigger verify) skips the persists — a persist per
+    trigger would accumulate caches across the query's lifetime — but
+    keeps the semi-join reduction."""
+    from pyspark import StorageLevel
 
+    if persist_sets:
+        candidates = candidates.persist(StorageLevel.MEMORY_AND_DISK)
+    members = (
+        candidates.select(F.col("id_a").alias("doc_id"))
+        .unionByName(candidates.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    shingle_sets = (
+        with_shingle_set(documents, n).select("doc_id", "sset")
+        .join(F.broadcast(members), "doc_id", "left_semi")
+    )
+    if persist_sets:
         shingle_sets = shingle_sets.persist(StorageLevel.MEMORY_AND_DISK)
     return (
         candidates
