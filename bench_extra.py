@@ -74,8 +74,10 @@ def only(spark, sf_dir, names):
 
     qmap = entry.queries()
     for name in names:
-        df = qmap[name](spark, sf_dir)
-        _timed(spark, f"only/{name}", df.count)
+        # build INSIDE the timed window, exactly like bench.py (several
+        # query builders run eager work at plan-construction time)
+        _timed(spark, f"only/{name}",
+               lambda n=name: qmap[n](spark, sf_dir).count())
 
 
 def main():

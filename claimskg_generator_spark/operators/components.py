@@ -936,6 +936,14 @@ def wl_colors(triples: DataFrame, n_iters: int = 2,
              .distinct())
     colors = nodes.withColumn("color", F.md5(F.lit("")))
     for i in range(1, n_iters + 1):
+        if i > 1:
+            # each round consumes the previous colors from THREE branches
+            # (both direction joins + the color-rehash join); without a
+            # per-round materialization the previous round's whole chain
+            # re-evaluates once per branch — measured 3x round-1 work in
+            # round 2 for q155.  localCheckpoint also truncates lineage
+            # (the node-sized frame is what pagerank checkpoints too).
+            colors = colors.localCheckpoint(eager=True)
         cd = colors.select(F.col("node").alias("__n"),
                            F.col("color").alias("__c"))
         out_msgs = (
