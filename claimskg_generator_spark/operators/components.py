@@ -1298,5 +1298,10 @@ def personalized_pagerank(edges: DataFrame, sources: DataFrame,
     out = nodes.join(ranks, "node", "left").select(
         "node",
         F.round(F.coalesce("rank", F.lit(0.0)), 6).alias("rank"),
-    )
+    ).localCheckpoint(eager=True)
+    # match the sibling operators' discipline (hits_scores, shortest_paths,
+    # wl_colors): eager-checkpoint the result, then free the per-call
+    # caches so a long-lived session doesn't accumulate them
+    for c in (sym, out_edges, srcs):
+        c.unpersist()
     return out

@@ -342,8 +342,14 @@ def lsh_cosine_pairs(embeddings: DataFrame, bands: int = 8,
     """Embedding-cosine near-dup pairs: multi-band bucket equi-join
     candidates (see hyperplane_band_keys), then exact cosine verification
     on candidates only — the scale path for embedding dedup."""
-    b = hyperplane_band_keys(embeddings, bands, planes_per_band, seed,
-                             dim=dim, id_col=id_col, vec_col=vec_col)
+    from pyspark import StorageLevel
+
+    # both self-join sides consume the banded frame; the sign-pattern
+    # keys are bands*planes interpreted 64-element folds per vector, so
+    # compute them once — the cached rows are slim (id, band, key)
+    b = (hyperplane_band_keys(embeddings, bands, planes_per_band, seed,
+                              dim=dim, id_col=id_col, vec_col=vec_col)
+         .persist(StorageLevel.MEMORY_AND_DISK))
     a = b.select(F.col(id_col).alias("id_a"), "band", "key")
     c = b.select(F.col(id_col).alias("id_b"), "band", "key")
     cand = (
