@@ -180,8 +180,12 @@ applies), so the common "aggregate then filter/extend" and
 dataset (its own FROM is rejected), and ORDER BY without LIMIT inside
 a subquery is rejected (ordering does not survive the join).
 
-Unsupported SPARQL (``SERVICE``, updates, ``p*``/``p?`` in patterns)
-is rejected loudly at parse time — never silently mis-planned.
+Unsupported SPARQL (``SERVICE``; updates — see
+:mod:`~claimskg_generator_spark.operators.sparql_update` for the
+UPDATE face) is rejected loudly at parse time — never silently
+mis-planned.  (``p*``/``p?`` paths ARE supported — §18.4 zero-length
+semantics, driver q137 — as the property-path section above
+describes.)
 """
 
 import re

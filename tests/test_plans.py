@@ -498,6 +498,12 @@ def test_code_triples_single_exchange_no_join(spark):
     the map side runs a partial distinct before it."""
     import __spark_entry__ as e
 
+    # tests share one session: an earlier test's persisted frame (e.g.
+    # triple_diff's cached deduped sides, which embed a code_triples
+    # subtree) would otherwise be substituted into this plan by the
+    # CacheManager and its internal exchange double-counted — the
+    # property pinned here is the shape of the UNCACHED plan
+    spark.catalog.clearCache()
     plan = _plan(e.q98_code_kg_triples(spark, SF))
     assert "Join" not in plan and "CartesianProduct" not in plan
     assert "Python" not in plan
