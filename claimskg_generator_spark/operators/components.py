@@ -146,7 +146,11 @@ def connected_components(edges: DataFrame, src: str = "src",
     for _ in range(max_iter):
         e, scratch = _star_round(e)
         if truncate_lineage:
-            e = e.localCheckpoint(eager=True)
+            # LAZY checkpoint: the convergence probe right below is the
+            # round's action anyway, and it materializes the checkpoint as
+            # a side effect — one job per round instead of two (the eager
+            # form paid a separate materialization job before the probe).
+            e = e.localCheckpoint(eager=False)
         sig = _signature(e)
         for frame in scratch:
             # the round's result is materialized (checkpoint or signature
