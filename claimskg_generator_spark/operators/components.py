@@ -1111,7 +1111,12 @@ def hits_scores(edges: DataFrame, n_iters: int = 2,
     bounded by (max degree)^(2·n_iters): at the default 2 rounds a
     10^9-degree hub still fits decimal(38); deeper runs are the
     caller's overflow responsibility (documented, like pagerank's
-    n_iters lineage note).
+    n_iters lineage note).  ADVICE r5 asymmetry note: under non-ANSI
+    Spark a decimal(38) overflow yields NULL and the final coalesce
+    would report that node's hub/auth as "0" (silent), while the
+    DuckDB oracle's HUGEINT errors loudly — for deep ``n_iters`` runs
+    enable ``spark.sql.ansi.enabled`` so overflow raises instead, or
+    treat any 0 score on a connected node as suspect.
 
     Round shape (the pagerank profile): auth = one
     map-side-combinable groupBy(dst) sum over the edge frame joined

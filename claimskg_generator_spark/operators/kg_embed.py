@@ -84,6 +84,15 @@ def kg_train_pairs(edges: DataFrame, k: int = 2, seed: str = "transe",
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     ents = entity_index(edges, n_buckets=n_buckets)
+    # EMPTY-GRAPH CAVEAT (ADVICE r5): an empty edge frame yields an
+    # empty corpus, silently — max(idx) is NULL but both the plan-time
+    # optimizer (PropagateEmptyRelation) and AQE's runtime empty-relation
+    # propagation collapse the downstream joins before any expression
+    # could raise (verified: a raise_error wrapped around this max never
+    # fires for either a literal-empty or a runtime-empty input).  A
+    # loud guard would need a driver-side count() on the hot path;
+    # callers that cannot tolerate empty-in/empty-out should assert
+    # non-emptiness themselves before calling.
     e_total = ents.agg(F.max("idx").alias("__E"))
     pos = edges.select("subj", "pred", "obj")
     slots = pos.crossJoin(F.broadcast(e_total)).select(
