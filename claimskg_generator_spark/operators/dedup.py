@@ -153,19 +153,20 @@ def ngram_jaccard_pairs(documents: DataFrame, n: int = 3,
     the posting-list row (no shingle self-join) -> count common shingles
     per (a,b) -> jaccard = common/(|A|+|B|-common).
     """
-    from pyspark import StorageLevel
-
     docs = with_shingle_set(documents, n).select("doc_id", "sset")
     # per-doc shingle count is a pure map (no shuffle): |set| == exploded
-    # row count because the set is distinct per doc.  The slim (id, count)
-    # frame persists — BOTH size re-attach joins read it, which halves the
-    # interpreted shingle-HOF passes (3 -> 2); persisting the full
-    # shingle-set frame instead was MEASURED SLOWER (6.8 s vs 4.7 s at
-    # sf0.1): materializing ~2M shingle strings into the cache costs more
-    # than one recompute of the pure-map chain.
-    sizes = (docs.select("doc_id", F.size("sset").alias("n_sh"))
-             .persist(StorageLevel.MEMORY_AND_DISK))
-    sh = docs.select("doc_id", F.explode_outer("sset").alias("shingle"))
+    # row count because the set is distinct per doc.  The count RIDES the
+    # exploded rows and the posting list as a struct member — earlier
+    # revisions re-attached it through two per-side joins against a
+    # separately-computed sizes frame, which both re-ran the interpreted
+    # shingle HOF chain a second time and paid two extra joins; carrying
+    # the 4-byte int through the one existing shuffle removes all of it
+    # (the shingle chain now evaluates exactly ONCE, un-persisted).
+    sh = docs.select(
+        F.struct(F.col("doc_id").alias("id"),
+                 F.size("sset").alias("n_sh")).alias("d"),
+        F.explode_outer("sset").alias("shingle"),
+    )
     # ONE pass over the exploded frame: document frequency + posting list
     # together (round 3 computed df, the hot set, and the capped frame as
     # three consumers of an uncached explode — the explode + shuffle ran
@@ -175,7 +176,9 @@ def ngram_jaccard_pairs(documents: DataFrame, n: int = 3,
     # structs — the posting list never leaves one aggregation buffer.
     post = (
         sh.groupBy("shingle")
-        .agg(F.count("*").alias("df"), F.collect_list("doc_id").alias("ids"))
+        .agg(F.count("*").alias("df"), F.collect_list("d").alias("ids"))
+        # struct sort orders by the leading (unique) id — identical pair
+        # enumeration to the previous plain-id posting list
         .filter((F.col("df") >= 2) & (F.col("df") <= max_df))
         .withColumn("ids_s", F.array_sort("ids"))
     )
@@ -187,21 +190,23 @@ def ngram_jaccard_pairs(documents: DataFrame, n: int = 3,
             F.col("ids_s"),
             lambda a, i: F.transform(
                 F.slice(F.col("ids_s"), i + 2, F.col("df").cast("int")),
-                lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
+                lambda b: F.struct(
+                    a["id"].alias("id_a"), a["n_sh"].alias("sh_a"),
+                    b["id"].alias("id_b"), b["n_sh"].alias("sh_b"),
+                ),
             ),
         )
     )
     common = (
         post.select(F.explode_outer(pair_structs).alias("p"))
-        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        # sh_a/sh_b are functions of id_a/id_b, so grouping on all four
+        # keys forms exactly the same groups as (id_a, id_b)
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.sh_a").alias("sh_a"),
+                 F.col("p.id_b").alias("id_b"), F.col("p.sh_b").alias("sh_b"))
         .agg(F.count("*").alias("common"))
     )
     return (
-        common.join(sizes.withColumnRenamed("doc_id", "id_a")
-                    .withColumnRenamed("n_sh", "sh_a"), "id_a")
-        .join(sizes.withColumnRenamed("doc_id", "id_b")
-              .withColumnRenamed("n_sh", "sh_b"), "id_b")
-        .withColumn(
+        common.withColumn(
             "jaccard",
             F.round(F.col("common")
                     / (F.col("sh_a") + F.col("sh_b") - F.col("common")).cast("double"), 4),
